@@ -1,0 +1,244 @@
+"""Multi-head attention: Pallas TPU flash kernel + XLA reference path.
+
+The reference's only kernel-level artifact is a vendored (and unused)
+Triton flash-attention inside the MPT branch (SURVEY.md §2 header). Here
+flash attention IS the hot path: every probe evaluation runs full-sequence
+teacher-forced decoding (use_cache=False semantics, blip2.py:68-75), so
+attention over [vision_tokens + prompt + target] dominates per-layer time
+alongside the MLP matmuls.
+
+Design:
+- :func:`xla_attention` — pure-jnp masked attention. Used on CPU (tests),
+  as the numerical reference, and as the backward path.
+- :func:`_flash_fwd` — Pallas kernel, grid (batch*heads, q-blocks,
+  k-blocks) with online-softmax accumulators in VMEM scratch. Supports
+  causal masking plus per-row valid-length (right-padding) masking via a
+  scalar-prefetched lengths array.
+- :func:`multihead_attention` — public entry: dispatches to the flash
+  kernel on TPU, XLA elsewhere; wrapped in ``jax.custom_vjp`` so training
+  paths differentiate through the XLA recomputation.
+
+Layout: q, k, v are [B, H, L, D].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _length_bias(lengths: jnp.ndarray, lk: int) -> jnp.ndarray:
+    """[B] lengths → additive bias [B, 1, 1, Lk] masking padded keys."""
+    kv_idx = jnp.arange(lk)[None, :]
+    valid = kv_idx < lengths[:, None]
+    return jnp.where(valid, 0.0, NEG_INF)[:, None, None, :]
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Reference masked attention. q,k,v: [B, H, Lq/Lk, D] → [B, H, Lq, D]."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / (d ** 0.5)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if lengths is not None:
+        s = s + _length_bias(lengths, lk)
+    if causal:
+        # offset aligns the causal diagonal when Lq != Lk (prefix-cached
+        # decoding); for full-sequence forward Lq == Lk and offset == 0.
+        offset = lk - lq
+        qi = jnp.arange(lq)[:, None] + offset
+        ki = jnp.arange(lk)[None, :]
+        s = jnp.where(ki <= qi, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    return o.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (forward)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(
+    lengths_ref,  # SMEM [B] int32 (scalar prefetch)
+    q_ref,        # VMEM [1, block_q, d]
+    k_ref,        # VMEM [1, block_k, d]
+    v_ref,        # VMEM [1, block_k, d]
+    o_ref,        # VMEM [1, block_q, d]
+    m_scr,        # VMEM [block_q, 128] f32 running max
+    l_scr,        # VMEM [block_q, 128] f32 running sum
+    acc_scr,      # VMEM [block_q, d] f32 accumulator
+    *,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    num_heads: int,
+    sm_scale: float,
+):
+    bh = pl.program_id(0)
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    batch = bh // num_heads
+    length = lengths_ref[batch]
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    # Causal: the whole k-block is masked iff k_start > q_end.
+    run = True
+    if causal:
+        run = k_start <= q_start + block_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [block_q, block_k]
+        ki = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = ki < length
+        if causal:
+            qi = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            mask = jnp.logical_and(mask, ki <= qi)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]                       # [block_q, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)   # [block_q, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                      # [block_q, block_k]
+        # Rows with every key masked stay all-NEG_INF: exp underflows to 0.
+        p = jnp.where(mask, p, 0.0)
+        corr = jnp.exp(m_prev - m_new)              # [block_q, 1]
+        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padding) rows → 0 out
+        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+
+
+def _flash_fwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: jnp.ndarray,
+    causal: bool,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    block_q = min(block_q, lq)
+    block_k = min(block_k, lk)
+    nq = pl.cdiv(lq, block_q)
+    nk = pl.cdiv(lk, block_k)
+    sm_scale = 1.0 / (d ** 0.5)
+
+    qr = q.reshape(b * h, lq, d)
+    kr = k.reshape(b * h, lk, d)
+    vr = v.reshape(b * h, lk, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        num_heads=h,
+        sm_scale=sm_scale,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq * lk * d,
+            bytes_accessed=(qr.size + kr.size + vr.size * 2) * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+    )(lengths.astype(jnp.int32), qr, kr, vr)
+    return out.reshape(b, h, lq, d)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attention(q, k, v, lengths, causal):
+    if _on_tpu():
+        return _flash_fwd(q, k, v, lengths, causal)
+    return xla_attention(q, k, v, lengths, causal)
+
+
+def _attention_fwd(q, k, v, lengths, causal):
+    return _attention(q, k, v, lengths, causal), (q, k, v, lengths)
+
+
+def _attention_bwd(causal, res, g):
+    q, k, v, lengths = res
+    _, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v, lengths, causal), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def multihead_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Public attention entry. q,k,v: [B, H, L, D]; lengths: [B] or None."""
+    if lengths is None:
+        lengths = jnp.full((q.shape[0],), k.shape[2], dtype=jnp.int32)
+    return _attention(q, k, v, lengths, causal)
