@@ -1,0 +1,336 @@
+"""Decoder-only LLM zoo: OPT (BLIP-2's language model) and LLaMA (Vicuna).
+
+TPU-native redesign of the reference's HF decoder usage:
+
+- Layer parameters are **stacked** along a leading axis and iterated with
+  ``lax.scan`` — one compiled layer body instead of 32 unrolled layers.
+- The reference's nethook machinery (``editor/nethook.py`` Trace stop /
+  TraceDict skip-layers / edit_input / forward hooks, used via
+  ``get_mid_module_outpt`` and ``forward_from_mid_layer`` in
+  ``vllms_for_edit/base.py:138-185``) becomes an explicit **split
+  forward**: :func:`decoder_forward` runs layers ``[lo, hi)`` and accepts
+  typed intervention points:
+
+  * ``layer_residual=(i, fn)`` — ``fn`` maps the output hidden state of
+    layer ``i`` to its replacement (LiveEdit's layer-21 MoE residual,
+    ``liveedit.py:111-125``).
+  * ``mlp_residual=(i, fn)`` — ``fn`` maps the (post-norm) MLP input of
+    layer ``i`` to an additive delta on the MLP output. Covers T-Patcher's
+    appended fc1/fc2 neurons (``tp_vl.py:71-109``) and LEMoE's LoRA
+    experts on fc1-in/fc2-out (``lemoe_vl.py:55-83``) — both are exactly
+    "extra function of the MLP input added to the MLP output".
+
+  Parameter-space editors (FT/MEND/ROME/LoRA) need no intervention: they
+  produce an edited parameter pytree and call the same functions.
+
+Masking/positions: a single ``kv_valid`` [B, L] mask drives both attention
+masking and position ids (``cumsum(kv_valid)-1``), reproducing HF OPT's
+mask-derived learned positions and giving RoPE models identical
+"masked-prefix == absent-prefix" semantics (the trick that lets image and
+no-image probes share one batched layout).
+
+Note one deliberate divergence from the reference: its *training* path
+resumes the decoder by feeding layer 21's captured **output** back into
+layer 21's **input** (``forward_from_mid_layer`` skips layers 0..20 and
+``edit_input``-replaces layer 21, so layer 21 runs twice relative to the
+inference path — ``liveedit.py:295-317`` + ``base.py:164-185``). We keep
+training and inference consistent instead: ``decoder_forward(lo=i+1)``
+resumes *after* the captured layer. Editors trained in this framework see
+the same function at train and eval time.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multihead_attention
+from ..ops.layers import gelu_exact, layer_norm, linear, rms_norm
+from ..utils.config import BaseConfig
+from ..utils.pytree import tree_slice
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "gelu": gelu_exact,
+    "silu": jax.nn.silu,
+    "quick_gelu": quick_gelu,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig(BaseConfig):
+    arch: str = "opt"  # "opt" | "llama"
+    vocab_size: int = 50272
+    d_model: int = 2560
+    n_layers: int = 32
+    n_heads: int = 32
+    d_ffn: int = 10240
+    max_positions: int = 2048
+    activation: str = "relu"
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    tie_word_embeddings: bool = True
+    pos_offset: int = 2  # OPT's learned-position offset
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def opt_2_7b_config() -> DecoderConfig:
+    """blip2-opt-2.7b language model (d=2560, 32 layers; SURVEY.md backbone
+    table, cites editor/vllms_for_edit/blip2/blip2.py:20-87)."""
+    return DecoderConfig(
+        arch="opt", vocab_size=50272, d_model=2560, n_layers=32, n_heads=32,
+        d_ffn=10240, activation="relu", tie_word_embeddings=True,
+    )
+
+
+def vicuna_7b_config() -> DecoderConfig:
+    """llava-v1.5-7b / minigpt-4 language model (Vicuna-7b: d=4096, 32
+    layers; SURVEY.md backbone table)."""
+    return DecoderConfig(
+        arch="llama", vocab_size=32000, d_model=4096, n_layers=32, n_heads=32,
+        d_ffn=11008, activation="silu", tie_word_embeddings=False,
+        norm_eps=1e-6, max_positions=4096,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _dense(key, d_in, d_out, dtype, bias=True, scale=0.02):
+    w = jax.random.normal(key, (d_in, d_out), dtype) * scale
+    if bias:
+        return {"w": w, "b": jnp.zeros((d_out,), dtype)}
+    return {"w": w}
+
+
+def init_decoder_params(cfg: DecoderConfig, key, dtype=jnp.float32):
+    keys = jax.random.split(key, 16)
+    d, f = cfg.d_model, cfg.d_ffn
+    if cfg.arch == "opt":
+        def layer(k):
+            ks = jax.random.split(k, 8)
+            return {
+                "ln1": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+                "q": _dense(ks[0], d, d, dtype), "k": _dense(ks[1], d, d, dtype),
+                "v": _dense(ks[2], d, d, dtype), "o": _dense(ks[3], d, d, dtype),
+                "ln2": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+                "fc1": _dense(ks[4], d, f, dtype), "fc2": _dense(ks[5], f, d, dtype),
+            }
+        layer_keys = jax.random.split(keys[0], cfg.n_layers)
+        layers = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[layer(k) for k in layer_keys]
+        )
+        params = {
+            "embed_tokens": jax.random.normal(keys[1], (cfg.vocab_size, d), dtype) * 0.02,
+            "embed_positions": jax.random.normal(
+                keys[2], (cfg.max_positions + cfg.pos_offset, d), dtype) * 0.02,
+            "final_norm": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "layers": layers,
+        }
+    elif cfg.arch == "llama":
+        def layer(k):
+            ks = jax.random.split(k, 8)
+            return {
+                "ln1": {"scale": jnp.ones((d,), dtype)},
+                "q": _dense(ks[0], d, d, dtype, bias=False),
+                "k": _dense(ks[1], d, d, dtype, bias=False),
+                "v": _dense(ks[2], d, d, dtype, bias=False),
+                "o": _dense(ks[3], d, d, dtype, bias=False),
+                "ln2": {"scale": jnp.ones((d,), dtype)},
+                "gate": _dense(ks[4], d, f, dtype, bias=False),
+                "up": _dense(ks[5], d, f, dtype, bias=False),
+                "down": _dense(ks[6], f, d, dtype, bias=False),
+            }
+        layer_keys = jax.random.split(keys[0], cfg.n_layers)
+        layers = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[layer(k) for k in layer_keys]
+        )
+        params = {
+            "embed_tokens": jax.random.normal(keys[1], (cfg.vocab_size, d), dtype) * 0.02,
+            "final_norm": {"scale": jnp.ones((d,), dtype)},
+            "layers": layers,
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = jax.random.normal(
+                keys[3], (d, cfg.vocab_size), dtype) * 0.02
+    else:
+        raise ValueError(cfg.arch)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def positions_from_mask(kv_valid: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] validity mask → position ids (cumsum-1, clamped ≥ 0).
+
+    Matches HF OPT's mask-derived learned positions; applied to RoPE
+    models too so a masked-off prefix is position-equivalent to absence.
+    """
+    return jnp.maximum(jnp.cumsum(kv_valid.astype(jnp.int32), axis=1) - 1, 0)
+
+
+def _rope(q, k, positions, theta):
+    """HF-style (non-interleaved) rotary embedding. q,k: [B,H,L,D]."""
+    d = q.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = positions[:, None, :, None].astype(jnp.float32) * inv_freq  # [B,1,L,D/2]
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
+
+    def rot_half(x):
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return jnp.concatenate([-x2, x1], axis=-1)
+
+    q2 = q * cos + rot_half(q) * sin
+    k2 = k * cos + rot_half(k) * sin
+    return q2.astype(q.dtype), k2.astype(k.dtype)
+
+
+def _split_heads(x, n_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+
+def _attn_block(p, cfg: DecoderConfig, h_norm, kv_valid, positions):
+    q = _split_heads(linear(h_norm, p["q"]["w"], p["q"].get("b")), cfg.n_heads)
+    k = _split_heads(linear(h_norm, p["k"]["w"], p["k"].get("b")), cfg.n_heads)
+    v = _split_heads(linear(h_norm, p["v"]["w"], p["v"].get("b")), cfg.n_heads)
+    if cfg.arch == "llama":
+        q, k = _rope(q, k, positions, cfg.rope_theta)
+    o = multihead_attention(q, k, v, kv_valid=kv_valid, causal=True)
+    return linear(_merge_heads(o), p["o"]["w"], p["o"].get("b"))
+
+
+def decoder_layer(
+    p,
+    cfg: DecoderConfig,
+    h,
+    kv_valid,
+    positions,
+    mlp_residual_fn: Optional[Callable] = None,
+):
+    """One pre-LN decoder layer. ``p`` holds a single layer's params."""
+    act = ACTIVATIONS[cfg.activation]
+    if cfg.arch == "opt":
+        h_norm = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"], cfg.norm_eps)
+        h = h + _attn_block(p, cfg, h_norm, kv_valid, positions)
+        x = layer_norm(h, p["ln2"]["scale"], p["ln2"]["bias"], cfg.norm_eps)
+        mlp = linear(act(linear(x, p["fc1"]["w"], p["fc1"]["b"])),
+                     p["fc2"]["w"], p["fc2"]["b"])
+        if mlp_residual_fn is not None:
+            mlp = mlp + mlp_residual_fn(x)
+        return h + mlp
+    else:  # llama
+        h_norm = rms_norm(h, p["ln1"]["scale"], cfg.norm_eps)
+        h = h + _attn_block(p, cfg, h_norm, kv_valid, positions)
+        x = rms_norm(h, p["ln2"]["scale"], cfg.norm_eps)
+        mlp = linear(
+            act(linear(x, p["gate"]["w"])) * linear(x, p["up"]["w"]),
+            p["down"]["w"],
+        )
+        if mlp_residual_fn is not None:
+            mlp = mlp + mlp_residual_fn(x)
+        return h + mlp
+
+
+def _scan_layers(layers, cfg, h, kv_valid, positions, lo, hi, remat):
+    """Run stacked layers [lo, hi) with lax.scan."""
+    if hi <= lo:
+        return h
+    seg = jax.tree.map(lambda x: x[lo:hi], layers)
+    body = lambda carry, p: (decoder_layer(p, cfg, carry, kv_valid, positions), None)
+    if remat:
+        body = jax.checkpoint(body)
+    h, _ = jax.lax.scan(body, h, seg)
+    return h
+
+
+def embed_tokens(params, cfg: DecoderConfig, input_ids) -> jnp.ndarray:
+    return params["embed_tokens"][input_ids]
+
+
+def decoder_forward(
+    params,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    *,
+    lo: int = 0,
+    hi: Optional[int] = None,
+    layer_residual: Optional[Tuple[int, Callable]] = None,
+    mlp_residual: Optional[Tuple[int, Callable]] = None,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Run decoder layers [lo, hi) over ``inputs_embeds`` → hidden states.
+
+    ``lo == 0`` additionally applies the model's position embeddings (OPT);
+    resuming from a mid-layer capture (``lo > 0``) must not re-add them —
+    the functional equivalent of ``forward_from_mid_layer``.
+    """
+    hi = cfg.n_layers if hi is None else hi
+    positions = positions_from_mask(kv_valid)
+    h = inputs_embeds
+    if lo == 0 and cfg.arch == "opt":
+        h = h + params["embed_positions"][positions + cfg.pos_offset]
+
+    # Split the scan at intervention layers.
+    points = {}
+    if layer_residual is not None:
+        points.setdefault(layer_residual[0], {})["layer_residual"] = layer_residual[1]
+    if mlp_residual is not None:
+        points.setdefault(mlp_residual[0], {})["mlp_residual"] = mlp_residual[1]
+    cut_layers = sorted(i for i in points if lo <= i < hi)
+
+    cur = lo
+    for i in cut_layers:
+        h = _scan_layers(params["layers"], cfg, h, kv_valid, positions, cur, i, remat)
+        p_i = tree_slice(params["layers"], i)
+        h = decoder_layer(
+            p_i, cfg, h, kv_valid, positions,
+            mlp_residual_fn=points[i].get("mlp_residual"),
+        )
+        if "layer_residual" in points[i]:
+            h = points[i]["layer_residual"](h)
+        cur = i + 1
+    h = _scan_layers(params["layers"], cfg, h, kv_valid, positions, cur, hi, remat)
+    return h
+
+
+def decoder_logits(params, cfg: DecoderConfig, hidden) -> jnp.ndarray:
+    """Final norm + LM head → [B, L, V] f32 logits."""
+    if cfg.arch == "opt":
+        h = layer_norm(hidden, params["final_norm"]["scale"],
+                       params["final_norm"]["bias"], cfg.norm_eps)
+    else:
+        h = rms_norm(hidden, params["final_norm"]["scale"], cfg.norm_eps)
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"].T
+    else:
+        w = params["lm_head"]
+    return jnp.dot(h, w, preferred_element_type=jnp.float32)
+
+
+def decoder_apply(
+    params, cfg: DecoderConfig, inputs_embeds, kv_valid, **kw
+) -> jnp.ndarray:
+    """Full forward: embeddings → layers → logits."""
+    h = decoder_forward(params, cfg, inputs_embeds, kv_valid, **kw)
+    return decoder_logits(params, cfg, h)

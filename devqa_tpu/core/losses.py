@@ -1,0 +1,66 @@
+"""Losses and metrics over full-layout logits.
+
+JAX counterparts of ``BaseVLLMForEdit.label_loss`` (base.py:111-119),
+``logit_KL_loss`` (base.py:121-132) and the evaluation's
+``accuracy_and_prediction`` (evaluation/vllm_editor_eval.py:143-150).
+
+Unlike the reference — which aligns a "short" label array against the
+logit tail via ``logits[:, -label_ids.shape[1]:]`` — all arrays here are
+already in the full batched layout: ``label_ids[b, j]`` is the token that
+position j predicts and ``label_masks`` marks supervised positions, so the
+math is a straight masked gather (see data/xym.py for the equivalence).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def label_loss(logits, label_ids, label_masks, average: bool = True):
+    """Masked next-token cross-entropy. logits [B,L,V] f32."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, label_ids[..., None], axis=-1)[..., 0]
+    m = label_masks.astype(jnp.float32)
+    loss = -(picked * m).sum()
+    if average:
+        loss = loss / jnp.maximum(m.sum(), 1.0)
+    return loss
+
+
+def logit_kl_loss(logits1, logits2, label_masks, average: bool = True):
+    """KL(p1 || p2) over supervised positions (locality-preservation loss)."""
+    lp1 = jax.nn.log_softmax(logits1.astype(jnp.float32), axis=-1)
+    lp2 = jax.nn.log_softmax(logits2.astype(jnp.float32), axis=-1)
+    p1 = jnp.exp(lp1)
+    kl = (p1 * (lp1 - lp2)).sum(-1)  # [B, L]
+    m = label_masks.astype(jnp.float32)
+    loss = (kl * m).sum()
+    if average:
+        loss = loss / jnp.maximum(m.sum(), 1.0)
+    return loss
+
+
+def predict_ids(logits):
+    """Argmax token predictions [B, L] (the reference's softmax→argmax —
+    same argmax)."""
+    return jnp.argmax(logits, axis=-1)
+
+
+def token_accuracy(logits, label_ids, label_masks):
+    """Per-row masked argmax accuracy — ``accuracy_and_prediction``.
+
+    Returns (acc [B], pred_ids [B, L]).
+    """
+    pred = predict_ids(logits)
+    m = label_masks.astype(jnp.float32)
+    correct = (pred == label_ids).astype(jnp.float32) * m
+    acc = correct.sum(-1) / jnp.maximum(m.sum(-1), 1.0)
+    return acc, pred
+
+
+def agreement_accuracy(pred_ids, ref_ids, label_masks):
+    """Locality drift metric: post-edit argmax vs pre-edit argmax agreement
+    (vllm_editor_eval.py:167-174). Returns acc [B]."""
+    m = label_masks.astype(jnp.float32)
+    same = (pred_ids == ref_ids).astype(jnp.float32) * m
+    return same.sum(-1) / jnp.maximum(m.sum(-1), 1.0)

@@ -1,0 +1,234 @@
+"""Composed vision-language models: BLIP-2-OPT, LLaVA-1.5, MiniGPT-4.
+
+The reference wraps each backbone behind ``BaseVLLMForEdit``
+(``editor/vllms_for_edit/base.py:22``), whose job is: (texts, images) →
+LLM input embeddings + a vision-token range ``vt_range``, then
+``get_llm_outpt`` → logits. Here that becomes pure functions over a
+parameter pytree with one **uniform batched layout**:
+
+    [ text[:, :p] | vision slot block (V tokens) | text[:, p:] ]
+
+- BLIP-2 (``blip2/blip2.py:20-66``):   p=0, V=32 (Q-Former queries).
+- LLaVA (``llava/llava.py:25-51``):    p=1 (after BOS), V=576 (CLIP
+  penultimate features, CLS dropped, through a 2-layer MLP projector).
+- MiniGPT-4 (``minigpt4/minigpt4.py:33-78``): p=1, V=32 (Q-Former +
+  llama_proj), vt_range [1, 33].
+
+Rows without an image keep the slot block but mask it off in
+``kv_valid``; mask-derived positions (decoder.py) make that exactly
+equivalent to the reference's shorter no-image sequence, so image and
+no-image probes batch together — the key to fusing the 12 dynamic-eval
+probes of a test case into one forward (SURVEY.md §7 hard part 6).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import BaseConfig
+from . import decoder as dec
+from . import qformer as qf
+from . import vit as vit_mod
+from .preprocess import preprocess_images
+
+
+@dataclasses.dataclass(frozen=True)
+class VLLMConfig(BaseConfig):
+    name: str = "blip2-opt-2.7b"
+    bridge: str = "qformer"  # "qformer" | "mlp"
+    img_slot_pos: int = 0    # where the vision block sits in the text stream
+    n_img_tokens: int = 32
+    vit: vit_mod.ViTConfig = dataclasses.field(default_factory=vit_mod.blip2_vit_config)
+    qformer: Optional[qf.QFormerConfig] = dataclasses.field(
+        default_factory=qf.blip2_qformer_config)
+    decoder: dec.DecoderConfig = dataclasses.field(default_factory=dec.opt_2_7b_config)
+    vit_feature_layer: Optional[int] = None  # LLaVA: take hidden at this layer
+    # image special token string in prompts (stripped before tokenizing;
+    # the slot layout realizes it). blip2: none.
+    img_special_token: Optional[str] = None
+
+    @property
+    def vt_range(self) -> Tuple[int, int]:
+        """Static vision-token range in the full layout — the reference's
+        per-call ``vt_range`` (e.g. [0,32] blip2, [1,33] minigpt4)."""
+        return (self.img_slot_pos, self.img_slot_pos + self.n_img_tokens)
+
+
+def blip2_opt_2_7b_config() -> VLLMConfig:
+    return VLLMConfig(
+        name="blip2-opt-2.7b", bridge="qformer", img_slot_pos=0, n_img_tokens=32,
+        vit=vit_mod.blip2_vit_config(), qformer=qf.blip2_qformer_config(),
+        decoder=dec.opt_2_7b_config(),
+    )
+
+
+def llava_v15_7b_config() -> VLLMConfig:
+    return VLLMConfig(
+        name="llava-v1.5-7b", bridge="mlp", img_slot_pos=1, n_img_tokens=576,
+        vit=vit_mod.clip_vit_l_336_config(), qformer=None,
+        decoder=dec.vicuna_7b_config(),
+        vit_feature_layer=vit_mod.clip_vit_l_336_config().n_layers - 1,
+        img_special_token="<image>",
+    )
+
+
+def minigpt4_vicuna_7b_config() -> VLLMConfig:
+    return VLLMConfig(
+        name="minigpt-4-vicuna-7b", bridge="qformer", img_slot_pos=1,
+        n_img_tokens=32,
+        vit=vit_mod.eva_vit_g_config(),
+        qformer=qf.blip2_qformer_config(),
+        decoder=dec.vicuna_7b_config(),
+        img_special_token="<ImageHere>",
+    )
+
+
+# --- tiny configs for CPU tests -------------------------------------------
+
+def tiny_vllm_config(arch: str = "opt", img_slot_pos: int = 0) -> VLLMConfig:
+    vit_cfg = vit_mod.ViTConfig(
+        image_size=16, patch_size=4, d_model=32, n_layers=2, n_heads=2, d_ffn=64,
+        fused_qkv=True, pre_layernorm=True)
+    qf_cfg = qf.QFormerConfig(
+        d_model=24, n_layers=2, n_heads=2, d_ffn=48, n_query_tokens=4,
+        encoder_width=32, cross_attention_frequency=2)
+    dcfg = dec.DecoderConfig(
+        arch=arch, vocab_size=512, d_model=32, n_layers=4, n_heads=2, d_ffn=64,
+        max_positions=128,
+        activation="relu" if arch == "opt" else "silu",
+        tie_word_embeddings=(arch == "opt"))
+    return VLLMConfig(
+        name=f"tiny-{arch}", bridge="qformer", img_slot_pos=img_slot_pos,
+        n_img_tokens=4, vit=vit_cfg, qformer=qf_cfg, decoder=dcfg)
+
+
+def init_vllm_params(cfg: VLLMConfig, key, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    d_llm = cfg.decoder.d_model
+    params = {
+        "vit": vit_mod.init_vit_params(cfg.vit, k1, dtype),
+        "decoder": dec.init_decoder_params(cfg.decoder, k2, dtype),
+    }
+    if cfg.bridge == "qformer":
+        params["qformer"] = qf.init_qformer_params(cfg.qformer, k3, dtype)
+        params["projection"] = {
+            "w": jax.random.normal(k4, (cfg.qformer.d_model, d_llm), dtype) * 0.02,
+            "b": jnp.zeros((d_llm,), dtype),
+        }
+    else:  # llava 2-layer MLP projector (gelu between)
+        ka, kb = jax.random.split(k4)
+        params["projection"] = {
+            "fc1": {"w": jax.random.normal(ka, (cfg.vit.d_model, d_llm), dtype) * 0.02,
+                    "b": jnp.zeros((d_llm,), dtype)},
+            "fc2": {"w": jax.random.normal(kb, (d_llm, d_llm), dtype) * 0.02,
+                    "b": jnp.zeros((d_llm,), dtype)},
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward pieces
+# ---------------------------------------------------------------------------
+
+def encode_image(params, cfg: VLLMConfig, pixels: jnp.ndarray) -> jnp.ndarray:
+    """Normalized pixels [B, S, S, 3] → LLM-space vision tokens
+    [B, n_img_tokens, d_llm].
+
+    BLIP-2: ViT → Q-Former → linear projection (blip2.py:22-52).
+    LLaVA: ViT penultimate hidden, drop CLS → MLP projector (llava.py:25-51).
+    """
+    if cfg.bridge == "qformer":
+        feats = vit_mod.vit_forward(params["vit"], cfg.vit, pixels)
+        q = qf.qformer_forward(params["qformer"], cfg.qformer, feats)
+        out = jnp.dot(q, params["projection"]["w"],
+                      preferred_element_type=jnp.float32)
+        return (out + params["projection"]["b"]).astype(q.dtype)
+    else:
+        feats = vit_mod.vit_forward(
+            params["vit"], cfg.vit, pixels,
+            stop_at_layer=cfg.vit_feature_layer, apply_post_ln=False)
+        feats = feats[:, 1:]  # drop CLS (llava.py:36)
+        p = params["projection"]
+        h = jnp.dot(feats, p["fc1"]["w"], preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h + p["fc1"]["b"], approximate=False)
+        h = jnp.dot(h, p["fc2"]["w"], preferred_element_type=jnp.float32)
+        return (h + p["fc2"]["b"]).astype(feats.dtype)
+
+
+def encode_image_from_u8(params, cfg: VLLMConfig, images_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 images → vision tokens, preprocessing fused on-device."""
+    return encode_image(params, cfg, preprocess_images(images_u8, cfg.vit.image_size))
+
+
+def assemble_embeds(
+    params,
+    cfg: VLLMConfig,
+    input_ids: jnp.ndarray,   # [B, Lt] text tokens (img special token stripped)
+    text_mask: jnp.ndarray,   # [B, Lt] 1 = real text token
+    img_tokens: jnp.ndarray,  # [B, V, d_llm] vision tokens (garbage ok if absent)
+    has_image: jnp.ndarray,   # [B] 1 if the row has an image
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build the uniform layout → (inputs_embeds [B, p+V+(Lt-p)... = Lt+V, d],
+    kv_valid [B, Lt+V])."""
+    p = cfg.img_slot_pos
+    tok = dec.embed_tokens(params["decoder"], cfg.decoder, input_ids)
+    pre, post = tok[:, :p], tok[:, p:]
+    embeds = jnp.concatenate([pre, img_tokens.astype(tok.dtype), post], axis=1)
+    img_valid = jnp.broadcast_to(
+        has_image[:, None].astype(jnp.int32), (tok.shape[0], cfg.n_img_tokens))
+    kv_valid = jnp.concatenate(
+        [text_mask[:, :p].astype(jnp.int32), img_valid,
+         text_mask[:, p:].astype(jnp.int32)], axis=1)
+    return embeds, kv_valid
+
+
+def vllm_logits(
+    params,
+    cfg: VLLMConfig,
+    inputs_embeds: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    *,
+    layer_residual: Optional[Tuple[int, Callable]] = None,
+    mlp_residual: Optional[Tuple[int, Callable]] = None,
+) -> jnp.ndarray:
+    """The reference's ``get_llm_outpt`` (full-sequence teacher forcing,
+    use_cache=False — blip2.py:68-75) with optional editor interventions."""
+    h = dec.decoder_forward(
+        params["decoder"], cfg.decoder, inputs_embeds, kv_valid,
+        layer_residual=layer_residual, mlp_residual=mlp_residual)
+    return dec.decoder_logits(params["decoder"], cfg.decoder, h)
+
+
+def vllm_hidden_at(
+    params, cfg: VLLMConfig, inputs_embeds, kv_valid, layer: int
+) -> jnp.ndarray:
+    """Hidden state after layer ``layer`` — the functional
+    ``get_mid_module_outpt`` (base.py:151-162, Trace stop=True): the
+    decoder simply does not run past the captured layer."""
+    return dec.decoder_forward(
+        params["decoder"], cfg.decoder, inputs_embeds, kv_valid,
+        lo=0, hi=layer + 1)
+
+
+def vllm_resume_from(
+    params, cfg: VLLMConfig, hidden, kv_valid, layer: int,
+    *,
+    layer_residual_fn: Optional[Callable] = None,
+    mlp_residual: Optional[Tuple[int, Callable]] = None,
+) -> jnp.ndarray:
+    """Resume after layer ``layer`` given its captured output — the
+    functional ``forward_from_mid_layer`` (base.py:164-185), minus the
+    reference's double-application quirk (see decoder.py docstring).
+
+    ``layer_residual_fn``, if given, transforms the captured hidden before
+    resuming (LiveEdit's train-time residual injection at the edit layer).
+    """
+    if layer_residual_fn is not None:
+        hidden = layer_residual_fn(hidden)
+    h = dec.decoder_forward(
+        params["decoder"], cfg.decoder, hidden, kv_valid,
+        lo=layer + 1, mlp_residual=mlp_residual)
+    return dec.decoder_logits(params["decoder"], cfg.decoder, h)

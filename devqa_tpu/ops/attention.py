@@ -7,13 +7,20 @@ teacher-forced decoding (use_cache=False semantics, blip2.py:68-75), so
 attention over [vision_tokens + prompt + target] dominates per-layer time
 alongside the MLP matmuls.
 
+Masking model: a per-row key-validity mask ``kv_valid`` [B, Lk] ∈ {0,1}
+plus an optional causal constraint. This covers every case in the
+framework with one code path:
+- right-padded text (valid prefix),
+- the batched-probe layout where a reserved vision-token slot is masked
+  off for rows without an image (valid region is not a prefix),
+- full attention for vision towers (mask = None).
+
 Design:
 - :func:`xla_attention` — pure-jnp masked attention. Used on CPU (tests),
   as the numerical reference, and as the backward path.
 - :func:`_flash_fwd` — Pallas kernel, grid (batch*heads, q-blocks,
-  k-blocks) with online-softmax accumulators in VMEM scratch. Supports
-  causal masking plus per-row valid-length (right-padding) masking via a
-  scalar-prefetched lengths array.
+  k-blocks) with online-softmax accumulators in VMEM scratch; the
+  kv-validity mask is streamed per k-block.
 - :func:`multihead_attention` — public entry: dispatches to the flash
   kernel on TPU, XLA elsewhere; wrapped in ``jax.custom_vjp`` so training
   paths differentiate through the XLA recomputation.
@@ -33,29 +40,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _length_bias(lengths: jnp.ndarray, lk: int) -> jnp.ndarray:
-    """[B] lengths → additive bias [B, 1, 1, Lk] masking padded keys."""
-    kv_idx = jnp.arange(lk)[None, :]
-    valid = kv_idx < lengths[:, None]
-    return jnp.where(valid, 0.0, NEG_INF)[:, None, None, :]
-
-
 def xla_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    lengths: Optional[jnp.ndarray] = None,
+    kv_valid: Optional[jnp.ndarray] = None,
     causal: bool = False,
 ) -> jnp.ndarray:
-    """Reference masked attention. q,k,v: [B, H, Lq/Lk, D] → [B, H, Lq, D]."""
+    """Reference masked attention. q,k,v: [B, H, Lq/Lk, D] → [B, H, Lq, D].
+
+    ``kv_valid``: [B, Lk] 1 for attendable keys, 0 for masked keys.
+    """
     b, h, lq, d = q.shape
     lk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
-    if lengths is not None:
-        s = s + _length_bias(lengths, lk)
+    if kv_valid is not None:
+        bias = jnp.where(kv_valid.astype(bool), 0.0, NEG_INF)
+        s = s + bias[:, None, None, :]
     if causal:
         # offset aligns the causal diagonal when Lq != Lk (prefix-cached
         # decoding); for full-sequence forward Lq == Lk and offset == 0.
@@ -63,7 +67,10 @@ def xla_attention(
         qi = jnp.arange(lq)[:, None] + offset
         ki = jnp.arange(lk)[None, :]
         s = jnp.where(ki <= qi, s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
+    # Guard fully-masked query rows (e.g. padding queries): renormalize on
+    # a finite max so softmax yields a uniform-but-harmless distribution
+    # instead of NaN.
+    p = jax.nn.softmax(jnp.maximum(s, 2 * NEG_INF), axis=-1)
     o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
     return o.astype(q.dtype)
@@ -74,10 +81,10 @@ def xla_attention(
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(
-    lengths_ref,  # SMEM [B] int32 (scalar prefetch)
     q_ref,        # VMEM [1, block_q, d]
     k_ref,        # VMEM [1, block_k, d]
     v_ref,        # VMEM [1, block_k, d]
+    mask_ref,     # VMEM [1, block_k] int32 kv-validity for this row/block
     o_ref,        # VMEM [1, block_q, d]
     m_scr,        # VMEM [block_q, 128] f32 running max
     l_scr,        # VMEM [block_q, 128] f32 running sum
@@ -86,10 +93,8 @@ def _flash_kernel(
     causal: bool,
     block_q: int,
     block_k: int,
-    num_heads: int,
     sm_scale: float,
 ):
-    bh = pl.program_id(0)
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -100,12 +105,9 @@ def _flash_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    batch = bh // num_heads
-    length = lengths_ref[batch]
-
     q_start = iq * block_q
     k_start = ik * block_k
-    # Causal: the whole k-block is masked iff k_start > q_end.
+    # Causal: the whole k-block is maskable iff k_start > q_end.
     run = True
     if causal:
         run = k_start <= q_start + block_q - 1
@@ -117,9 +119,9 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # [block_q, block_k]
-        ki = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = ki < length
+        mask = jnp.broadcast_to(mask_ref[0][None, :] > 0, s.shape)
         if causal:
+            ki = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             qi = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             mask = jnp.logical_and(mask, ki <= qi)
         s = jnp.where(mask, s, NEG_INF)
@@ -128,7 +130,7 @@ def _flash_kernel(
         m_cur = jnp.max(s, axis=1, keepdims=True)   # [block_q, 1]
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)                      # [block_q, block_k]
-        # Rows with every key masked stay all-NEG_INF: exp underflows to 0.
+        # Rows with every key masked stay all-NEG_INF: force p to 0.
         p = jnp.where(mask, p, 0.0)
         corr = jnp.exp(m_prev - m_new)              # [block_q, 1]
         l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
@@ -150,7 +152,7 @@ def _flash_fwd(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    lengths: jnp.ndarray,
+    kv_valid: jnp.ndarray,
     causal: bool,
     block_q: int = 128,
     block_k: int = 128,
@@ -166,40 +168,40 @@ def _flash_fwd(
     qr = q.reshape(b * h, lq, d)
     kr = k.reshape(b * h, lk, d)
     vr = v.reshape(b * h, lk, d)
+    maskr = kv_valid.astype(jnp.int32)  # [B, Lk]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b * h, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-    )
+    num_heads = h
     kernel = functools.partial(
         _flash_kernel,
         causal=causal,
         block_q=block_q,
         block_k=block_k,
-        num_heads=h,
         sm_scale=sm_scale,
     )
     out = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(b * h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec(
+                (1, block_k), lambda bh, iq, ik: (bh // num_heads, ik)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lq * lk * d,
             bytes_accessed=(qr.size + kr.size + vr.size * 2) * q.dtype.itemsize,
             transcendentals=b * h * lq * lk,
         ),
-    )(lengths.astype(jnp.int32), qr, kr, vr)
+    )(qr, kr, vr, maskr)
     return out.reshape(b, h, lq, d)
 
 
@@ -211,19 +213,21 @@ def _on_tpu() -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _attention(q, k, v, lengths, causal):
+def _attention(q, k, v, kv_valid, causal):
     if _on_tpu():
-        return _flash_fwd(q, k, v, lengths, causal)
-    return xla_attention(q, k, v, lengths, causal)
+        return _flash_fwd(q, k, v, kv_valid, causal)
+    return xla_attention(q, k, v, kv_valid, causal)
 
 
-def _attention_fwd(q, k, v, lengths, causal):
-    return _attention(q, k, v, lengths, causal), (q, k, v, lengths)
+def _attention_fwd(q, k, v, kv_valid, causal):
+    return _attention(q, k, v, kv_valid, causal), (q, k, v, kv_valid)
 
 
 def _attention_bwd(causal, res, g):
-    q, k, v, lengths = res
-    _, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v, lengths, causal), q, k, v)
+    q, k, v, kv_valid = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: xla_attention(q, k, v, kv_valid, causal), q, k, v
+    )
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
@@ -235,10 +239,19 @@ def multihead_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    lengths: Optional[jnp.ndarray] = None,
+    kv_valid: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Public attention entry. q,k,v: [B, H, L, D]; lengths: [B] or None."""
-    if lengths is None:
-        lengths = jnp.full((q.shape[0],), k.shape[2], dtype=jnp.int32)
-    return _attention(q, k, v, lengths, causal)
+    """Public attention entry. q,k,v: [B, H, L, D].
+
+    ``kv_valid``: [B, Lk] key-validity mask (1 = attendable).
+    ``lengths``: [B] sugar for a valid-prefix mask.
+    """
+    lk = k.shape[2]
+    if kv_valid is None:
+        if lengths is not None:
+            kv_valid = (jnp.arange(lk)[None, :] < lengths[:, None]).astype(jnp.int32)
+        else:
+            kv_valid = jnp.ones((q.shape[0], lk), jnp.int32)
+    return _attention(q, k, v, kv_valid.astype(jnp.int32), causal)

@@ -50,7 +50,8 @@ class TestXLAAttention:
     def test_lengths(self, qkv):
         q, k, v = qkv
         lengths = jnp.array([40, 64])
-        out = xla_attention(q, k, v, lengths=lengths, causal=True)
+        kv = (np.arange(q.shape[2])[None,:] < np.asarray(lengths)[:,None]).astype(np.int32)
+        out = xla_attention(q, k, v, kv_valid=jnp.asarray(kv), causal=True)
         np.testing.assert_allclose(
             out, naive_attention(q, k, v, lengths=lengths, causal=True),
             rtol=1e-4, atol=1e-5,
@@ -68,8 +69,9 @@ class TestFlashKernel:
             from jax.experimental.pallas import tpu as pltpu
 
             with pltpu.force_tpu_interpret_mode():
-                out = _flash_fwd(q, k, v, lengths, causal, block_q=32, block_k=32)
-        ref = xla_attention(q, k, v, lengths=lengths, causal=causal)
+                kv = jnp.asarray((np.arange(q.shape[2])[None,:] < np.asarray(lengths)[:,None]).astype(np.int32))
+                out = _flash_fwd(q, k, v, kv, causal, block_q=32, block_k=32)
+        ref = xla_attention(q, k, v, kv_valid=kv, causal=causal)
         np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
     def test_fully_masked_rows_finite(self, qkv):
@@ -78,7 +80,8 @@ class TestFlashKernel:
         from jax.experimental.pallas import tpu as pltpu
 
         with pltpu.force_tpu_interpret_mode():
-            out = _flash_fwd(q, k, v, lengths, True, block_q=32, block_k=32)
+            kv = jnp.asarray((np.arange(q.shape[2])[None,:] < np.asarray(lengths)[:,None]).astype(np.int32))
+            out = _flash_fwd(q, k, v, kv, True, block_q=32, block_k=32)
         assert np.isfinite(np.asarray(out)).all()
 
 

@@ -1,0 +1,241 @@
+"""Numerical parity vs HuggingFace torch models (tiny random configs).
+
+Instantiates tiny random HF models on CPU, converts their weights with
+core/convert_hf.py, and compares logits end-to-end against the pipelines
+the reference builds (blip2.py:22-75, llava.py:25-51). This pins every
+structural detail: qkv fusion/order, LN placement, position handling,
+RoPE convention, projector shapes, tied heads.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from devqa_tpu.core import convert_hf, decoder as dec, vllm as vllm_mod
+from devqa_tpu.core.qformer import QFormerConfig
+from devqa_tpu.core.vit import ViTConfig
+
+RTOL, ATOL = 2e-4, 2e-4
+
+
+def torch_sd(model):
+    return convert_hf.torch_state_dict_to_numpy(model)
+
+
+@pytest.fixture(scope="module")
+def tiny_opt():
+    from transformers import OPTConfig, OPTForCausalLM
+
+    cfg = OPTConfig(
+        vocab_size=64, hidden_size=16, ffn_dim=32, num_hidden_layers=2,
+        num_attention_heads=2, max_position_embeddings=64,
+        do_layer_norm_before=True, word_embed_proj_dim=16)
+    torch.manual_seed(0)
+    model = OPTForCausalLM(cfg).eval()
+    ours = dec.DecoderConfig(
+        arch="opt", vocab_size=64, d_model=16, n_layers=2, n_heads=2, d_ffn=32,
+        max_positions=64, activation="relu", tie_word_embeddings=True)
+    return model, ours
+
+
+@pytest.fixture(scope="module")
+def tiny_llama():
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    torch.manual_seed(1)
+    model = LlamaForCausalLM(cfg).eval()
+    ours = dec.DecoderConfig(
+        arch="llama", vocab_size=64, d_model=16, n_layers=2, n_heads=2,
+        d_ffn=32, max_positions=64, activation="silu",
+        tie_word_embeddings=False, norm_eps=cfg.rms_norm_eps)
+    return model, ours
+
+
+class TestDecoderParity:
+    def test_opt(self, tiny_opt):
+        model, cfg = tiny_opt
+        params = convert_hf.convert_opt(torch_sd(model), cfg)
+        ids = np.array([[1, 5, 9, 13, 2, 7]])
+        with torch.no_grad():
+            ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+        h = dec.embed_tokens(params, cfg, jnp.asarray(ids))
+        ours = dec.decoder_apply(params, cfg, h, jnp.ones_like(jnp.asarray(ids)))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
+
+    def test_llama(self, tiny_llama):
+        model, cfg = tiny_llama
+        params = convert_hf.convert_llama(torch_sd(model), cfg)
+        ids = np.array([[3, 8, 1, 62, 40]])
+        with torch.no_grad():
+            ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+        h = dec.embed_tokens(params, cfg, jnp.asarray(ids))
+        ours = dec.decoder_apply(params, cfg, h, jnp.ones_like(jnp.asarray(ids)))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
+
+    def test_opt_right_padded(self, tiny_opt):
+        """Right-padded batch rows must match their unpadded logits on the
+        valid region (mask-derived positions)."""
+        model, cfg = tiny_opt
+        params = convert_hf.convert_opt(torch_sd(model), cfg)
+        ids = np.array([[1, 5, 9, 0, 0, 0]])
+        mask = np.array([[1, 1, 1, 0, 0, 0]])
+        with torch.no_grad():
+            ref = model(input_ids=torch.tensor(ids[:, :3])).logits.numpy()
+        h = dec.embed_tokens(params, cfg, jnp.asarray(ids))
+        ours = dec.decoder_apply(params, cfg, h, jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(ours)[:, :3], ref, rtol=RTOL, atol=ATOL)
+
+
+@pytest.fixture(scope="module")
+def tiny_blip2():
+    from transformers import (Blip2Config, Blip2ForConditionalGeneration,
+                              Blip2QFormerConfig, Blip2VisionConfig, OPTConfig)
+
+    vision = Blip2VisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=7)
+    qformer = Blip2QFormerConfig(
+        vocab_size=30, hidden_size=24, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=48, encoder_hidden_size=32,
+        cross_attention_frequency=2)
+    text = OPTConfig(
+        vocab_size=64, hidden_size=16, ffn_dim=32, num_hidden_layers=2,
+        num_attention_heads=2, max_position_embeddings=64,
+        do_layer_norm_before=True, word_embed_proj_dim=16)
+    cfg = Blip2Config.from_vision_qformer_text_configs(
+        vision, qformer, text, num_query_tokens=4)
+    torch.manual_seed(2)
+    model = Blip2ForConditionalGeneration(cfg).eval()
+
+    ours = vllm_mod.VLLMConfig(
+        name="tiny-blip2", bridge="qformer", img_slot_pos=0, n_img_tokens=4,
+        vit=ViTConfig(image_size=28, patch_size=7, d_model=32, n_layers=2,
+                      n_heads=2, d_ffn=64, fused_qkv=True, pre_layernorm=False),
+        qformer=QFormerConfig(d_model=24, n_layers=2, n_heads=2, d_ffn=48,
+                              n_query_tokens=4, encoder_width=32,
+                              cross_attention_frequency=2),
+        decoder=dec.DecoderConfig(
+            arch="opt", vocab_size=64, d_model=16, n_layers=2, n_heads=2,
+            d_ffn=32, max_positions=64, activation="relu",
+            tie_word_embeddings=True),
+    )
+    return model, ours
+
+
+class TestBlip2Parity:
+    def test_full_pipeline(self, tiny_blip2):
+        """Replicates the reference's get_blip2_llm_inpt + get_llm_outpt
+        (blip2.py:22-75) in torch and compares against our fused path."""
+        model, cfg = tiny_blip2
+        sd = torch_sd(model)
+        params = convert_hf.convert_blip2(sd, cfg)
+
+        rng = np.random.default_rng(0)
+        pixels_t = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+        ids = np.array([[1, 5, 9, 13]])
+
+        with torch.no_grad():
+            pv = torch.tensor(pixels_t)
+            image_embeds = model.vision_model(pixel_values=pv).last_hidden_state
+            query_tokens = model.query_tokens.expand(image_embeds.shape[0], -1, -1)
+            q_out = model.qformer(
+                query_embeds=query_tokens,
+                encoder_hidden_states=image_embeds,
+                encoder_attention_mask=torch.ones(image_embeds.size()[:-1],
+                                                  dtype=torch.long),
+            ).last_hidden_state
+            lm_inputs = model.language_projection(q_out)
+            tok = model.language_model.get_input_embeddings()(torch.tensor(ids))
+            inputs_embeds = torch.cat([lm_inputs, tok], dim=1)
+            attn = torch.ones(inputs_embeds.shape[:2], dtype=torch.long)
+            ref = model.language_model(
+                inputs_embeds=inputs_embeds, attention_mask=attn,
+                use_cache=False).logits.numpy()
+
+        pixels = jnp.asarray(pixels_t.transpose(0, 2, 3, 1))  # NCHW → NHWC
+        img_tokens = vllm_mod.encode_image(params, cfg, pixels)
+        embeds, kv = vllm_mod.assemble_embeds(
+            params, cfg, jnp.asarray(ids), jnp.ones_like(jnp.asarray(ids)),
+            img_tokens, jnp.array([1]))
+        ours = vllm_mod.vllm_logits(params, cfg, embeds, kv)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_llava():
+    from transformers import (CLIPVisionConfig, LlamaConfig, LlavaConfig,
+                              LlavaForConditionalGeneration)
+
+    vision = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=2, image_size=28, patch_size=7)
+    text = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    cfg = LlavaConfig(vision_config=vision, text_config=text,
+                      image_token_index=63, vision_feature_layer=-2,
+                      vision_feature_select_strategy="default")
+    torch.manual_seed(3)
+    model = LlavaForConditionalGeneration(cfg).eval()
+
+    ours = vllm_mod.VLLMConfig(
+        name="tiny-llava", bridge="mlp", img_slot_pos=1, n_img_tokens=16,
+        vit=ViTConfig(image_size=28, patch_size=7, d_model=32, n_layers=3,
+                      n_heads=2, d_ffn=64, activation="quick_gelu",
+                      fused_qkv=False, pre_layernorm=True),
+        qformer=None,
+        decoder=dec.DecoderConfig(
+            arch="llama", vocab_size=64, d_model=16, n_layers=2, n_heads=2,
+            d_ffn=32, max_positions=64, activation="silu",
+            tie_word_embeddings=False, norm_eps=text.rms_norm_eps),
+        vit_feature_layer=2,
+    )
+    return model, ours
+
+
+class TestLlavaParity:
+    def test_full_pipeline(self, tiny_llava):
+        """Replicates llava.py:25-51: penultimate ViT features, drop CLS,
+        MLP projector, splice after BOS."""
+        model, cfg = tiny_llava
+        sd = torch_sd(model)
+        params = convert_hf.convert_llava(sd, cfg)
+
+        rng = np.random.default_rng(1)
+        pixels_t = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+        ids = np.array([[1, 7, 11, 20]])  # [BOS, prompt...]
+
+        with torch.no_grad():
+            pv = torch.tensor(pixels_t)
+            vt = model.vision_tower(pv, output_hidden_states=True)
+            feats = vt.hidden_states[-2][:, 1:]
+            img = model.multi_modal_projector(feats)
+            emb_layer = model.get_input_embeddings()
+            tok = emb_layer(torch.tensor(ids))
+            inputs_embeds = torch.cat([tok[:, :1], img, tok[:, 1:]], dim=1)
+            attn = torch.ones(inputs_embeds.shape[:2], dtype=torch.long)
+            lm = model.language_model
+            out = lm(inputs_embeds=inputs_embeds, attention_mask=attn,
+                     use_cache=False)
+            hidden = out.last_hidden_state if hasattr(out, "last_hidden_state") \
+                else out.logits
+            if hidden.shape[-1] != model.config.text_config.vocab_size:
+                head = model.lm_head if hasattr(model, "lm_head") else lm.lm_head
+                ref = head(hidden).numpy()
+            else:
+                ref = hidden.numpy()
+
+        pixels = jnp.asarray(pixels_t.transpose(0, 2, 3, 1))
+        img_tokens = vllm_mod.encode_image(params, cfg, pixels)
+        embeds, kv = vllm_mod.assemble_embeds(
+            params, cfg, jnp.asarray(ids), jnp.ones_like(jnp.asarray(ids)),
+            img_tokens, jnp.array([1]))
+        ours = vllm_mod.vllm_logits(params, cfg, embeds, kv)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)

@@ -1,0 +1,214 @@
+"""Model zoo tests: decoders, ViT, Q-Former, composed VLLM.
+
+The load-bearing properties:
+1. split-forward consistency — resume(hidden_at(k)) == full forward
+   (the functional nethook replacement must be exact);
+2. masked-prefix equivalence — a masked-off vision slot block behaves
+   exactly like an absent prefix (what lets image/no-image probes batch);
+3. interventions (layer residual, MLP residual) change outputs only
+   where they should.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from devqa_tpu.core import decoder as dec
+from devqa_tpu.core import vllm as vllm_mod
+from devqa_tpu.core.losses import label_loss, logit_kl_loss, token_accuracy
+from devqa_tpu.core.qformer import QFormerConfig, init_qformer_params, qformer_forward
+from devqa_tpu.core.vit import ViTConfig, init_vit_params, vit_forward
+
+
+def tiny_decoder(arch):
+    cfg = dec.DecoderConfig(
+        arch=arch, vocab_size=64, d_model=16, n_layers=4, n_heads=2, d_ffn=32,
+        max_positions=64, activation="relu" if arch == "opt" else "silu",
+        tie_word_embeddings=(arch == "opt"))
+    params = dec.init_decoder_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+@pytest.mark.parametrize("arch", ["opt", "llama"])
+class TestDecoder:
+    def test_shapes(self, arch):
+        cfg, params = tiny_decoder(arch)
+        ids = jnp.arange(10)[None, :] % cfg.vocab_size
+        h = dec.embed_tokens(params, cfg, ids)
+        kv = jnp.ones((1, 10), jnp.int32)
+        logits = dec.decoder_apply(params, cfg, h, kv)
+        assert logits.shape == (1, 10, cfg.vocab_size)
+        assert logits.dtype == jnp.float32
+
+    def test_split_forward_consistency(self, arch):
+        cfg, params = tiny_decoder(arch)
+        ids = (jnp.arange(12)[None, :] * 7) % cfg.vocab_size
+        kv = jnp.ones((1, 12), jnp.int32)
+        h0 = dec.embed_tokens(params, cfg, ids)
+        full = dec.decoder_apply(params, cfg, h0, kv)
+        k = 1
+        mid = dec.decoder_forward(params, cfg, h0, kv, lo=0, hi=k + 1)
+        resumed = dec.decoder_forward(params, cfg, mid, kv, lo=k + 1)
+        logits2 = dec.decoder_logits(params, cfg, resumed)
+        np.testing.assert_allclose(full, logits2, rtol=1e-5, atol=1e-5)
+
+    def test_causality(self, arch):
+        """Changing a later token must not change earlier logits."""
+        cfg, params = tiny_decoder(arch)
+        ids1 = (jnp.arange(8)[None, :] * 3) % cfg.vocab_size
+        ids2 = ids1.at[0, 6].set((ids1[0, 6] + 1) % cfg.vocab_size)
+        kv = jnp.ones((1, 8), jnp.int32)
+        l1 = dec.decoder_apply(params, cfg, dec.embed_tokens(params, cfg, ids1), kv)
+        l2 = dec.decoder_apply(params, cfg, dec.embed_tokens(params, cfg, ids2), kv)
+        np.testing.assert_allclose(l1[0, :6], l2[0, :6], rtol=1e-5, atol=1e-6)
+        assert not np.allclose(l1[0, 6:], l2[0, 6:])
+
+    def test_masked_prefix_equivalence(self, arch):
+        """[masked 4-slot block | text] must produce the same logits on the
+        text positions as the bare text sequence."""
+        cfg, params = tiny_decoder(arch)
+        V, L = 4, 8
+        text_ids = (jnp.arange(L)[None, :] * 5 + 1) % cfg.vocab_size
+        text_h = dec.embed_tokens(params, cfg, text_ids)
+        bare = dec.decoder_apply(params, cfg, text_h, jnp.ones((1, L), jnp.int32))
+        junk = jnp.full((1, V, cfg.d_model), 3.7, text_h.dtype)
+        h = jnp.concatenate([junk, text_h], axis=1)
+        kv = jnp.concatenate(
+            [jnp.zeros((1, V), jnp.int32), jnp.ones((1, L), jnp.int32)], axis=1)
+        padded = dec.decoder_apply(params, cfg, h, kv)
+        np.testing.assert_allclose(bare[0], padded[0, V:], rtol=1e-4, atol=1e-5)
+
+    def test_layer_residual_intervention(self, arch):
+        cfg, params = tiny_decoder(arch)
+        ids = (jnp.arange(6)[None, :]) % cfg.vocab_size
+        kv = jnp.ones((1, 6), jnp.int32)
+        h0 = dec.embed_tokens(params, cfg, ids)
+        base = dec.decoder_apply(params, cfg, h0, kv)
+        # identity residual → identical
+        same = dec.decoder_apply(params, cfg, h0, kv, layer_residual=(2, lambda h: h))
+        np.testing.assert_allclose(base, same, rtol=1e-5, atol=1e-6)
+        # non-trivial residual → different
+        diff = dec.decoder_apply(
+            params, cfg, h0, kv, layer_residual=(2, lambda h: h + 0.5))
+        assert not np.allclose(base, diff)
+
+    def test_mlp_residual_intervention(self, arch):
+        cfg, params = tiny_decoder(arch)
+        ids = (jnp.arange(6)[None, :]) % cfg.vocab_size
+        kv = jnp.ones((1, 6), jnp.int32)
+        h0 = dec.embed_tokens(params, cfg, ids)
+        base = dec.decoder_apply(params, cfg, h0, kv)
+        zero = dec.decoder_apply(
+            params, cfg, h0, kv, mlp_residual=(3, lambda x: jnp.zeros_like(x)))
+        np.testing.assert_allclose(base, zero, rtol=1e-5, atol=1e-6)
+        diff = dec.decoder_apply(
+            params, cfg, h0, kv, mlp_residual=(3, lambda x: x * 0.1))
+        assert not np.allclose(base, diff)
+
+
+class TestViT:
+    def test_forward(self):
+        cfg = ViTConfig(image_size=16, patch_size=4, d_model=32, n_layers=2,
+                        n_heads=2, d_ffn=64)
+        params = init_vit_params(cfg, jax.random.PRNGKey(1))
+        px = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3))
+        out = vit_forward(params, cfg, px)
+        assert out.shape == (2, cfg.n_tokens, 32)  # 16 patches + cls
+
+    def test_stop_at_layer(self):
+        cfg = ViTConfig(image_size=16, patch_size=4, d_model=32, n_layers=3,
+                        n_heads=2, d_ffn=64)
+        params = init_vit_params(cfg, jax.random.PRNGKey(1))
+        px = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 3))
+        h2 = vit_forward(params, cfg, px, stop_at_layer=2, apply_post_ln=False)
+        h3 = vit_forward(params, cfg, px, stop_at_layer=3, apply_post_ln=False)
+        assert h2.shape == h3.shape
+        assert not np.allclose(h2, h3)
+
+
+class TestQFormer:
+    def test_forward(self):
+        cfg = QFormerConfig(d_model=24, n_layers=2, n_heads=2, d_ffn=48,
+                            n_query_tokens=4, encoder_width=32)
+        params = init_qformer_params(cfg, jax.random.PRNGKey(3))
+        img = jax.random.normal(jax.random.PRNGKey(4), (2, 17, 32))
+        out = qformer_forward(params, cfg, img)
+        assert out.shape == (2, 4, 24)
+
+
+class TestVLLM:
+    @pytest.fixture
+    def model(self):
+        cfg = vllm_mod.tiny_vllm_config("opt")
+        params = vllm_mod.init_vllm_params(cfg, jax.random.PRNGKey(5))
+        return cfg, params
+
+    def test_end_to_end(self, model):
+        cfg, params = model
+        px = jax.random.normal(jax.random.PRNGKey(6), (2, 16, 16, 3))
+        img_tokens = vllm_mod.encode_image(params, cfg, px)
+        assert img_tokens.shape == (2, cfg.n_img_tokens, cfg.decoder.d_model)
+        ids = (jnp.arange(10)[None, :].repeat(2, 0) * 3) % cfg.decoder.vocab_size
+        mask = jnp.ones((2, 10), jnp.int32)
+        has_img = jnp.array([1, 0])
+        embeds, kv = vllm_mod.assemble_embeds(params, cfg, ids, mask, img_tokens, has_img)
+        assert embeds.shape == (2, 10 + cfg.n_img_tokens, cfg.decoder.d_model)
+        logits = vllm_mod.vllm_logits(params, cfg, embeds, kv)
+        assert logits.shape[2] == cfg.decoder.vocab_size
+
+    def test_no_image_row_matches_text_only(self, model):
+        """Row with has_image=0 in the slotted layout == bare text forward."""
+        cfg, params = model
+        ids = (jnp.arange(10)[None, :] * 3 + 1) % cfg.decoder.vocab_size
+        mask = jnp.ones((1, 10), jnp.int32)
+        junk_img = jnp.ones((1, cfg.n_img_tokens, cfg.decoder.d_model)) * 9.0
+        embeds, kv = vllm_mod.assemble_embeds(
+            params, cfg, ids, mask, junk_img, jnp.array([0]))
+        slotted = vllm_mod.vllm_logits(params, cfg, embeds, kv)
+        h = dec.embed_tokens(params["decoder"], cfg.decoder, ids)
+        bare = dec.decoder_apply(params["decoder"], cfg.decoder, h, mask)
+        V = cfg.n_img_tokens
+        np.testing.assert_allclose(bare[0], slotted[0, V:], rtol=1e-4, atol=1e-5)
+
+    def test_mid_capture_resume(self, model):
+        cfg, params = model
+        px = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 16, 3))
+        img = vllm_mod.encode_image(params, cfg, px)
+        ids = (jnp.arange(8)[None, :]) % cfg.decoder.vocab_size
+        embeds, kv = vllm_mod.assemble_embeds(
+            params, cfg, ids, jnp.ones((1, 8), jnp.int32), img, jnp.array([1]))
+        full = vllm_mod.vllm_logits(params, cfg, embeds, kv)
+        k = 2
+        mid = vllm_mod.vllm_hidden_at(params, cfg, embeds, kv, k)
+        resumed = vllm_mod.vllm_resume_from(params, cfg, mid, kv, k)
+        np.testing.assert_allclose(full, resumed, rtol=1e-5, atol=1e-5)
+
+    def test_llava_style_bridge(self):
+        cfg = vllm_mod.llava_v15_7b_config()
+        # shrink for test
+        cfg = cfg.replace(
+            vit=cfg.vit.replace(image_size=16, patch_size=4, d_model=32,
+                                n_layers=3, n_heads=2, d_ffn=64),
+            decoder=cfg.decoder.replace(vocab_size=64, d_model=16, n_layers=2,
+                                        n_heads=2, d_ffn=32),
+            n_img_tokens=16, vit_feature_layer=2)
+        params = vllm_mod.init_vllm_params(cfg, jax.random.PRNGKey(8))
+        px = jax.random.normal(jax.random.PRNGKey(9), (1, 16, 16, 3))
+        img = vllm_mod.encode_image(params, cfg, px)
+        assert img.shape == (1, 16, 16)  # 16 patches (CLS dropped), d_llm=16
+
+
+class TestLosses:
+    def test_label_loss_perfect_prediction(self):
+        V = 8
+        labels = jnp.array([[1, 2, 3]])
+        masks = jnp.array([[1, 1, 0]])
+        logits = jax.nn.one_hot(labels, V) * 100.0
+        assert float(label_loss(logits, labels, masks)) < 1e-3
+        acc, _ = token_accuracy(logits, labels, masks)
+        assert float(acc[0]) == 1.0
+
+    def test_kl_zero_for_identical(self):
+        logits = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8))
+        masks = jnp.ones((1, 4), jnp.int32)
+        assert abs(float(logit_kl_loss(logits, logits, masks))) < 1e-6
