@@ -1,0 +1,207 @@
+"""JaxVLLM — the stateful host-side wrapper around a VLLM parameter pytree.
+
+The functional analog of the reference's ``BaseVLLMForEdit``
+(``editor/vllms_for_edit/base.py:22-234``): it owns params + tokenizer +
+image pipeline and exposes the operations editors and the evaluation
+harness consume:
+
+- :meth:`encode_queries` — (prompts, image paths, targets) → a
+  :class:`QueryBatch` of device arrays in the uniform slotted layout;
+  the batched analog of ``prompts_imgs_target_to_xym`` (base.py:75-109).
+- :meth:`logits` / :meth:`hidden_at` / :meth:`resume_from` — jitted
+  forwards, mid-layer capture and resume (base.py:138-185) — jit caches
+  are keyed per static layer index.
+- an LRU **vision cache**: encoded vision tokens per image path. The
+  reference recomputes ViT+Q-Former per probe (SURVEY.md §3.1 hot loop);
+  here each unique image is encoded once per appearance window.
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections import OrderedDict
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.images import ImageProvider
+from ..data.xym import SampleTokens, batch_samples, tokenize_sample
+from .preprocess import preprocess_images
+from .tokenizer import Tokenizer
+from .vllm import (VLLMConfig, assemble_embeds, encode_image, vllm_logits)
+from . import decoder as dec
+
+
+@dataclasses.dataclass
+class QueryBatch:
+    """Device-ready batch of (prompt, image, target) queries in the full
+    slotted layout [text[:p] | V vision slots | text[p:]]."""
+
+    embeds: jnp.ndarray       # [B, Lf, d]
+    kv_valid: jnp.ndarray     # [B, Lf]
+    label_ids: jnp.ndarray    # [B, Lf] full-layout labels
+    label_masks: jnp.ndarray  # [B, Lf] supervised-span mask
+    prompt_lens: np.ndarray   # [B] text prompt token counts (incl BOS)
+    has_image: np.ndarray     # [B]
+    input_ids: np.ndarray     # [B, Lt] text tokens (host copy)
+
+
+class JaxVLLM:
+    def __init__(
+        self,
+        cfg: VLLMConfig,
+        params,
+        tokenizer: Tokenizer,
+        image_provider: ImageProvider,
+        img_cache_size: int = 256,
+        bucket_multiple: int = 32,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.image_provider = image_provider
+        self.bucket_multiple = bucket_multiple
+        self._img_cache: OrderedDict[str, jnp.ndarray] = OrderedDict()
+        self._img_cache_size = img_cache_size
+
+        self._encode_images_jit = jax.jit(
+            lambda params, u8: encode_image(
+                params, cfg, preprocess_images(u8, cfg.vit.image_size)))
+        self._logits_jit = jax.jit(
+            lambda params, embeds, kv: vllm_logits(params, cfg, embeds, kv))
+        self._assemble_jit = jax.jit(
+            lambda params, ids, mask, img, has: assemble_embeds(
+                params, cfg, ids, mask, img, has))
+
+    # ---------------- vision ----------------
+
+    def encode_images(self, paths: Sequence[Optional[str]]) -> Tuple[jnp.ndarray, np.ndarray]:
+        """Paths (None = no image) → (vision tokens [B, V, d], has_image [B]).
+
+        Unique uncached paths are decoded + encoded in one device batch;
+        results are LRU-cached by path.
+        """
+        V, d = self.cfg.n_img_tokens, self.cfg.decoder.d_model
+        has = np.array([1 if p is not None else 0 for p in paths], np.int32)
+        todo = [p for p in dict.fromkeys(paths)
+                if p is not None and p not in self._img_cache]
+        if todo:
+            u8 = jnp.asarray(np.stack([self.image_provider(p) for p in todo]))
+            toks = self._encode_images_jit(self.params, u8)
+            for i, p in enumerate(todo):
+                self._img_cache[p] = toks[i]
+                self._img_cache.move_to_end(p)
+            while len(self._img_cache) > self._img_cache_size:
+                self._img_cache.popitem(last=False)
+        zero = jnp.zeros((V, d), jnp.float32)
+        rows = [self._img_cache[p] if p is not None else zero for p in paths]
+        for p in paths:
+            if p is not None:
+                self._img_cache.move_to_end(p)
+        return jnp.stack(rows), has
+
+    # ---------------- queries ----------------
+
+    def _prompt_text(self, prompt: str, has_image: bool) -> str:
+        """The auto-add-image-token rule (base.py:49-51): models with an
+        image special token get '<tok>\\n' prepended when an image is
+        present; we strip the token itself (the slot layout realizes it)
+        and keep the '\\n'."""
+        if self.cfg.img_special_token is None:
+            return prompt
+        ist = self.cfg.img_special_token
+        if ist in prompt:
+            prompt = prompt.replace(ist + "\n", "").replace(ist, "")
+        if has_image:
+            return "\n" + prompt
+        return prompt
+
+    def tokenize_queries(
+        self,
+        prompts: Sequence[str],
+        image_paths: Sequence[Optional[str]],
+        targets: Sequence[str],
+    ) -> List[SampleTokens]:
+        return [
+            tokenize_sample(
+                self.tokenizer,
+                self._prompt_text(p, img is not None),
+                t,
+                image_id=img,
+            )
+            for p, img, t in zip(prompts, image_paths, targets)
+        ]
+
+    def encode_queries(
+        self,
+        prompts: Sequence[str],
+        image_paths: Sequence[Optional[str]],
+        targets: Sequence[str],
+    ) -> QueryBatch:
+        """The batched ``prompts_imgs_target_to_xym``: builds full-layout
+        embeds + labels for B queries in one device batch."""
+        samples = self.tokenize_queries(prompts, image_paths, targets)
+        tb = batch_samples(samples, self.tokenizer.pad_token_id,
+                           bucket_multiple=self.bucket_multiple)
+        img_tokens, has = self.encode_images(image_paths)
+        embeds, kv = self._assemble_jit(
+            self.params, jnp.asarray(tb.input_ids), jnp.asarray(tb.attn_mask),
+            img_tokens, jnp.asarray(has))
+        V, p = self.cfg.n_img_tokens, self.cfg.img_slot_pos
+        B, Lt = tb.input_ids.shape
+        full_labels = np.zeros((B, Lt + V), np.int32)
+        full_masks = np.zeros((B, Lt + V), np.int32)
+        # Supervised spans always start at text position prompt_len-1 ≥ p,
+        # so the whole supervised region maps text j → full j+V.
+        full_labels[:, p + V:] = tb.label_ids[:, p:]
+        full_masks[:, p + V:] = tb.label_masks[:, p:]
+        prompt_lens = np.array([s.prompt_len for s in samples], np.int32)
+        return QueryBatch(
+            embeds=embeds, kv_valid=kv,
+            label_ids=jnp.asarray(full_labels),
+            label_masks=jnp.asarray(full_masks),
+            prompt_lens=prompt_lens, has_image=has, input_ids=tb.input_ids)
+
+    def query_end_positions(self, qb: QueryBatch) -> np.ndarray:
+        """Full-layout first-target-token position per row: V + prompt_len
+        (== the reference's query_range[1] = l_total - l_short + 1)."""
+        return qb.prompt_lens + self.cfg.n_img_tokens
+
+    # ---------------- forwards ----------------
+
+    def logits(self, embeds, kv_valid, params=None) -> jnp.ndarray:
+        return self._logits_jit(self.params if params is None else params,
+                                embeds, kv_valid)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _hidden_at_jit(self, params, args, layer):
+        embeds, kv = args
+        return dec.decoder_forward(
+            params["decoder"], self.cfg.decoder, embeds, kv, lo=0, hi=layer + 1)
+
+    def hidden_at(self, embeds, kv_valid, layer: int, params=None) -> jnp.ndarray:
+        """Hidden state after ``layer`` (functional get_mid_module_outpt)."""
+        return self._hidden_at_jit(self.params if params is None else params,
+                                   (embeds, kv_valid), layer)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _resume_jit(self, params, args, layer):
+        hidden, kv = args
+        h = dec.decoder_forward(
+            params["decoder"], self.cfg.decoder, hidden, kv, lo=layer + 1)
+        return dec.decoder_logits(params["decoder"], self.cfg.decoder, h)
+
+    def resume_from(self, hidden, kv_valid, layer: int, params=None) -> jnp.ndarray:
+        return self._resume_jit(self.params if params is None else params,
+                                (hidden, kv_valid), layer)
+
+    def decode_supervised(self, pred_ids, label_masks, row: int) -> str:
+        """Decode a row's predictions at supervised positions — the
+        reference's ``tokenizer.decode(pre_y[label_masks.to(bool)])``."""
+        ids = np.asarray(pred_ids[row])[np.asarray(label_masks[row]) == 1]
+        return self.tokenizer.decode(ids.tolist())
+
+    def clear_image_cache(self):
+        self._img_cache.clear()

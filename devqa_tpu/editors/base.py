@@ -1,0 +1,69 @@
+"""Editor abstraction.
+
+Mirrors the reference's ``VLLMBaseEditor`` public surface
+(``editor/vllm_editors/base.py:20-63``: ``name_of_editor_and_model``,
+``restore_to_original_model``, ``edit_one_piece``, ``edit_batch``,
+``if_can_batch_edit``) but replaces its integration mechanism — monkey-
+patched ``get_llm_outpt`` + forward hooks — with two explicit hooks the
+evaluation harness calls:
+
+- :meth:`build_query_batch` — lets prompt-space editors (IKE/LTE/RECIPE)
+  transform queries before encoding;
+- :meth:`query_logits` — computes logits for a QueryBatch under the
+  current edit state (intervention editors override this; parameter-space
+  editors simply keep an edited params pytree).
+
+Edit state must be **functionally reset-able**: ``restore_to_original_model``
+returns the editor to the pre-edit state without reloading the backbone
+(the harness calls it between splits, vllm_editor_eval.py:98,122).
+"""
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..core.wrapper import JaxVLLM, QueryBatch
+
+# request = {'image': path|None, 'prompt': str, 'target_new': str}
+EditRequest = Dict
+
+
+class VLLMEditor(ABC):
+    def __init__(self, vllm: JaxVLLM):
+        self.vllm = vllm
+
+    @abstractmethod
+    def name_of_editor_and_model(self) -> Tuple[str, str]:
+        ...
+
+    @abstractmethod
+    def restore_to_original_model(self) -> None:
+        ...
+
+    @abstractmethod
+    def edit_one_piece(self, request: EditRequest) -> None:
+        ...
+
+    def edit_batch(self, requests: List[EditRequest]) -> None:
+        if not self.if_can_batch_edit():
+            raise NotImplementedError(
+                "%s does not support batch editing" % type(self).__name__)
+        for r in requests:
+            self.edit_one_piece(r)
+
+    def if_can_batch_edit(self) -> bool:
+        return False
+
+    # ---------------- harness integration ----------------
+
+    def build_query_batch(self, prompts, image_paths, targets) -> QueryBatch:
+        """Encode evaluation queries. Prompt-space editors override to
+        prepend demonstrations / prefixes before encoding."""
+        return self.vllm.encode_queries(prompts, image_paths, targets)
+
+    def query_logits(self, qb: QueryBatch) -> jnp.ndarray:
+        """Logits under the current edit state. Default: the (possibly
+        parameter-edited) backbone with no runtime intervention."""
+        return self.vllm.logits(qb.embeds, qb.kv_valid)

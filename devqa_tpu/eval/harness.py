@@ -1,0 +1,255 @@
+"""The dynamic-evaluation harness: edit → measure reliability / generality
+/ locality over the t×i probe grid.
+
+Functional rebuild of ``VLLMEditorEvaluation``
+(``evaluation/vllm_editor_eval.py:13-248``) with the same protocol and
+result-JSON schema, but a fused measurement loop: the reference runs 12+
+batch-1 forwards per test case (SURVEY.md §3.1 hot loop); here all probes
+of a case run as ONE padded batched forward with per-case vision caching.
+
+Protocol parity notes:
+- locality scored against pre-edit argmax ids (drift metric,
+  vllm_editor_eval.py:106-113, 167-174);
+- sequential evaluation splits cases into groups accumulating ``edit_n``
+  requests, runs prepare→edit→test per split, restores between splits
+  (:69-135);
+- ``predict_before_edit`` decodes the pre-edit argmax; the reference's
+  single-edit path decodes label_ids there instead (:50 — a quirk; its
+  own sequential path at :112 decodes the prediction, which we follow);
+- results land in ``<results_dir>/<editor>/<model>/<eval_name>/
+  {single_edit|sequential_edit_N}/(results|mean_results).json`` rounded
+  to 4 decimals (:231-247).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from copy import deepcopy
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.losses import agreement_accuracy, token_accuracy
+from ..data.schema import BaseVLLMEditData, TestCase
+from ..editors.base import VLLMEditor
+
+
+@dataclasses.dataclass
+class ProbeSpec:
+    kind: str       # 'reliability' | 'generality' | 'locality'
+    sub: str        # '' | gen_name | loc_name
+    index: int      # index within the sub-list
+    prompt: str
+    image: Optional[str]
+    target: str
+
+
+def case_probe_specs(case: TestCase) -> List[ProbeSpec]:
+    specs = []
+    for i, r in enumerate(case.requests):
+        specs.append(ProbeSpec("reliability", "", i, r["prompt"], r["image"],
+                               r["target_new"]))
+    for gname, lst in case.generality.items():
+        for i, g in enumerate(lst):
+            specs.append(ProbeSpec("generality", gname, i, g["prompt"],
+                                   g["image"], g["target"]))
+    for lname, lst in case.locality.items():
+        for i, l in enumerate(lst):
+            specs.append(ProbeSpec("locality", lname, i, l["prompt"],
+                                   l["image"], l["target"]))
+    return specs
+
+
+class EditorEvaluation:
+    def __init__(self, editor: VLLMEditor, eval_data: BaseVLLMEditData,
+                 evaluation_name: Optional[str] = None,
+                 results_dir: str = "eval_results"):
+        self.editor = editor
+        self.eval_data = eval_data
+        editor_name, model_name = editor.name_of_editor_and_model()
+        evaluation_name = evaluation_name or time.strftime("%Y.%m.%d-%H.%M.%S")
+        self.result_dir = os.path.join(results_dir, editor_name, model_name,
+                                       evaluation_name)
+
+    # ------------------------------------------------------------------
+    def _measure_case(self, case: TestCase, before: Dict) -> Dict:
+        """Post-edit measurement of one test case → result dict ``rd``.
+
+        ``before`` maps locality spec key → (pred_ids_row, masks_row)
+        captured pre-edit.
+        """
+        vllm = self.editor.vllm
+        specs = case_probe_specs(case)
+        qb = self.editor.build_query_batch(
+            [s.prompt for s in specs], [s.image for s in specs],
+            [s.target for s in specs])
+        logits = self.editor.query_logits(qb)
+        accs, preds = token_accuracy(logits, qb.label_ids, qb.label_masks)
+        accs = np.asarray(accs)
+        preds = np.asarray(preds)
+        masks = np.asarray(qb.label_masks)
+
+        rd: Dict = {"reliability": [], "generality": {}, "locality": {}}
+        for row, s in enumerate(specs):
+            entry = {"prompt": s.prompt, "image": s.image, "target": s.target}
+            entry["predict_after_edit"] = self.editor.vllm.tokenizer.decode(
+                preds[row][masks[row] == 1].tolist())
+            if s.kind == "locality":
+                ref_ids, ref_mask = before[(s.sub, s.index)]
+                acc = float(np.asarray(agreement_accuracy(
+                    preds[row][None], ref_ids[None], ref_mask[None]))[0])
+                entry["predict_before_edit"] = vllm.tokenizer.decode(
+                    ref_ids[ref_mask == 1].tolist())
+            else:
+                acc = float(accs[row])
+            entry["acc"] = acc
+            if s.kind == "reliability":
+                rd["reliability"].append(entry)
+            else:
+                rd[s.kind].setdefault(s.sub, []).append(entry)
+        return rd
+
+    def _before_edit_locality(self, case: TestCase) -> Dict:
+        """Pre-edit argmax snapshot for every locality probe
+        (vllm_editor_eval.py:106-113). One batched forward."""
+        vllm = self.editor.vllm
+        specs = [s for s in case_probe_specs(case) if s.kind == "locality"]
+        qb = vllm.encode_queries(
+            [s.prompt for s in specs], [s.image for s in specs],
+            [s.target for s in specs])
+        logits = vllm.logits(qb.embeds, qb.kv_valid)
+        _, preds = token_accuracy(logits, qb.label_ids, qb.label_masks)
+        preds = np.asarray(preds)
+        masks = np.asarray(qb.label_masks)
+        return {(s.sub, s.index): (preds[i], masks[i])
+                for i, s in enumerate(specs)}
+
+    # ------------------------------------------------------------------
+    def evaluate_single_edit(self) -> List[Dict]:
+        editor = self.editor
+        print("Evaluating reliability, generality and locality for %s on %s "
+              "with single editing." % editor.name_of_editor_and_model())
+        editor.restore_to_original_model()
+        results = []
+        for case in self.eval_data.data:
+            assert len(case.requests) == 1
+            before = self._before_edit_locality(case)
+            start = time.time()
+            editor.edit_one_piece(case.requests[0])
+            edit_time = time.time() - start
+            rd = self._measure_case(case, before)
+            rd["reliability"][0]["edit_time"] = edit_time
+            results.append(rd)
+            editor.restore_to_original_model()
+        save_dir = os.path.join(self.result_dir, "single_edit")
+        self.save_results(os.path.join(save_dir, "results.json"), results)
+        mean_results = self.get_mean_results(results)
+        mean_results["sample_count"] = len(results)
+        self.save_results(os.path.join(save_dir, "mean_results.json"), mean_results)
+        return results
+
+    def evaluate_sequential_edit(self, edit_n: int = 10, random: bool = False,
+                                 seed: Optional[int] = None) -> List[List[Dict]]:
+        editor = self.editor
+        print("Evaluating reliability, generality and locality for %s on %s "
+              "with sequential editing %s."
+              % (*editor.name_of_editor_and_model(), edit_n))
+
+        def split_data(data):
+            splits, counts, cur, cur_n = [], [], [], 0
+            for d in data:
+                cur.append(d)
+                cur_n += len(d.requests)
+                if cur_n >= edit_n:
+                    splits.append(cur)
+                    counts.append(cur_n)
+                    cur, cur_n = [], 0
+            return splits, counts
+
+        cases = list(self.eval_data.data)
+        if random:
+            seed = seed if seed is not None else int(np.random.randint(1, 999999))
+            np.random.default_rng(seed).shuffle(cases)
+        splits, split_ns = split_data(cases)
+        editor.restore_to_original_model()
+        results = []
+        for split in splits:
+            # Prepare: pre-edit locality snapshots for every case.
+            befores = [self._before_edit_locality(c) for c in split]
+            # Edit: apply every request of the split sequentially.
+            edit_times = []
+            for case in split:
+                for r in case.requests:
+                    start = time.time()
+                    editor.edit_one_piece(r)
+                    edit_times.append(time.time() - start)
+            # Test: measure every case under the accumulated edits.
+            split_res = []
+            ti = 0
+            for case, before in zip(split, befores):
+                rd = self._measure_case(case, before)
+                for rr in rd["reliability"]:
+                    rr["edit_time"] = edit_times[ti]
+                    ti += 1
+                split_res.append(rd)
+            editor.restore_to_original_model()
+            results.append(split_res)
+        save_dir = os.path.join(self.result_dir, "sequential_edit_%s" % edit_n)
+        prefix = "seed_%s_" % seed if random else ""
+        self.save_results(os.path.join(save_dir, prefix + "results.json"), results)
+        split_mean = [self.get_mean_results(sr) for sr in results]
+        for mr, n in zip(split_mean, split_ns):
+            mr["sequential_edit_n"] = n
+        total_mean = self.get_mean_results([r for sr in results for r in sr])
+        total_mean["total_edit_n"] = sum(split_ns)
+        mean_results = {"total_mean": total_mean, "split_mean": split_mean}
+        self.save_results(os.path.join(save_dir, prefix + "mean_results.json"),
+                          mean_results)
+        return results
+
+    # ------------------------------------------------------------------
+    def get_mean_results(self, results: List[Dict]) -> Dict:
+        """Numeric-field averaging, same shape as the reference
+        (vllm_editor_eval.py:177-229)."""
+        mean: Dict = {"reliability": {}, "generality": {}, "locality": {}}
+
+        def acc_into(bucket, entry):
+            for k, v in entry.items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    bucket.setdefault(k, [0.0, 0])
+                    bucket[k][0] += v
+                    bucket[k][1] += 1
+
+        for r in results:
+            for rr in r["reliability"]:
+                acc_into(mean["reliability"], rr)
+            for kind in ("generality", "locality"):
+                for sub, lst in r[kind].items():
+                    bucket = mean[kind].setdefault(sub, {})
+                    for e in lst:
+                        acc_into(bucket, e)
+        for k, v in list(mean["reliability"].items()):
+            mean["reliability"][k] = v[0] / v[1]
+        for kind in ("generality", "locality"):
+            for sub in mean[kind]:
+                for k, v in list(mean[kind][sub].items()):
+                    mean[kind][sub][k] = v[0] / v[1]
+        return mean
+
+    def save_results(self, save_path: str, results, decimal: int = 4) -> None:
+        def set_decimal(r):
+            if isinstance(r, list):
+                return [set_decimal(x) for x in r]
+            if isinstance(r, dict):
+                return {k: set_decimal(v) for k, v in r.items()}
+            if isinstance(r, float):
+                return round(r, decimal)
+            return r
+
+        res = set_decimal(deepcopy(results))
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
+        with open(save_path, "w") as f:
+            json.dump(res, f, indent=4)
+        print("save to", save_path)
