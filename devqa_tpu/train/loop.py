@@ -1,0 +1,175 @@
+"""Generic editor-training loop.
+
+Rebuild of ``VLLMBaseEditorWithTraining``'s training template
+(``editor/vllm_editors/base.py:67-268``): seeded init, background-
+prefetched batches, per-batch ``train_step``, EMA-smoothed loss with
+save-on-new-best checkpointing (base.py:207-220, checkpoint always named
+"Best" :253), scalar logging, and resume.
+
+Checkpoints are orbax pytrees of {editor params, opt state, counters}
+instead of a single ``torch.save`` blob.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Protocol, Tuple, runtime_checkable
+
+import numpy as np
+
+from ..data.prefetch import ParallelDataset
+from ..data.schema import BaseVLLMEditData
+
+
+@runtime_checkable
+class TrainableEditor(Protocol):
+    """Implemented by trainable editors (LiveEdit, MEND, SERAC, …)."""
+
+    def name_of_editor_and_model(self) -> Tuple[str, str]: ...
+
+    def organize_batch_data(self, cases: List) -> object:
+        """Host-side batch organization (tokenize/encode/sample) — runs in
+        the prefetch thread (the reference's 2nd-GPU data-proc replica,
+        liveedit.py:251-352, becomes host prep + on-device prefix reps)."""
+
+    def train_step(self, batch) -> Tuple[float, Dict[str, float]]:
+        """One optimization step; owns its optimizer state."""
+
+    def train_init_editor(self, seed: int) -> None:
+        """(Re)initialize trainable params + optimizer state."""
+
+    def get_train_state(self) -> Dict: ...
+
+    def set_train_state(self, state: Dict) -> None: ...
+
+
+class ScalarLogger:
+    """JSONL scalar logs + optional TensorBoard (matching the reference's
+    SummaryWriter usage, base.py:175,227-235)."""
+
+    def __init__(self, logdir: str, tensorboard: bool = True):
+        os.makedirs(logdir, exist_ok=True)
+        self._f = open(os.path.join(logdir, "scalars.jsonl"), "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(logdir)
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, scalars: Dict[str, float]):
+        rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), step)
+
+    def close(self):
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class EditorTrainer:
+    def __init__(
+        self,
+        editor: TrainableEditor,
+        train_data: BaseVLLMEditData,
+        batch_size: int,
+        records_dir: str = "records",
+        train_name: Optional[str] = None,
+        load_ckpt_path: Optional[str] = None,
+        log_per_i: int = 10,
+        ema_alpha: float = 0.1,
+        random_seed: Optional[int] = None,
+        data_buffer_size: int = 8,
+    ):
+        self.editor = editor
+        self.batch_size = batch_size
+        if random_seed is None:
+            random_seed = int(time.time() * 10000) % 99999999
+        self.seed = random_seed
+        np.random.seed(random_seed)
+
+        cases = list(train_data.data)
+        self.data_generator = ParallelDataset(
+            len(cases),
+            lambda ids: editor.organize_batch_data([cases[i] for i in ids]),
+            batch_size, shuffle=True, buffer_size=data_buffer_size,
+            seed=random_seed)
+
+        train_name = train_name or time.strftime("%Y.%m.%d-%H.%M.%S")
+        ed_name, model_name = editor.name_of_editor_and_model()
+        self.records_dir = os.path.join(records_dir, ed_name, model_name, train_name)
+        self.ckpt_dir = os.path.join(self.records_dir, "checkpoints")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.logger = ScalarLogger(os.path.join(self.records_dir, "logs"))
+        self.log_per_i = log_per_i
+        self.ema_alpha = ema_alpha
+
+        if load_ckpt_path:
+            self.load_ckpt(load_ckpt_path)
+        else:
+            editor.train_init_editor(random_seed)
+            self.train_i, self.train_epoch, self.ema_loss = 1, 1, None
+
+    def train(self, total_epochs: int, max_steps: Optional[int] = None):
+        best_ema = float("inf")
+        start_epoch = self.train_epoch
+        for self.train_epoch in range(start_epoch, total_epochs + 1):
+            for batch, samp_n in self.data_generator:
+                loss, logs = self.editor.train_step(batch)
+                self.ema_loss = (loss if self.ema_loss is None else
+                                 self.ema_alpha * loss
+                                 + (1 - self.ema_alpha) * self.ema_loss)
+                logs = dict(logs)
+                logs["Loss"] = loss
+                logs["EMA Loss"] = self.ema_loss
+                logs["Epoch"] = self.train_epoch
+                if self.train_i % self.log_per_i == 0:
+                    self.logger.log(self.train_i, logs)
+                if self.ema_loss < best_ema:
+                    best_ema = self.ema_loss
+                    self.save_ckpt()
+                self.train_i += 1
+                if max_steps is not None and self.train_i > max_steps:
+                    return
+
+    # ------------------------------------------------------------------
+
+    def save_ckpt(self, name: str = "Best"):
+        import orbax.checkpoint as ocp
+
+        state = {
+            "editor": self.editor.get_train_state(),
+            "meta": {"i": self.train_i, "epoch": self.train_epoch,
+                     "ema_loss": float(self.ema_loss or 0.0),
+                     "seed": self.seed},
+        }
+        path = os.path.join(os.path.abspath(self.ckpt_dir), name)
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, state, force=True)
+
+    def load_ckpt(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(os.path.abspath(path))
+        self.editor.train_init_editor(int(state["meta"]["seed"]))
+        self.editor.set_train_state(state["editor"])
+        self.train_i = int(state["meta"]["i"])
+        self.train_epoch = int(state["meta"]["epoch"])
+        self.ema_loss = float(state["meta"]["ema_loss"])
+
+
+def load_editor_ckpt(editor: TrainableEditor, path: str):
+    """Standalone checkpoint load for evaluation (test_vllm_edit.py -ckpt)."""
+    import orbax.checkpoint as ocp
+
+    state = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    editor.set_train_state(state["editor"])
+    return state["meta"]
