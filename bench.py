@@ -1,0 +1,171 @@
+"""Benchmark: sequential-edit evaluation throughput on the flagship model.
+
+Workload (BASELINE.md): sequential EVQA editing on the BLIP-2-OPT-2.7b
+architecture — per test case: 1 LiveEdit edit + pre-edit locality
+snapshot (9 probes) + post-edit measurement (12 probes). Random bf16
+weights (metric quality is weight-independent; compute shape is identical
+to converted checkpoints), synthetic EVQA-schema records and images.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": cases/sec, "unit": "cases/sec", "vs_baseline": R}
+
+``vs_baseline`` compares the fused TPU pipeline (split-batched probes +
+batched edits + cached vision encodes, eval/harness.FusedEditorEvaluation)
+against the reference *protocol* executed on the same chip (per-probe
+batch-1 forwards, vision re-encoded per probe — DE-VQA's torch loop per
+SURVEY.md §3.1). Same-hardware protocol speedup, not an A100 comparison.
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_cases(n, tmp):
+    records = []
+    rng = np.random.default_rng(0)
+    words = ["cat", "dog", "sky", "tree", "car", "red", "blue", "bird"]
+    ph = lambda: str(rng.choice(words))
+    for i in range(n):
+        records.append({
+            "src": f"what is the {ph()} near the {ph()} in scene {i}",
+            "rephrase": f"which {ph()} is near the {ph()} in scene {i}",
+            "pred": ph(), "alt": ph(),
+            "image": f"img_{i}.jpg", "image_rephrase": f"img_{i}_re.jpg",
+            "loc": f"who wrote the {ph()} about the {ph()}", "loc_ans": ph(),
+            "m_loc": f"mloc_{i}.jpg", "m_loc_q": f"what color is the {ph()}",
+            "m_loc_a": ph()})
+    path = os.path.join(tmp, "vqa_eval.json")
+    with open(path, "w") as f:
+        json.dump(records, f)
+    return path
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from devqa_tpu.core import vllm as V
+    from devqa_tpu.core.tokenizer import ToyTokenizer
+    from devqa_tpu.core.wrapper import JaxVLLM
+    from devqa_tpu.data.images import SyntheticImageProvider
+    from devqa_tpu.data.schema import EVQA
+    from devqa_tpu.editors.liveedit import LiveEdit, LiveEditConfig
+    from devqa_tpu.eval.harness import (EditorEvaluation,
+                                        FusedEditorEvaluation,
+                                        case_probe_specs)
+    from devqa_tpu.retrieval.store import hash_encoder
+
+    log("devices:", jax.devices())
+    cfg = V.blip2_opt_2_7b_config()
+    dtype = jnp.bfloat16
+    t0 = time.time()
+    params = jax.jit(lambda k: V.init_vllm_params(cfg, k, dtype))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params["decoder"]["embed_tokens"])
+    log("init params: %.1fs" % (time.time() - t0))
+
+    tok = ToyTokenizer(vocab_size=cfg.decoder.vocab_size)
+    provider = SyntheticImageProvider(cfg.vit.image_size)
+    # One sequence bucket + padded image batches + padded probe rows →
+    # O(1) compiled programs (remote compile costs ~30-90s per shape).
+    vllm = JaxVLLM(cfg, params, tok, provider, bucket_multiple=32,
+                   min_len=96, img_cache_size=256, img_batch_pad=8)
+    lcfg = LiveEditConfig(edit_model_name=cfg.name, llm_mid_dim=cfg.decoder.d_model,
+                          edit_layer_i=21, max_edits=256)
+    editor = LiveEdit(vllm, lcfg, seed=0)
+
+    SPLIT = 10
+    n_warm_splits, n_timed_splits = 1, 2
+    n_cases = SPLIT * (n_warm_splits + n_timed_splits) + 8
+    with tempfile.TemporaryDirectory() as tmp:
+        path = build_cases(n_cases, tmp)
+        data = EVQA(path, tmp, encoder=hash_encoder(16))
+        cases = data.data
+
+        # ---- fused split pipeline ----
+        fe = FusedEditorEvaluation(editor, data, evaluation_name="bench",
+                                   results_dir=os.path.join(tmp, "res"),
+                                   max_rows=60, pad_rows=True)
+
+        def run_split(split):
+            loc_specs = [s for c in split for s in case_probe_specs(c)
+                         if s.kind == "locality"]
+            fe._run_probe_rows(loc_specs, False)
+            editor.edit_batch([c.requests[0] for c in split])
+            all_specs = [s for c in split for s in case_probe_specs(c)]
+            fe._run_probe_rows(all_specs, True)
+            editor.restore_to_original_model()
+
+        editor.restore_to_original_model()
+        for i in range(n_warm_splits):
+            t1 = time.time()
+            run_split(cases[i * SPLIT:(i + 1) * SPLIT])
+            log("warm split %d: %.1fs" % (i, time.time() - t1))
+        jax.effects_barrier()
+        t0 = time.time()
+        for i in range(n_warm_splits, n_warm_splits + n_timed_splits):
+            run_split(cases[i * SPLIT:(i + 1) * SPLIT])
+        fused_dt = time.time() - t0
+        n_timed = SPLIT * n_timed_splits
+        fused_cps = n_timed / fused_dt
+        log("fused: %.2fs for %d cases → %.3f cases/s" %
+            (fused_dt, n_timed, fused_cps))
+
+        # ---- reference-protocol path (batch-1 probes, no vision cache) ----
+        from devqa_tpu.core.losses import token_accuracy
+
+        ev = EditorEvaluation(editor, data, evaluation_name="bench2",
+                              results_dir=os.path.join(tmp, "res2"))
+        metrics = jax.jit(token_accuracy)
+
+        def run_case_unbatched(case):
+            for s in case_probe_specs(case):
+                if s.kind != "locality":
+                    continue
+                vllm.clear_image_cache()
+                qb = vllm.encode_queries([s.prompt], [s.image], [s.target])
+                a, _ = metrics(vllm.logits(qb.embeds, qb.kv_valid),
+                               qb.label_ids, qb.label_masks)
+                a.block_until_ready()
+            editor.edit_one_piece(case.requests[0])
+            for s in case_probe_specs(case):
+                vllm.clear_image_cache()
+                qb = vllm.encode_queries([s.prompt], [s.image], [s.target])
+                a, _ = metrics(editor.query_logits(qb), qb.label_ids,
+                               qb.label_masks)
+                a.block_until_ready()
+
+        editor.restore_to_original_model()
+        base_cases = cases[-8:]
+        for c in base_cases[:2]:
+            run_case_unbatched(c)
+        jax.effects_barrier()
+        n_base = 6
+        t0 = time.time()
+        for c in base_cases[2:2 + n_base]:
+            run_case_unbatched(c)
+        base_dt = time.time() - t0
+        base_cps = n_base / base_dt
+        log("reference-protocol: %.2fs for %d cases → %.3f cases/s" %
+            (base_dt, n_base, base_cps))
+
+    value = fused_cps
+    vs = fused_cps / base_cps if base_cps > 0 else 0.0
+    print(json.dumps({
+        "metric": "blip2_2.7b_sequential_edit_pipeline_throughput",
+        "value": round(value, 4),
+        "unit": "cases/sec",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Editor-training CLI — the reference's ``train_vllm_editor.py``.
+
+    python -m devqa_tpu.cli.train -en liveedit -mn blip2 -dn EVQA \\
+        -bs 4 -eps 10 [-ckpt path/to/Best] [-sd 42]
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def get_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-en", "--editor_name", type=str, required=True)
+    p.add_argument("-mn", "--edit_model_name", type=str, required=True)
+    p.add_argument("-dn", "--data_name", type=str, default="EVQA",
+                   choices=["EVQA", "EIC", "VLKEB"])
+    p.add_argument("-dp", "--data_path", type=str, default=None)
+    p.add_argument("-ir", "--img_root_dir", type=str, default="data/images")
+    p.add_argument("-dsn", "--data_sample_n", type=int, default=None)
+    p.add_argument("-bs", "--batch_size", type=int, default=4)
+    p.add_argument("-eps", "--epochs", type=int, default=10)
+    p.add_argument("-ckpt", "--load_ckpt_path", type=str, default=None)
+    p.add_argument("-tnp", "--train_name_prefix", type=str, default=None)
+    p.add_argument("-sd", "--seed", type=int, default=None)
+    p.add_argument("-ema", "--ema_alpha", type=float, default=0.1)
+    p.add_argument("-dbs", "--data_buffer_size", type=int, default=8)
+    p.add_argument("-wd", "--weights_dir", type=str, default=None)
+    p.add_argument("-cfgs", "--configs_dir", type=str, default="configs")
+    p.add_argument("-rec", "--records_dir", type=str, default="records")
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    import time
+
+    from ..data import schema
+    from ..retrieval.store import hash_encoder
+    from ..train.loop import EditorTrainer
+    from ..utils.registry import get_full_model_name, load_vllm_editor
+    from .evaluate import DEFAULT_DATA
+
+    full = get_full_model_name(args.edit_model_name)
+    editor = load_vllm_editor(
+        args.editor_name.lower(), full, weights_dir=args.weights_dir,
+        configs_dir=args.configs_dir, for_train=True)
+    data_cls = {"EVQA": schema.EVQA, "EIC": schema.EIC,
+                "VLKEB": schema.VLKEB}[args.data_name]
+    data_path = args.data_path or DEFAULT_DATA[args.data_name].replace(
+        "eval", "train")
+    data = data_cls(data_path, args.img_root_dir,
+                    data_n=args.data_sample_n, encoder=hash_encoder(384))
+    name = (args.train_name_prefix + "-" if args.train_name_prefix else "") \
+        + args.data_name + "-" + time.strftime("%Y.%m.%d-%H.%M.%S")
+    trainer = EditorTrainer(
+        editor, data, args.batch_size, records_dir=args.records_dir,
+        train_name=name, load_ckpt_path=args.load_ckpt_path,
+        ema_alpha=args.ema_alpha, random_seed=args.seed,
+        data_buffer_size=args.data_buffer_size)
+    trainer.train(args.epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -334,3 +334,57 @@ def decoder_apply(
     """Full forward: embeddings → layers → logits."""
     h = decoder_forward(params, cfg, inputs_embeds, kv_valid, **kw)
     return decoder_logits(params, cfg, h)
+
+
+# ---------------------------------------------------------------------------
+# MLP linear probes (MEND's x/δ capture)
+# ---------------------------------------------------------------------------
+
+def decoder_forward_with_fc_probes(
+    params,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    probe_layers: Tuple[int, ...],
+    z1s: Tuple[jnp.ndarray, ...],
+    z2s: Tuple[jnp.ndarray, ...],
+):
+    """Forward with per-layer fc1/fc2 probes for MEND-style gradient
+    capture.
+
+    The reference captures each edited linear's input ``x`` with a forward
+    hook and its output gradient ``δ`` with a full-backward hook
+    (mend_vl.py:63-85). Functionally: add a zero dummy ``z`` to the
+    linear's output — ``grad(loss, z)`` IS δ — and return the inputs as
+    auxiliary outputs. For probe layer i:
+
+      x1 = post-norm MLP input  (fc1's input),  fc1_out += z1
+      x2 = act(fc1_out)         (fc2's input),  fc2_out += z2
+
+    Returns (logits, {layer: (x1, x2)}). OPT geometry (fc1/fc2); the
+    LLaMA gate/up/down variant raises until needed.
+    """
+    if cfg.arch != "opt":
+        raise NotImplementedError("fc probes currently support the OPT MLP")
+    probe_index = {l: i for i, l in enumerate(probe_layers)}
+    positions = positions_from_mask(kv_valid)
+    h = inputs_embeds + params["embed_positions"][positions + cfg.pos_offset]
+    act = ACTIVATIONS[cfg.activation]
+    xs = {}
+    cur = 0
+    for li in sorted(probe_index):
+        h = _scan_layers(params["layers"], cfg, h, kv_valid, positions,
+                         cur, li, False)
+        p = tree_slice(params["layers"], li)
+        h_norm = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"], cfg.norm_eps)
+        h = h + _attn_block(p, cfg, h_norm, kv_valid, positions)
+        x1 = layer_norm(h, p["ln2"]["scale"], p["ln2"]["bias"], cfg.norm_eps)
+        o1 = linear(x1, p["fc1"]["w"], p["fc1"]["b"]) + z1s[probe_index[li]]
+        x2 = act(o1)
+        o2 = linear(x2, p["fc2"]["w"], p["fc2"]["b"]) + z2s[probe_index[li]]
+        h = h + o2
+        xs[li] = (x1, x2)
+        cur = li + 1
+    h = _scan_layers(params["layers"], cfg, h, kv_valid, positions,
+                     cur, cfg.n_layers, False)
+    return decoder_logits(params, cfg, h), xs

@@ -34,10 +34,14 @@ from .vllm import (VLLMConfig, assemble_embeds, encode_image, vllm_logits)
 from . import decoder as dec
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QueryBatch:
     """Device-ready batch of (prompt, image, target) queries in the full
-    slotted layout [text[:p] | V vision slots | text[p:]]."""
+    slotted layout [text[:p] | V vision slots | text[p:]].
+
+    Registered as a pytree so whole batches pass through jit boundaries.
+    """
 
     embeds: jnp.ndarray       # [B, Lf, d]
     kv_valid: jnp.ndarray     # [B, Lf]
@@ -57,12 +61,19 @@ class JaxVLLM:
         image_provider: ImageProvider,
         img_cache_size: int = 256,
         bucket_multiple: int = 32,
+        min_len: int = 16,
+        img_batch_pad: int = 4,
     ):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.image_provider = image_provider
         self.bucket_multiple = bucket_multiple
+        self.min_len = min_len
+        # Pad vision-encode batches up to a multiple of this so the number
+        # of distinct compiled encode programs stays O(1) (remote-compile
+        # TPU runtimes pay tens of seconds per new shape).
+        self.img_batch_pad = max(1, img_batch_pad)
         self._img_cache: OrderedDict[str, jnp.ndarray] = OrderedDict()
         self._img_cache_size = img_cache_size
 
@@ -88,7 +99,11 @@ class JaxVLLM:
         todo = [p for p in dict.fromkeys(paths)
                 if p is not None and p not in self._img_cache]
         if todo:
-            u8 = jnp.asarray(np.stack([self.image_provider(p) for p in todo]))
+            n = len(todo)
+            pad = (-n) % self.img_batch_pad
+            imgs = [self.image_provider(p) for p in todo]
+            imgs.extend([imgs[0]] * pad)
+            u8 = jnp.asarray(np.stack(imgs))
             toks = self._encode_images_jit(self.params, u8)
             for i, p in enumerate(todo):
                 self._img_cache[p] = toks[i]
@@ -144,7 +159,8 @@ class JaxVLLM:
         embeds + labels for B queries in one device batch."""
         samples = self.tokenize_queries(prompts, image_paths, targets)
         tb = batch_samples(samples, self.tokenizer.pad_token_id,
-                           bucket_multiple=self.bucket_multiple)
+                           bucket_multiple=self.bucket_multiple,
+                           min_len=self.min_len)
         img_tokens, has = self.encode_images(image_paths)
         embeds, kv = self._assemble_jit(
             self.params, jnp.asarray(tb.input_ids), jnp.asarray(tb.attn_mask),
@@ -163,6 +179,28 @@ class JaxVLLM:
             label_ids=jnp.asarray(full_labels),
             label_masks=jnp.asarray(full_masks),
             prompt_lens=prompt_lens, has_image=has, input_ids=tb.input_ids)
+
+    def encode_texts(self, texts: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Text-only inputs (no images, no targets) → (embeds, kv_valid)
+        in the slotted layout — the reference's bare
+        ``get_llm_input_embeds(texts, None)`` path (blip2.py:61-64)."""
+        from .tokenizer import Tokenizer  # noqa: F401  (doc aid)
+
+        ids_list = [np.asarray(self.tokenizer.encode(t), np.int32) for t in texts]
+        L = max(16, ((max(len(x) for x in ids_list) + self.bucket_multiple - 1)
+                     // self.bucket_multiple) * self.bucket_multiple)
+        B = len(ids_list)
+        ids = np.full((B, L), self.tokenizer.pad_token_id, np.int32)
+        mask = np.zeros((B, L), np.int32)
+        for i, x in enumerate(ids_list):
+            ids[i, :len(x)] = x
+            mask[i, :len(x)] = 1
+        V, d = self.cfg.n_img_tokens, self.cfg.decoder.d_model
+        img = jnp.zeros((B, V, d))
+        embeds, kv = self._assemble_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), img,
+            jnp.zeros((B,), jnp.int32))
+        return embeds, kv
 
     def query_end_positions(self, qb: QueryBatch) -> np.ndarray:
         """Full-layout first-target-token position per row: V + prompt_len

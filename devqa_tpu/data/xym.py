@@ -39,7 +39,14 @@ from ..core.tokenizer import Tokenizer
 
 
 def join_prompt_target(prompt: str, target: str) -> str:
-    """The space-joining rule of vllms_for_edit/base.py:89-90."""
+    """The space-joining rule of vllms_for_edit/base.py:89-90.
+
+    Empty target → prompt unchanged (used by internal prefix-building
+    paths that encode prompt-only inputs through the same machinery; the
+    reference, like us on user inputs, never passes empty targets).
+    """
+    if not target:
+        return prompt
     if prompt[-1] not in (" ", "\n") and target[0] not in (" ", "\n"):
         return prompt + " " + target
     return prompt + target
@@ -157,22 +164,15 @@ def batch_samples(
 
     Bucketing (``bucket_multiple``) keeps the number of distinct compiled
     shapes small — the XLA analog of the reference tolerating per-sample
-    dynamic lengths (impossible under jit).
+    dynamic lengths (impossible under jit). The packing loop runs in the
+    native C extension when available (devqa_tpu/native).
     """
+    from ..native import pack_samples_native
+
     lmax = max(s.total_len for s in samples)
     L = max(min_len, _round_up(lmax, bucket_multiple))
-    B = len(samples)
-    input_ids = np.full((B, L), pad_id, dtype=np.int32)
-    attn_mask = np.zeros((B, L), dtype=np.int32)
-    label_ids = np.full((B, L), pad_id, dtype=np.int32)
-    label_masks = np.zeros((B, L), dtype=np.int32)
-    image_ids: List[Optional[str]] = []
-    for b, s in enumerate(samples):
-        n = s.total_len
-        input_ids[b, :n] = s.input_ids
-        attn_mask[b, :n] = 1
-        labels = np.roll(s.input_ids, -1)
-        label_ids[b, :n] = labels
-        label_masks[b, s.prompt_len - 1 : n - 1] = 1
-        image_ids.append(s.image_id)
+    input_ids, attn_mask, label_ids, label_masks = pack_samples_native(
+        [s.input_ids for s in samples], [s.prompt_len for s in samples],
+        pad_id, L)
+    image_ids: List[Optional[str]] = [s.image_id for s in samples]
     return TokenBatch(input_ids, attn_mask, label_ids, label_masks, image_ids)

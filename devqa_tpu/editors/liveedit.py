@@ -242,6 +242,45 @@ class LiveEdit(VLLMEditor):
         self.state = self._edit_jit(
             self.params, self.state, self.vllm.params, qb.embeds, qb.kv_valid, qe)
 
+    # Batched edit: pool appends are order-preserving and independent, so
+    # one batched rep-extraction is exactly equivalent to N sequential
+    # edit_one_piece calls (the reference's batch=1 restriction is a hook
+    # artifact, not an algorithmic one).
+    def if_can_batch_edit(self):
+        return True
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _edit_batch_jit(self, lparams, state, vparams, embeds, kv_valid,
+                        query_ends):
+        cfg = self.cfg
+        vcfg = self.vllm.cfg
+        reps = dec.decoder_forward(
+            vparams["decoder"], vcfg.decoder, embeds, kv_valid,
+            lo=0, hi=cfg.edit_layer_i + 1)
+        vision_mask, query_mask, ans_mask, _ = span_masks(
+            kv_valid, vcfg.vt_range, query_ends)
+        eqr, evr, moe_c, moe_r = extract_new_edit(
+            lparams, cfg, reps, vision_mask, query_mask, ans_mask)
+        i = state["count"]
+        n = embeds.shape[0]
+        idx = i + jnp.arange(n)
+        return {
+            "eqr": state["eqr"].at[idx].set(eqr),
+            "evr": state["evr"].at[idx].set(evr),
+            "moe_c": state["moe_c"].at[idx].set(moe_c),
+            "moe_r": state["moe_r"].at[idx].set(moe_r),
+            "count": i + n,
+        }
+
+    def edit_batch(self, requests):
+        qb = self.vllm.encode_queries(
+            [r["prompt"] for r in requests],
+            [r.get("image") for r in requests],
+            [r["target_new"] for r in requests])
+        qe = jnp.asarray(self.vllm.query_end_positions(qb))
+        self.state = self._edit_batch_jit(
+            self.params, self.state, self.vllm.params, qb.embeds, qb.kv_valid, qe)
+
     # ---------------- inference ----------------
 
     @partial(jax.jit, static_argnums=(0,))

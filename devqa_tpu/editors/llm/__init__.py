@@ -1,0 +1,8 @@
+"""Text-LLM editing algorithms — the EasyEdit-stack zoo
+(``easyeditor/models/``): ROME, GRACE, LoRA, FT over this framework's
+decoders, plus the BaseEditor-style editing session."""
+from .session import LLMEditSession, EditRequestText  # noqa: F401
+from .rome import ROMEHyperParams, apply_rome  # noqa: F401
+from .grace import GRACEHyperParams, GraceEditor  # noqa: F401
+from .lora import LoRAHyperParams, apply_lora  # noqa: F401
+from .ft import FTHyperParams, apply_ft  # noqa: F401

@@ -1,0 +1,224 @@
+"""GRACE — key-value codebook adapter with deferral radii
+(``easyeditor/models/grace/GRACE.py``).
+
+One chosen linear layer is wrapped: at inference, the query (the layer's
+input at the edit token, generalized to every token) is matched against
+stored keys; when the closest key is within its ε-ball, the layer's
+output at that token is REPLACED by the stored value
+(GRACE.py:146-200, replacement="replace_all" semantics).
+
+Editing (GRACE.py:60-93 + adapter codebook logic):
+- no keys yet → init (key = query at the edit token, value trained);
+- closest key farther than eps-budget → add a new key;
+- close key with a different label → add key and split ε in half;
+- close key with the same label → expand ε to cover the query.
+Values train by Adam on the edit NLL for n_iter steps.
+
+TPU redesign: fixed-capacity codebook arrays + jitted value training;
+the adapter is the decoder's ``mlp_residual`` intervention on the
+down-projection (delta = value − original_output at replaced tokens).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...core import decoder as dec
+from ...utils.config import BaseConfig
+from ...utils.surgery import ParamTarget, get_target
+from .session import TextModel
+
+
+@dataclasses.dataclass(frozen=True)
+class GRACEHyperParams(BaseConfig):
+    layer: int = 5
+    eps: float = 1.0
+    edit_lr: float = 1.0
+    n_iter: int = 30
+    val_init: str = "cold"       # "cold" | "warm"
+    eps_expand: str = "coverage"
+    replacement: str = "replace_all"
+    max_keys: int = 256
+
+
+class GraceEditor:
+    """Stateful GRACE editor over a TextModel (OPT-family decoder; the
+    wrapped layer is fc2 of ``hparams.layer``)."""
+
+    def __init__(self, model: TextModel, hparams: GRACEHyperParams):
+        if model.cfg.arch != "opt":
+            raise NotImplementedError("GRACE currently wraps the OPT fc2")
+        self.model = model
+        self.hp = hparams
+        self.reset()
+
+    def reset(self):
+        cfg = self.model.cfg
+        M = self.hp.max_keys
+        self.state = {
+            "keys": jnp.zeros((M, cfg.d_ffn)),
+            "values": jnp.zeros((M, cfg.d_model)),
+            "eps": jnp.zeros((M,)),
+            "labels": jnp.zeros((M,)),  # label fingerprint (mean of label ids)
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    # ------------------------------------------------------------------
+
+    def _mlp_residual(self, state):
+        """Replace the MLP output with the chosen value at tokens whose
+        fc2 input falls inside a key's ε-ball."""
+        cfg = self.model.cfg
+        w = get_target(self.model.params, ParamTarget(("layers", "fc2", "w"),
+                                                      self.hp.layer))
+        b = get_target(self.model.params, ParamTarget(("layers", "fc2", "b"),
+                                                      self.hp.layer))
+
+        def fn(x1):
+            # x1 is the MLP input (post-norm). fc2's input is act(fc1(x1));
+            # recompute it (cheap: fc1 already runs in the layer; this
+            # costs one extra fc1 matmul to stay within the generic
+            # mlp_residual signature).
+            p = self.model.params
+            fc1w = get_target(p, ParamTarget(("layers", "fc1", "w"), self.hp.layer))
+            fc1b = get_target(p, ParamTarget(("layers", "fc1", "b"), self.hp.layer))
+            q = jax.nn.relu(x1 @ fc1w + fc1b)             # [B, L, d_ffn]
+            dists = jnp.linalg.norm(
+                q[:, :, None, :] - state["keys"][None, None], axis=-1)
+            active = jnp.arange(state["keys"].shape[0]) < state["count"]
+            dists = jnp.where(active[None, None, :], dists, jnp.inf)
+            best = jnp.argmin(dists, axis=-1)             # [B, L]
+            dmin = jnp.min(dists, axis=-1)
+            inside = (dmin < state["eps"][best]) & (state["count"] > 0)
+            orig_out = q @ w + b
+            value = state["values"][best]
+            return jnp.where(inside[..., None], value - orig_out, 0.0)
+
+        return (self.hp.layer, fn)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _logits_jit(self, params, state, ids, mask):
+        cfg = self.model.cfg
+        embeds = dec.embed_tokens(params, cfg, ids)
+        return dec.decoder_apply(params, cfg, embeds, mask,
+                                 mlp_residual=self._mlp_residual(state))
+
+    def logits(self, ids, mask):
+        return self._logits_jit(self.model.params, self.state, ids, mask)
+
+    # Session integration: apply_algo signature.
+    def __call__(self, model: TextModel, request):
+        self.edit(request)
+        # Return params unchanged; metrics flow through self via a proxy
+        # forward (session uses model._logits on params — so patch the
+        # TextModel forward with the codebook closure instead).
+        state = self.state
+        outer = self
+
+        class _Proxy(dict):
+            pass
+
+        def patched(p, ids, mask):
+            return outer._logits_jit(p, state, ids, mask)
+
+        model._logits = patched
+        return model.params, (lambda: None)
+
+    # ------------------------------------------------------------------
+
+    def edit(self, request):
+        tb = self.model.batch([request["prompt"]], [request["target_new"]])
+        ids = jnp.asarray(tb.input_ids)
+        mask = jnp.asarray(tb.attn_mask)
+        labels = jnp.asarray(tb.label_ids)
+        lmask = jnp.asarray(tb.label_masks)
+        # edit token = last prompt token (key_id = #prompt tokens − 1;
+        # GRACE.py:61 uses the -100 count of the label tensor)
+        edit_tok = int(np.nonzero(np.asarray(tb.label_masks)[0])[0][0])
+        label_fp = float(np.asarray(labels)[0][np.asarray(lmask)[0] == 1].mean())
+        self.state = self._edit_jit(self.model.params, self.state, ids, mask,
+                                    labels, lmask, edit_tok, label_fp)
+
+    @partial(jax.jit, static_argnums=(0, 7))
+    def _edit_jit(self, params, state, ids, mask, labels, lmask, edit_tok,
+                  label_fp):
+        cfg = self.model.cfg
+        hp = self.hp
+        embeds = dec.embed_tokens(params, cfg, ids)
+        # query = fc2 input at the edit token
+        z1 = (jnp.zeros(ids.shape + (cfg.d_ffn,)),)
+        z2 = (jnp.zeros(ids.shape + (cfg.d_model,)),)
+        _, xs = dec.decoder_forward_with_fc_probes(
+            params, cfg, embeds, mask, (hp.layer,), z1, z2)
+        query = xs[hp.layer][1][0, edit_tok]  # [d_ffn]
+
+        cnt = state["count"]
+        active = jnp.arange(hp.max_keys) < cnt
+        dists = jnp.linalg.norm(state["keys"] - query, axis=-1)
+        dists = jnp.where(active, dists, jnp.inf)
+        nearest = jnp.argmin(dists)
+        dmin = jnp.min(dists)
+        same_label = jnp.abs(state["labels"][nearest] - label_fp) < 1e-6
+
+        add_new = (cnt == 0) | (dmin > hp.eps + state["eps"][nearest]) \
+            | (~same_label)
+        # ε bookkeeping (GRACE.py codebook rules)
+        eps_n = state["eps"][nearest]
+        eps_n = jnp.where((~add_new) & (dmin > eps_n), dmin, eps_n)       # expand
+        eps_n = jnp.where(add_new & (cnt > 0) & (~same_label)
+                          & (dmin <= hp.eps + state["eps"][nearest]),
+                          dmin / 2 - 1e-5, eps_n)                          # split
+        eps_state = state["eps"].at[nearest].set(eps_n)
+        slot = jnp.where(add_new, cnt, nearest)
+        new_eps = jnp.where(add_new & (cnt > 0) & (~same_label)
+                            & (dmin <= hp.eps + state["eps"][nearest]),
+                            dmin / 2, hp.eps)
+
+        # value training at the edit token
+        w = get_target(params, ParamTarget(("layers", "fc2", "w"), hp.layer))
+        b = get_target(params, ParamTarget(("layers", "fc2", "b"), hp.layer))
+        warm = xs[hp.layer][1][0, edit_tok] @ w + b
+        v0 = warm if hp.val_init == "warm" else jnp.zeros_like(warm)
+
+        onehot = jax.nn.one_hot(jnp.asarray([edit_tok]), ids.shape[1])[..., None]
+
+        def loss_fn(v):
+            fc1w = get_target(params, ParamTarget(("layers", "fc1", "w"), hp.layer))
+            fc1b = get_target(params, ParamTarget(("layers", "fc1", "b"), hp.layer))
+
+            def fn(x1):
+                q = jax.nn.relu(x1 @ fc1w + fc1b)
+                orig = q @ w + b
+                return onehot * (v - orig)
+
+            logits = dec.decoder_apply(params, cfg, embeds, mask,
+                                       mlp_residual=(hp.layer, fn))
+            logp = jax.nn.log_softmax(logits, -1)
+            picked = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+            m = lmask.astype(jnp.float32)
+            return -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+        opt = optax.adam(hp.edit_lr)
+
+        def body(_, carry):
+            v, st = carry
+            g = jax.grad(loss_fn)(v)
+            up, st = opt.update(g, st, v)
+            return optax.apply_updates(v, up), st
+
+        v, _ = jax.lax.fori_loop(0, hp.n_iter, body, (v0, opt.init(v0)))
+
+        return {
+            "keys": state["keys"].at[slot].set(query),
+            "values": state["values"].at[slot].set(v),
+            "eps": eps_state.at[slot].set(
+                jnp.where(add_new, new_eps, eps_state[slot])),
+            "labels": state["labels"].at[slot].set(label_fp),
+            "count": jnp.where(add_new, cnt + 1, cnt),
+        }

@@ -1,0 +1,258 @@
+"""LTE_VL — "Learning To Edit": prefix-following fine-tune + retrieval.
+
+Rebuild of ``editor/vllm_editors/lte_vl/lte_vl.py``:
+
+- **Edit** (:145-150): store the request, its *edit prefix* embeddings —
+  "[Updated Information]<prompt><target>\\n[Query]" with the edit image
+  (``__get_edit_prefix__`` :112-118) — and a sentence embedding of
+  "<prompt> <target>" for retrieval.
+- **Inference** (:75-110): embed the query prompt, cosine-match against
+  the pool; if best sim > ``sim_threshold`` (0.3), prepend that edit's
+  prefix embeddings and run the (fine-tuned) LLM, slicing logits after
+  the prefix; else run unprefixed.
+- **Training** (:205-240): fine-tune the whole language model (lr 5e-6)
+  so it follows the prefix: CE on prefixed rel/gen, locality KL both with
+  and without the prefix against pre-tune logits.
+
+TPU redesign: the prefix pool is a fixed-capacity padded block
+[M, Lp, d]; at inference the prefix is prepended as a maskable block —
+rows that retrieve nothing mask the whole block off (same masked-block
+trick as the vision slot), so the batch stays one fused forward. The
+sentence encoder is pluggable (hash encoder in tests, MiniLM/mpnet in
+production via retrieval/encoders.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import decoder as dec
+from ..core.wrapper import JaxVLLM, QueryBatch
+from ..utils.config import BaseConfig
+from .base import EditRequest, VLLMEditor
+
+
+@dataclasses.dataclass(frozen=True)
+class LTEvlConfig(BaseConfig):
+    @dataclasses.dataclass(frozen=True)
+    class TrainConfig(BaseConfig):
+        lr: float = 5e-6
+        relia_lambda: float = 1.0
+        gen_lambda: float = 1.0
+        loc_lambda: float = 1.0
+
+    edit_model_name: str = ""
+    retrieval_embed_dim: int = 768
+    sim_threshold: float = 0.3
+    max_edits: int = 256
+    max_prefix_len: int = 96
+    train_config: "LTEvlConfig.TrainConfig" = dataclasses.field(
+        default_factory=lambda: LTEvlConfig.TrainConfig())
+
+
+EDIT_SIGN = "[Updated Information]"
+QUERY_SIGN = "\n[Query]"
+
+
+class LTEvl(VLLMEditor):
+    def __init__(self, vllm: JaxVLLM, config: LTEvlConfig,
+                 sentence_encoder: Callable[[Sequence[str]], np.ndarray]):
+        super().__init__(vllm)
+        self.cfg = config
+        self.sentence_encoder = sentence_encoder
+        self.restore_to_original_model()
+
+    def name_of_editor_and_model(self) -> Tuple[str, str]:
+        return "lte_vl", self.cfg.edit_model_name or self.vllm.cfg.name
+
+    def if_can_batch_edit(self):
+        return False
+
+    def restore_to_original_model(self):
+        cfg = self.cfg
+        d = self.vllm.cfg.decoder.d_model
+        self.state = {
+            "prefix_embeds": jnp.zeros((cfg.max_edits, cfg.max_prefix_len, d)),
+            "prefix_mask": jnp.zeros((cfg.max_edits, cfg.max_prefix_len), jnp.int32),
+            "count": jnp.zeros((), jnp.int32),
+        }
+        self.retr_pool = np.zeros((cfg.max_edits, cfg.retrieval_embed_dim),
+                                  np.float32)
+        self.requests: List[EditRequest] = []
+
+    # ------------------------------------------------------------------
+
+    def _edit_prefix(self, request: EditRequest):
+        """__get_edit_prefix__ (lte_vl.py:112-118): embeds of
+        '[Updated Information]<prompt><target>\\n[Query]' + edit image,
+        padded/truncated to max_prefix_len."""
+        p, t = request["prompt"], request["target_new"]
+        if p[-1] != " " and t[0] != " ":
+            t = " " + t
+        text = EDIT_SIGN + p + t + QUERY_SIGN
+        qb = self.vllm.encode_queries([text], [request.get("image")], [""])
+        E = self.cfg.max_prefix_len
+        emb = np.asarray(qb.embeds[0])
+        msk = np.asarray(qb.kv_valid[0])
+        L = emb.shape[0]
+        if L >= E:
+            return emb[:E], msk[:E]
+        pad = ((0, E - L), (0, 0))
+        return np.pad(emb, pad), np.pad(msk, ((0, E - L),))
+
+    def edit_one_piece(self, request: EditRequest):
+        emb, msk = self._edit_prefix(request)
+        i = int(self.state["count"])
+        self.state = {
+            "prefix_embeds": self.state["prefix_embeds"].at[i].set(jnp.asarray(emb)),
+            "prefix_mask": self.state["prefix_mask"].at[i].set(
+                jnp.asarray(msk, jnp.int32)),
+            "count": self.state["count"] + 1,
+        }
+        e = np.asarray(self.sentence_encoder(
+            [request["prompt"] + " " + request["target_new"]]), np.float32)[0]
+        self.retr_pool[i] = e
+        self.requests.append(request)
+
+    # ------------------------------------------------------------------
+
+    def _retrieve(self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (best index [B], use_prefix [B]) by cosine sim > threshold
+        (lte_vl.py:96-110)."""
+        n = int(self.state["count"])
+        q = np.asarray(self.sentence_encoder(list(prompts)), np.float32)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        pool = self.retr_pool[:n]
+        pool = pool / np.maximum(np.linalg.norm(pool, axis=1, keepdims=True), 1e-12)
+        sim = q @ pool.T  # [B, n]
+        best = sim.argmax(1)
+        use = sim.max(1) > self.cfg.sim_threshold
+        return best.astype(np.int32), use.astype(np.int32)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _logits_jit(self, state, vparams, embeds, kv_valid, best, use):
+        vcfg = self.vllm.cfg
+        E = self.cfg.max_prefix_len
+        pe = state["prefix_embeds"][best]                       # [B, E, d]
+        pm = state["prefix_mask"][best] * use[:, None]          # [B, E]
+        full = jnp.concatenate([pe.astype(embeds.dtype), embeds], axis=1)
+        kv = jnp.concatenate([pm, kv_valid], axis=1)
+        h = dec.decoder_forward(vparams["decoder"], vcfg.decoder, full, kv)
+        logits = dec.decoder_logits(vparams["decoder"], vcfg.decoder, h)
+        return logits[:, E:]  # positions realign with the unprefixed layout
+
+    def query_logits(self, qb: QueryBatch):
+        if int(self.state["count"]) == 0:
+            return self.vllm.logits(qb.embeds, qb.kv_valid)
+        # The harness passes prompts through build_query_batch; retrieval
+        # keys on the raw prompt text.
+        prompts = self._last_prompts
+        best, use = self._retrieve(prompts)
+        return self._logits_jit(self.state, self.vllm.params, qb.embeds,
+                                qb.kv_valid, jnp.asarray(best), jnp.asarray(use))
+
+    def build_query_batch(self, prompts, image_paths, targets) -> QueryBatch:
+        self._last_prompts = list(prompts)
+        return self.vllm.encode_queries(prompts, image_paths, targets)
+
+
+class LTEvlTrainable(LTEvl):
+    """LTE training (lte_vl.py:205-240): fine-tunes the decoder to follow
+    the '[Updated Information]…[Query]' prefix format."""
+
+    def __init__(self, vllm, config, sentence_encoder, seed: int = 0):
+        super().__init__(vllm, config, sentence_encoder)
+        self.train_init_editor(seed)
+
+    def organize_batch_data(self, cases):
+        c = cases[0]  # the reference trains with batch size 1 (lte_vl.py:173)
+        r = c.requests[0]
+        emb, msk = self._edit_prefix(r)
+        rel = self.vllm.encode_queries([r["prompt"]], [r["image"]],
+                                       [r["target_new"]])
+        gens = {k: self.vllm.encode_queries([v[0]["prompt"]], [v[0]["image"]],
+                                            [v[0]["target"]])
+                for k, v in c.generality.items()}
+        locs = {k: self.vllm.encode_queries([v[0]["prompt"]], [v[0]["image"]],
+                                            [v[0]["target"]])
+                for k, v in c.locality.items()}
+        return {"prefix": (jnp.asarray(emb)[None], jnp.asarray(msk, jnp.int32)[None]),
+                "rel": rel, "gens": gens, "locs": locs}
+
+    def _prefixed_loss(self, dparams, prefix, qb, kl_ref=None):
+        vcfg = self.vllm.cfg
+        pe, pm = prefix
+        full = jnp.concatenate([pe.astype(qb.embeds.dtype), qb.embeds], 1)
+        kv = jnp.concatenate([pm, qb.kv_valid], 1)
+        h = dec.decoder_forward(dparams, vcfg.decoder, full, kv)
+        logits = dec.decoder_logits(dparams, vcfg.decoder, h)[:, pe.shape[1]:]
+        m = qb.label_masks.astype(jnp.float32)
+        if kl_ref is None:
+            logp = jax.nn.log_softmax(logits, -1)
+            picked = jnp.take_along_axis(logp, qb.label_ids[..., None], -1)[..., 0]
+            return -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
+        lp1 = jax.nn.log_softmax(kl_ref, -1)
+        lp2 = jax.nn.log_softmax(logits, -1)
+        kl = (jnp.exp(lp1) * (lp1 - lp2)).sum(-1)
+        return (kl * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    def train_step(self, batch):
+        tc = self.cfg.train_config
+        vcfg = self.vllm.cfg
+
+        def loss_fn(dparams):
+            total = 0.0
+            logs = {}
+            rel = self._prefixed_loss(dparams, batch["prefix"], batch["rel"])
+            logs["rel_loss"] = rel
+            total += rel * tc.relia_lambda
+            for k, qb in batch["gens"].items():
+                g = self._prefixed_loss(dparams, batch["prefix"], qb)
+                total += g * tc.gen_lambda
+            logs["gen_loss_last"] = g
+            for k, qb in batch["locs"].items():
+                pre = jax.lax.stop_gradient(dec.decoder_logits(
+                    self._frozen_decoder, vcfg.decoder,
+                    dec.decoder_forward(self._frozen_decoder, vcfg.decoder,
+                                        qb.embeds, qb.kv_valid)))
+                # unprefixed KL
+                h = dec.decoder_forward(dparams, vcfg.decoder, qb.embeds,
+                                        qb.kv_valid)
+                logits1 = dec.decoder_logits(dparams, vcfg.decoder, h)
+                m = qb.label_masks.astype(jnp.float32)
+                lp1 = jax.nn.log_softmax(pre, -1)
+                lp2 = jax.nn.log_softmax(logits1, -1)
+                kl1 = ((jnp.exp(lp1) * (lp1 - lp2)).sum(-1) * m).sum() \
+                    / jnp.maximum(m.sum(), 1.0)
+                kl2 = self._prefixed_loss(dparams, batch["prefix"], qb, kl_ref=pre)
+                total += (kl1 + kl2) / 2 * tc.loc_lambda
+            logs["loc_loss_last"] = (kl1 + kl2) / 2
+            return total, logs
+
+        dparams = self.vllm.params["decoder"]
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(dparams)
+        updates, self._opt_state = self._opt.update(grads, self._opt_state, dparams)
+        dparams = optax.apply_updates(dparams, updates)
+        self.vllm.params = dict(self.vllm.params, decoder=dparams)
+        return float(loss), {k: float(v) for k, v in logs.items()}
+
+    def train_init_editor(self, seed: int):
+        # The trainable state IS the decoder; keep the pristine copy for
+        # locality references and restoration.
+        self._frozen_decoder = self.vllm.params["decoder"]
+        self._opt = optax.adam(self.cfg.train_config.lr)
+        self._opt_state = self._opt.init(self.vllm.params["decoder"])
+
+    def get_train_state(self):
+        return {"decoder": self.vllm.params["decoder"],
+                "opt_state": self._opt_state}
+
+    def set_train_state(self, state):
+        self.vllm.params = dict(self.vllm.params, decoder=state["decoder"])
+        self._opt_state = state["opt_state"]

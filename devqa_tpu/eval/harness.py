@@ -29,11 +29,16 @@ import time
 from copy import deepcopy
 from typing import Dict, List, Optional
 
+import jax
 import numpy as np
 
-from ..core.losses import agreement_accuracy, token_accuracy
+from ..core.losses import token_accuracy
 from ..data.schema import BaseVLLMEditData, TestCase
 from ..editors.base import VLLMEditor
+
+# One fused device program per measurement pass: argmax + masked accuracy.
+# (Eager per-op dispatch is pathological on remote-compile TPU runtimes.)
+_metrics_jit = jax.jit(token_accuracy)
 
 
 @dataclasses.dataclass
@@ -86,7 +91,7 @@ class EditorEvaluation:
             [s.prompt for s in specs], [s.image for s in specs],
             [s.target for s in specs])
         logits = self.editor.query_logits(qb)
-        accs, preds = token_accuracy(logits, qb.label_ids, qb.label_masks)
+        accs, preds = _metrics_jit(logits, qb.label_ids, qb.label_masks)
         accs = np.asarray(accs)
         preds = np.asarray(preds)
         masks = np.asarray(qb.label_masks)
@@ -97,9 +102,12 @@ class EditorEvaluation:
             entry["predict_after_edit"] = self.editor.vllm.tokenizer.decode(
                 preds[row][masks[row] == 1].tolist())
             if s.kind == "locality":
+                # Host-side numpy agreement (tiny arrays; avoids per-row
+                # device dispatches) — same math as losses.agreement_accuracy.
                 ref_ids, ref_mask = before[(s.sub, s.index)]
-                acc = float(np.asarray(agreement_accuracy(
-                    preds[row][None], ref_ids[None], ref_mask[None]))[0])
+                m = ref_mask.astype(np.float32)
+                acc = float(((preds[row] == ref_ids) * m).sum()
+                            / max(m.sum(), 1.0))
                 entry["predict_before_edit"] = vllm.tokenizer.decode(
                     ref_ids[ref_mask == 1].tolist())
             else:
@@ -120,7 +128,7 @@ class EditorEvaluation:
             [s.prompt for s in specs], [s.image for s in specs],
             [s.target for s in specs])
         logits = vllm.logits(qb.embeds, qb.kv_valid)
-        _, preds = token_accuracy(logits, qb.label_ids, qb.label_masks)
+        _, preds = _metrics_jit(logits, qb.label_ids, qb.label_masks)
         preds = np.asarray(preds)
         masks = np.asarray(qb.label_masks)
         return {(s.sub, s.index): (preds[i], masks[i])
@@ -253,3 +261,157 @@ class EditorEvaluation:
         with open(save_path, "w") as f:
             json.dump(res, f, indent=4)
         print("save to", save_path)
+
+
+class FusedEditorEvaluation(EditorEvaluation):
+    """Throughput-oriented sequential evaluation.
+
+    Protocol-equivalent to ``evaluate_sequential_edit`` (same splits, same
+    pre-edit snapshots, same metrics) but batches across the whole split:
+    one (chunked) forward for all pre-edit locality probes, one batched
+    edit call when the editor supports exact-equivalent batching, one
+    (chunked) forward for all post-edit probes. On latency-bound runtimes
+    (remote TPU dispatch) this amortizes per-call overhead ~10×.
+    """
+
+    def __init__(self, *args, max_rows: int = 96, pad_rows: bool = True, **kw):
+        super().__init__(*args, **kw)
+        self.max_rows = max_rows
+        # Pad every chunk to exactly max_rows so ONE compiled program
+        # serves all passes (remote-compile runtimes pay dearly per shape).
+        self.pad_rows = pad_rows
+
+    def _run_probe_rows(self, specs, edited: bool):
+        """Run probe specs (chunked) → (accs, preds, masks) np arrays.
+
+        All chunks are dispatched before any result is fetched — JAX's
+        async dispatch pipelines device work across chunks, hiding
+        per-call latency (significant on tunneled runtimes).
+        """
+        vllm = self.editor.vllm
+        pending = []
+        for i in range(0, len(specs), self.max_rows):
+            chunk = specs[i:i + self.max_rows]
+            real = len(chunk)
+            if self.pad_rows and real < self.max_rows:
+                chunk = chunk + [chunk[-1]] * (self.max_rows - real)
+            prompts = [s.prompt for s in chunk]
+            images = [s.image for s in chunk]
+            targets = [s.target for s in chunk]
+            if edited:
+                qb = self.editor.build_query_batch(prompts, images, targets)
+                logits = self.editor.query_logits(qb)
+            else:
+                qb = vllm.encode_queries(prompts, images, targets)
+                logits = vllm.logits(qb.embeds, qb.kv_valid)
+            a, p = _metrics_jit(logits, qb.label_ids, qb.label_masks)
+            pending.append((real, a, p, qb.label_masks))
+        accs, preds, masks = [], [], []
+        for real, a, p, m in pending:
+            accs.append(np.asarray(a)[:real])
+            preds.append(np.asarray(p)[:real])
+            masks.append(np.asarray(m)[:real])
+        L = max(x.shape[1] for x in preds)
+
+        def padcat(xs):
+            return np.concatenate(
+                [np.pad(x, ((0, 0), (0, L - x.shape[1]))) for x in xs])
+
+        return np.concatenate(accs), padcat(preds), padcat(masks)
+
+    def evaluate_sequential_edit(self, edit_n: int = 10, random: bool = False,
+                                 seed: Optional[int] = None):
+        editor = self.editor
+        print("Evaluating (fused) %s on %s with sequential editing %s."
+              % (*editor.name_of_editor_and_model(), edit_n))
+
+        def split_data(data):
+            splits, counts, cur, cur_n = [], [], [], 0
+            for d in data:
+                cur.append(d)
+                cur_n += len(d.requests)
+                if cur_n >= edit_n:
+                    splits.append(cur)
+                    counts.append(cur_n)
+                    cur, cur_n = [], 0
+            return splits, counts
+
+        cases = list(self.eval_data.data)
+        if random:
+            seed = seed if seed is not None else int(np.random.randint(1, 999999))
+            np.random.default_rng(seed).shuffle(cases)
+        splits, split_ns = split_data(cases)
+        editor.restore_to_original_model()
+        results = []
+        for split in splits:
+            # Prepare: all locality probes of the split in one pass.
+            loc_specs, loc_slices = [], []
+            for case in split:
+                specs = [s for s in case_probe_specs(case)
+                         if s.kind == "locality"]
+                loc_slices.append((len(loc_specs), len(loc_specs) + len(specs),
+                                   specs))
+                loc_specs.extend(specs)
+            _, pre_preds, pre_masks = self._run_probe_rows(loc_specs, False)
+            befores = []
+            for lo, hi, specs in loc_slices:
+                befores.append({(s.sub, s.index): (pre_preds[j], pre_masks[j])
+                                for j, s in zip(range(lo, hi), specs)})
+            # Edit: batched when exactly equivalent.
+            requests = [r for case in split for r in case.requests]
+            start = time.time()
+            if editor.if_can_batch_edit():
+                editor.edit_batch(requests)
+            else:
+                for r in requests:
+                    editor.edit_one_piece(r)
+            per_edit = (time.time() - start) / max(len(requests), 1)
+            # Test: all probes of the split in one pass.
+            all_specs, slices = [], []
+            for case in split:
+                specs = case_probe_specs(case)
+                slices.append((len(all_specs), len(all_specs) + len(specs),
+                               specs))
+                all_specs.extend(specs)
+            accs, preds, masks = self._run_probe_rows(all_specs, True)
+            split_res = []
+            for case, before, (lo, hi, specs) in zip(split, befores, slices):
+                rd: Dict = {"reliability": [], "generality": {}, "locality": {}}
+                for j, s in zip(range(lo, hi), specs):
+                    entry = {"prompt": s.prompt, "image": s.image,
+                             "target": s.target}
+                    entry["predict_after_edit"] = editor.vllm.tokenizer.decode(
+                        preds[j][masks[j] == 1].tolist())
+                    if s.kind == "locality":
+                        ref_ids, ref_mask = before[(s.sub, s.index)]
+                        m = ref_mask.astype(np.float32)
+                        n = min(len(preds[j]), len(ref_ids))
+                        entry["acc"] = float(
+                            ((preds[j][:n] == ref_ids[:n]) * m[:n]).sum()
+                            / max(m.sum(), 1.0))
+                        entry["predict_before_edit"] = editor.vllm.tokenizer.decode(
+                            ref_ids[ref_mask == 1].tolist())
+                    else:
+                        entry["acc"] = float(accs[j])
+                        if s.kind == "reliability":
+                            entry["edit_time"] = per_edit
+                    if s.kind == "reliability":
+                        rd["reliability"].append(entry)
+                    else:
+                        rd[s.kind].setdefault(s.sub, []).append(entry)
+                split_res.append(rd)
+            editor.restore_to_original_model()
+            results.append(split_res)
+        save_dir = os.path.join(self.result_dir, "sequential_edit_%s" % edit_n)
+        prefix = "seed_%s_" % seed if random else ""
+        self.save_results(os.path.join(save_dir, prefix + "results.json"),
+                          results)
+        split_mean = [self.get_mean_results(sr) for sr in results]
+        for mr, n in zip(split_mean, split_ns):
+            mr["sequential_edit_n"] = n
+        total_mean = self.get_mean_results([r for sr in results for r in sr])
+        total_mean["total_edit_n"] = sum(split_ns)
+        self.save_results(
+            os.path.join(save_dir, prefix + "mean_results.json"),
+            {"total_mean": total_mean, "split_mean": split_mean})
+        return results

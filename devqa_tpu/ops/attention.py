@@ -84,7 +84,7 @@ def _flash_kernel(
     q_ref,        # VMEM [1, block_q, d]
     k_ref,        # VMEM [1, block_k, d]
     v_ref,        # VMEM [1, block_k, d]
-    mask_ref,     # VMEM [1, block_k] int32 kv-validity for this row/block
+    mask_ref,     # VMEM [1, 8, block_k] int32 kv-validity (sublane-tiled)
     o_ref,        # VMEM [1, block_q, d]
     m_scr,        # VMEM [block_q, 128] f32 running max
     l_scr,        # VMEM [block_q, 128] f32 running sum
@@ -94,6 +94,7 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     sm_scale: float,
+    kv_len: int,
 ):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
@@ -119,9 +120,12 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # [block_q, block_k]
-        mask = jnp.broadcast_to(mask_ref[0][None, :] > 0, s.shape)
+        mask = jnp.broadcast_to(mask_ref[0, 0][None, :] > 0, s.shape)
+        # Ragged tail block: keys past the true kv length are padding reads
+        # with undefined contents — mask them explicitly.
+        ki = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = jnp.logical_and(mask, ki < kv_len)
         if causal:
-            ki = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             qi = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             mask = jnp.logical_and(mask, ki <= qi)
         s = jnp.where(mask, s, NEG_INF)
@@ -168,7 +172,11 @@ def _flash_fwd(
     qr = q.reshape(b * h, lq, d)
     kr = k.reshape(b * h, lk, d)
     vr = v.reshape(b * h, lk, d)
-    maskr = kv_valid.astype(jnp.int32)  # [B, Lk]
+    # Sublane-tiled mask [B, 8, Lk]: TPU block specs need the 2nd-to-last
+    # block dim divisible by 8; broadcasting to 8 rows satisfies tiling at
+    # negligible cost.
+    maskr = jnp.broadcast_to(
+        kv_valid.astype(jnp.int32)[:, None, :], (b, 8, lk))
 
     num_heads = h
     kernel = functools.partial(
@@ -177,6 +185,7 @@ def _flash_fwd(
         block_q=block_q,
         block_k=block_k,
         sm_scale=sm_scale,
+        kv_len=lk,
     )
     out = pl.pallas_call(
         kernel,
@@ -186,7 +195,7 @@ def _flash_fwd(
             pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
             pl.BlockSpec(
-                (1, block_k), lambda bh, iq, ik: (bh // num_heads, ik)
+                (1, 8, block_k), lambda bh, iq, ik: (bh // num_heads, 0, ik)
             ),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
@@ -206,8 +215,20 @@ def _flash_fwd(
 
 
 def _on_tpu() -> bool:
+    """Use the Pallas kernel on single-device TPU. Multi-device GSPMD
+    programs fall back to XLA attention until the kernel is wrapped in
+    shard_map (the masking math is head-parallel so the wrap is
+    mechanical; tracked for the scaling pass). Override with
+    DEVQA_FORCE_FLASH=1 / DEVQA_DISABLE_FLASH=1."""
+    import os
+
+    if os.environ.get("DEVQA_DISABLE_FLASH") == "1":
+        return False
+    if os.environ.get("DEVQA_FORCE_FLASH") == "1":
+        return True
     try:
-        return jax.devices()[0].platform == "tpu"
+        devs = jax.devices()
+        return devs[0].platform == "tpu" and len(devs) == 1
     except RuntimeError:
         return False
 

@@ -1,0 +1,2 @@
+from .worker import ModelWorker  # noqa: F401
+from .controller import Controller  # noqa: F401

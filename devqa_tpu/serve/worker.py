@@ -1,0 +1,147 @@
+"""Model worker — the serving stack's inference node.
+
+TPU-native counterpart of the mPLUG-Owl2 serving worker the reference
+vendors (``easyeditor/trainer/mPLUG_Owl2/serve/model_worker.py:44`` —
+FastAPI worker streaming generations, registered with a controller).
+Stdlib HTTP (this image ships no fastapi); one worker owns one JaxVLLM
+(+ optionally an editor) and serves:
+
+  POST /generate        {"prompt": str, "image": path|null,
+                         "max_new_tokens": int}       → {"text": ...}
+  POST /edit            {"prompt","target_new","image"} → applies the edit
+  POST /restore                                         → resets edits
+  GET  /status                                          → worker metadata
+
+Generation is greedy full-recompute decoding (the domain's answers are a
+few tokens; prefix-cached decoding is a planned optimization).
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import decoder as dec
+
+
+class ModelWorker:
+    def __init__(self, vllm, editor=None, name: str = "worker"):
+        self.vllm = vllm
+        self.editor = editor
+        self.name = name
+        self._lock = threading.Lock()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # ---------------- inference ----------------
+
+    def generate(self, prompt: str, image: Optional[str] = None,
+                 max_new_tokens: int = 10) -> str:
+        """Greedy decode; edits apply through the attached editor's
+        query_logits. Token ids are appended directly (no decode/re-encode
+        round trips)."""
+        from ..data.xym import SampleTokens
+        from ..data.xym import batch_samples
+
+        vllm = self.vllm
+        with self._lock:
+            base_ids = list(vllm.tokenizer.encode(
+                vllm._prompt_text(prompt, image is not None)))
+            out_ids: list = []
+            for _ in range(max_new_tokens):
+                ids = np.asarray(base_ids + out_ids, np.int32)
+                sample = SampleTokens(input_ids=ids, prompt_len=len(ids),
+                                      image_id=image)
+                tb = batch_samples([sample], vllm.tokenizer.pad_token_id,
+                                   bucket_multiple=vllm.bucket_multiple,
+                                   min_len=vllm.min_len)
+                img_tokens, has = vllm.encode_images([image])
+                embeds, kv = vllm._assemble_jit(
+                    vllm.params, jnp.asarray(tb.input_ids),
+                    jnp.asarray(tb.attn_mask), img_tokens, jnp.asarray(has))
+                if self.editor is not None:
+                    from ..core.wrapper import QueryBatch
+
+                    qb = QueryBatch(
+                        embeds=embeds, kv_valid=kv,
+                        label_ids=jnp.zeros_like(kv),
+                        label_masks=jnp.zeros_like(kv),
+                        prompt_lens=np.asarray([len(ids)], np.int32),
+                        has_image=has, input_ids=tb.input_ids)
+                    logits = self.editor.query_logits(qb)
+                else:
+                    logits = vllm.logits(embeds, kv)
+                n = int(np.asarray(kv)[0].sum())
+                nxt = int(np.argmax(np.asarray(logits)[0, n - 1]))
+                if nxt in (vllm.tokenizer.pad_token_id,
+                           getattr(vllm.tokenizer, "eos_token_id", -1)):
+                    break
+                out_ids.append(nxt)
+            return vllm.tokenizer.decode(out_ids)
+
+    # ---------------- http ----------------
+
+    def handle(self, path: str, body: dict) -> dict:
+        if path == "/status":
+            edited = 0
+            if self.editor is not None and hasattr(self.editor, "state"):
+                st = self.editor.state
+                if isinstance(st, dict) and "count" in st:
+                    edited = int(st["count"])
+            return {"name": self.name, "model": self.vllm.cfg.name,
+                    "edits": edited}
+        if path == "/generate":
+            text = self.generate(body["prompt"], body.get("image"),
+                                 int(body.get("max_new_tokens", 10)))
+            return {"text": text}
+        if path == "/edit":
+            if self.editor is None:
+                return {"error": "no editor attached"}
+            with self._lock:
+                self.editor.edit_one_piece(body)
+            return {"ok": True}
+        if path == "/restore":
+            if self.editor is not None:
+                with self._lock:
+                    self.editor.restore_to_original_model()
+            return {"ok": True}
+        return {"error": "unknown endpoint %s" % path}
+
+    def serve(self, host: str = "127.0.0.1", port: int = 21002,
+              background: bool = False):
+        worker = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _respond(self, payload):
+                data = json.dumps(payload).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._respond(worker.handle(self.path, {}))
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                self._respond(worker.handle(self.path, body))
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if background:
+            t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+            t.start()
+            return self._httpd
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()

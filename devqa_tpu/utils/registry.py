@@ -1,0 +1,182 @@
+"""Model/editor factory — the ``utils/__init__.py`` of the reference
+(``get_full_model_name`` :29, ``load_vllm_for_edit`` :111,
+``load_vllm_editor`` if/elif registry :126-175), table-driven.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+MODEL_NAME_MAP = {
+    "blip2": "blip2-opt-2.7b",
+    "blip2-opt-2.7b": "blip2-opt-2.7b",
+    "llava": "llava-v1.5-7b",
+    "llava-v1.5-7b": "llava-v1.5-7b",
+    "minigpt4": "minigpt-4-vicuna-7b",
+    "minigpt-4-vicuna-7b": "minigpt-4-vicuna-7b",
+}
+
+EDITOR_NAMES = ("null", "ike", "ft_vl", "liveedit", "mend_vl", "serac_vl",
+                "tp_vl", "lte_vl", "recipe_vl", "lemoe_vl")
+
+
+def get_full_model_name(name: str) -> str:
+    key = name.lower()
+    if key not in MODEL_NAME_MAP:
+        raise ValueError("unknown model name: %s (known: %s)"
+                         % (name, sorted(set(MODEL_NAME_MAP.values()))))
+    return MODEL_NAME_MAP[key]
+
+
+def model_config(full_name: str):
+    from ..core import vllm as V
+
+    return {
+        "blip2-opt-2.7b": V.blip2_opt_2_7b_config,
+        "llava-v1.5-7b": V.llava_v15_7b_config,
+        "minigpt-4-vicuna-7b": V.minigpt4_vicuna_7b_config,
+    }[full_name]()
+
+
+def load_vllm_for_edit(
+    model_name: str,
+    weights_dir: Optional[str] = None,
+    dtype=jnp.bfloat16,
+    image_provider=None,
+    tokenizer=None,
+    seed: int = 0,
+):
+    """Build a JaxVLLM for the named backbone.
+
+    ``weights_dir``: a local HF checkpoint directory → torch-load +
+    convert (core/convert_hf.py). None → random init (benchmarks, tests;
+    this environment has no model downloads).
+    """
+    from ..core import vllm as V
+    from ..core.tokenizer import HFTokenizerAdapter, ToyTokenizer
+    from ..core.wrapper import JaxVLLM
+    from ..data.images import FileImageProvider, SyntheticImageProvider
+
+    cfg = model_config(get_full_model_name(model_name))
+    if weights_dir is not None:
+        from ..core import convert_hf
+
+        import transformers
+
+        if cfg.bridge == "qformer" and "blip2" in cfg.name:
+            hf = transformers.Blip2ForConditionalGeneration.from_pretrained(
+                weights_dir)
+            params = convert_hf.convert_blip2(
+                convert_hf.torch_state_dict_to_numpy(hf), cfg)
+        elif cfg.bridge == "mlp":
+            hf = transformers.LlavaForConditionalGeneration.from_pretrained(
+                weights_dir)
+            params = convert_hf.convert_llava(
+                convert_hf.torch_state_dict_to_numpy(hf), cfg)
+        else:
+            raise NotImplementedError(
+                "MiniGPT-4 weights ship as LAVIS checkpoints; use "
+                "core.convert_hf pieces (vit/qformer/llama) directly.")
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        if tokenizer is None:
+            tokenizer = HFTokenizerAdapter(
+                transformers.AutoTokenizer.from_pretrained(weights_dir))
+        if image_provider is None:
+            image_provider = FileImageProvider(cfg.vit.image_size)
+    else:
+        params = V.init_vllm_params(cfg, jax.random.PRNGKey(seed), dtype)
+        if tokenizer is None:
+            tokenizer = ToyTokenizer(vocab_size=cfg.decoder.vocab_size)
+        if image_provider is None:
+            image_provider = SyntheticImageProvider(cfg.vit.image_size)
+    return JaxVLLM(cfg, params, tokenizer, image_provider)
+
+
+def get_editor_config_path(editor_name: str, full_model_name: str,
+                           configs_dir: str = "configs") -> str:
+    return os.path.join(configs_dir, editor_name, full_model_name + ".yaml")
+
+
+def load_vllm_editor(
+    editor_name: str,
+    model_name: str,
+    *,
+    vllm=None,
+    weights_dir: Optional[str] = None,
+    config_path: Optional[str] = None,
+    configs_dir: str = "configs",
+    ckpt_path: Optional[str] = None,
+    sentence_encoder=None,
+    for_train: bool = False,
+    seed: int = 0,
+):
+    """Name → configured editor instance (the reference's registry chain,
+    utils/__init__.py:126-175)."""
+    editor_name = editor_name.lower()
+    full = get_full_model_name(model_name)
+    if vllm is None:
+        vllm = load_vllm_for_edit(full, weights_dir, seed=seed)
+    if sentence_encoder is None:
+        from ..retrieval.store import hash_encoder
+
+        sentence_encoder = hash_encoder(384)
+
+    cpath = config_path or get_editor_config_path(editor_name, full, configs_dir)
+    has_cfg_file = os.path.exists(cpath)
+
+    def cfg_of(cls):
+        return cls.from_yaml(cpath) if has_cfg_file else cls(edit_model_name=full)
+
+    if editor_name == "null":
+        from ..editors.null import NullEditor
+
+        return NullEditor(vllm)
+    if editor_name == "ft_vl":
+        from ..editors.ft_vl import FTvl, FTvlConfig
+
+        return FTvl(vllm, cfg_of(FTvlConfig))
+    if editor_name == "liveedit":
+        from ..editors.liveedit import LiveEditConfig, LiveEditTrainable
+
+        editor = LiveEditTrainable(vllm, cfg_of(LiveEditConfig), seed=seed)
+    elif editor_name == "mend_vl":
+        from ..editors.mend_vl import MENDvlConfig, MENDvlTrainable
+
+        editor = MENDvlTrainable(vllm, cfg_of(MENDvlConfig), seed=seed)
+    elif editor_name == "serac_vl":
+        from ..editors.serac_vl import SERACvlConfig, SERACvlTrainable
+
+        editor = SERACvlTrainable(vllm, cfg_of(SERACvlConfig), seed=seed)
+    elif editor_name == "tp_vl":
+        from ..editors.tp_vl import TPvl, TPvlConfig
+
+        return TPvl(vllm, cfg_of(TPvlConfig), seed=seed)
+    elif editor_name == "lte_vl":
+        from ..editors.lte_vl import LTEvlConfig, LTEvlTrainable
+
+        editor = LTEvlTrainable(vllm, cfg_of(LTEvlConfig), sentence_encoder,
+                                seed=seed)
+    elif editor_name == "recipe_vl":
+        from ..editors.recipe_vl import RECIPEvlConfig, RECIPEvlTrainable
+
+        editor = RECIPEvlTrainable(vllm, cfg_of(RECIPEvlConfig),
+                                   vllm.tokenizer, seed=seed)
+    elif editor_name == "lemoe_vl":
+        from ..editors.lemoe_vl import LEMoEvl, LEMoEvlConfig
+
+        return LEMoEvl(vllm, cfg_of(LEMoEvlConfig), seed=seed)
+    elif editor_name == "ike":
+        raise ValueError("IKE needs a demonstration store; construct "
+                         "editors.ike.IKE directly with encode_ike_facts().")
+    else:
+        raise ValueError("unknown editor: %s (known: %s)"
+                         % (editor_name, EDITOR_NAMES))
+
+    if ckpt_path:
+        from ..train.loop import load_editor_ckpt
+
+        load_editor_ckpt(editor, ckpt_path)
+    return editor

@@ -239,3 +239,30 @@ class TestLlavaParity:
             img_tokens, jnp.array([1]))
         ours = vllm_mod.vllm_logits(params, cfg, embeds, kv)
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
+
+
+class TestBertParity:
+    def test_bert(self):
+        from transformers import BertConfig as HFBertConfig, BertModel
+
+        from devqa_tpu.core import bert as bert_mod
+
+        hf_cfg = HFBertConfig(
+            vocab_size=100, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64)
+        torch.manual_seed(5)
+        model = BertModel(hf_cfg).eval()
+        cfg = bert_mod.BertConfig(vocab_size=100, d_model=32, n_layers=2,
+                                  n_heads=2, d_ffn=64, max_positions=64)
+        params = bert_mod.convert_hf_bert(
+            convert_hf.torch_state_dict_to_numpy(model), cfg)
+        ids = np.array([[2, 8, 31, 7, 0, 0]])
+        mask = np.array([[1, 1, 1, 1, 0, 0]])
+        with torch.no_grad():
+            ref = model(input_ids=torch.tensor(ids),
+                        attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+        ours = bert_mod.bert_encode(params, cfg, input_ids=jnp.asarray(ids),
+                                    attention_mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(ours)[:, :4], ref[:, :4],
+                                   rtol=2e-4, atol=2e-4)

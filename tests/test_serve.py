@@ -1,0 +1,75 @@
+"""Serving stack: worker HTTP endpoints + controller dispatch."""
+import json
+import socket
+import urllib.request
+
+import pytest
+
+from helpers import make_tiny_vllm
+
+from devqa_tpu.editors.liveedit import LiveEdit
+from devqa_tpu.serve import Controller, ModelWorker
+from test_liveedit import tiny_liveedit_cfg
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def post(url, body):
+    req = urllib.request.Request(url, data=json.dumps(body).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def served():
+    vllm = make_tiny_vllm()
+    editor = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=3)
+    worker = ModelWorker(vllm, editor, name="w0")
+    wport = free_port()
+    worker.serve(port=wport, background=True)
+    ctl = Controller()
+    cport = free_port()
+    ctl.serve(port=cport, background=True)
+    post("http://127.0.0.1:%d/register_worker" % cport,
+         {"name": "w0", "url": "http://127.0.0.1:%d" % wport})
+    yield wport, cport, worker, ctl
+    worker.shutdown()
+    ctl.shutdown()
+
+
+class TestServe:
+    def test_status_and_generate(self, served):
+        wport, cport, worker, ctl = served
+        with urllib.request.urlopen(
+                "http://127.0.0.1:%d/status" % wport, timeout=60) as r:
+            st = json.loads(r.read())
+        assert st["model"] == "tiny-opt" and st["edits"] == 0
+        out = post("http://127.0.0.1:%d/generate" % wport,
+                   {"prompt": "what is in the image The answer is:",
+                    "image": "imgZ.jpg", "max_new_tokens": 3})
+        assert "text" in out
+
+    def test_edit_via_controller(self, served):
+        wport, cport, worker, ctl = served
+        lst = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:%d/list_workers" % cport, timeout=60).read())
+        assert lst["workers"] == ["w0"]
+        r = post("http://127.0.0.1:%d/edit" % cport,
+                 {"prompt": "what animal is this The answer is:",
+                  "image": "imgZ.jpg", "target_new": "a lynx"})
+        assert r.get("ok")
+        st = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:%d/status" % wport, timeout=60).read())
+        assert st["edits"] == 1
+        r = post("http://127.0.0.1:%d/restore" % cport, {})
+        assert r.get("ok")
+        st = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:%d/status" % wport, timeout=60).read())
+        assert st["edits"] == 0

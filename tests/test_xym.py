@@ -119,3 +119,33 @@ class TestTokenBatchEquivalence:
         s = tokenize_sample(tok, "a", "b", image_id="img_7")
         tb = batch_samples([s], tok.pad_token_id)
         assert tb.image_ids == ["img_7"]
+
+
+class TestNativePacker:
+    def test_native_matches_numpy(self, tok):
+        """The C packer and the NumPy fallback must agree bit-for-bit."""
+        import numpy as np
+
+        from devqa_tpu import native
+
+        ids_list = [np.asarray(tok.encode("a b c d"), np.int32),
+                    np.asarray(tok.encode("x y"), np.int32)]
+        plens = [3, 2]
+        got = native.pack_samples_native(ids_list, plens, tok.pad_token_id, 8)
+        # force fallback path
+        saved = native._fastpack
+        native._fastpack = False
+        try:
+            want = native.pack_samples_native(ids_list, plens,
+                                              tok.pad_token_id, 8)
+        finally:
+            native._fastpack = saved
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    def test_native_built(self):
+        from devqa_tpu import native
+
+        # the toolchain is available in this environment; the extension
+        # must actually build (fallback is for restricted installs)
+        assert native.have_native()
