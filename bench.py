@@ -58,8 +58,7 @@ def main():
     from devqa_tpu.data.images import SyntheticImageProvider
     from devqa_tpu.data.schema import EVQA
     from devqa_tpu.editors.liveedit import LiveEdit, LiveEditConfig
-    from devqa_tpu.eval.harness import (EditorEvaluation,
-                                        FusedEditorEvaluation,
+    from devqa_tpu.eval.harness import (FusedEditorEvaluation,
                                         case_probe_specs)
     from devqa_tpu.retrieval.store import hash_encoder
 
@@ -119,31 +118,34 @@ def main():
         log("fused: %.2fs for %d cases → %.3f cases/s" %
             (fused_dt, n_timed, fused_cps))
 
-        # ---- reference-protocol path (batch-1 probes, no vision cache) ----
+        # ---- reference-protocol path (batch-1 probes, no vision cache,
+        # no image-batch padding — the torch loop encodes one image at a
+        # time) ----
         from devqa_tpu.core.losses import token_accuracy
 
-        ev = EditorEvaluation(editor, data, evaluation_name="bench2",
-                              results_dir=os.path.join(tmp, "res2"))
+        vllm_base = JaxVLLM(cfg, params, tok, provider, bucket_multiple=32,
+                            min_len=96, img_cache_size=256, img_batch_pad=1)
+        editor_base = LiveEdit(vllm_base, lcfg, seed=0)
         metrics = jax.jit(token_accuracy)
 
         def run_case_unbatched(case):
             for s in case_probe_specs(case):
                 if s.kind != "locality":
                     continue
-                vllm.clear_image_cache()
-                qb = vllm.encode_queries([s.prompt], [s.image], [s.target])
-                a, _ = metrics(vllm.logits(qb.embeds, qb.kv_valid),
+                vllm_base.clear_image_cache()
+                qb = vllm_base.encode_queries([s.prompt], [s.image], [s.target])
+                a, _ = metrics(vllm_base.logits(qb.embeds, qb.kv_valid),
                                qb.label_ids, qb.label_masks)
                 a.block_until_ready()
-            editor.edit_one_piece(case.requests[0])
+            editor_base.edit_one_piece(case.requests[0])
             for s in case_probe_specs(case):
-                vllm.clear_image_cache()
-                qb = vllm.encode_queries([s.prompt], [s.image], [s.target])
-                a, _ = metrics(editor.query_logits(qb), qb.label_ids,
+                vllm_base.clear_image_cache()
+                qb = vllm_base.encode_queries([s.prompt], [s.image], [s.target])
+                a, _ = metrics(editor_base.query_logits(qb), qb.label_ids,
                                qb.label_masks)
                 a.block_until_ready()
 
-        editor.restore_to_original_model()
+        editor_base.restore_to_original_model()
         base_cases = cases[-8:]
         for c in base_cases[:2]:
             run_case_unbatched(c)

@@ -388,3 +388,86 @@ def decoder_forward_with_fc_probes(
     h = _scan_layers(params["layers"], cfg, h, kv_valid, positions,
                      cur, cfg.n_layers, False)
     return decoder_logits(params, cfg, h), xs
+
+
+# ---------------------------------------------------------------------------
+# mPLUG-Owl2: modality-adaptive LLaMA variant
+# ---------------------------------------------------------------------------
+
+def mplug_owl2_config() -> DecoderConfig:
+    """mPLUG-Owl2's modality-adaptive LLaMA-2-7b
+    (easyeditor/trainer/mPLUG_Owl2/mplug_owl2/model/modeling_llama2.py):
+    k_proj, v_proj and both layer norms are two-way (text / visual,
+    MultiwayNetwork — modeling_llama2.py:19-34,66-69,186-189); q/o and the
+    MLP are shared."""
+    return DecoderConfig(
+        arch="mplug_owl2", vocab_size=32000, d_model=4096, n_layers=32,
+        n_heads=32, d_ffn=11008, activation="silu",
+        tie_word_embeddings=False, norm_eps=1e-6, max_positions=4096,
+    )
+
+
+def init_mplug_owl2_decoder_params(cfg: DecoderConfig, key,
+                                   dtype=jnp.float32):
+    """LLaMA params + the visual second way for k/v/norms."""
+    base_cfg = dataclasses.replace(cfg, arch="llama")
+    params = init_decoder_params(base_cfg, key, dtype)
+    d = cfg.d_model
+    ks = jax.random.split(jax.random.fold_in(key, 7), 4)
+    n = cfg.n_layers
+    extra = {
+        "ln1_vis": {"scale": jnp.ones((n, d), dtype)},
+        "ln2_vis": {"scale": jnp.ones((n, d), dtype)},
+        "k_vis": {"w": jax.random.normal(ks[0], (n, d, d), dtype) * 0.02},
+        "v_vis": {"w": jax.random.normal(ks[1], (n, d, d), dtype) * 0.02},
+    }
+    params["layers"] = {**params["layers"], **extra}
+    return params
+
+
+def mplug_owl2_layer(p, cfg: DecoderConfig, h, kv_valid, positions,
+                     modality, mlp_residual_fn=None):
+    """One modality-adaptive layer. ``modality`` [B, L]: 1 = visual token.
+
+    JAX realization of MultiwayNetwork: compute both ways densely and
+    select per token (no gather/scatter — the 2nd k/v matmul is the only
+    extra cost, and it runs on the MXU).
+    """
+    act = ACTIVATIONS[cfg.activation]
+    m = modality[..., None].astype(h.dtype)
+
+    def mw_norm(scale_t, scale_v, x):
+        return (rms_norm(x, scale_t, cfg.norm_eps) * (1 - m)
+                + rms_norm(x, scale_v, cfg.norm_eps) * m)
+
+    h_norm = mw_norm(p["ln1"]["scale"], p["ln1_vis"]["scale"], h)
+    q = _split_heads(linear(h_norm, p["q"]["w"]), cfg.n_heads)
+    k_t = linear(h_norm, p["k"]["w"])
+    k_v = linear(h_norm, p["k_vis"]["w"])
+    v_t = linear(h_norm, p["v"]["w"])
+    v_v = linear(h_norm, p["v_vis"]["w"])
+    k = _split_heads(k_t * (1 - m) + k_v * m, cfg.n_heads)
+    v = _split_heads(v_t * (1 - m) + v_v * m, cfg.n_heads)
+    q, k = _rope(q, k, positions, cfg.rope_theta)
+    o = multihead_attention(q, k, v, kv_valid=kv_valid, causal=True)
+    h = h + linear(_merge_heads(o), p["o"]["w"])
+    x = mw_norm(p["ln2"]["scale"], p["ln2_vis"]["scale"], h)
+    mlp = linear(act(linear(x, p["gate"]["w"])) * linear(x, p["up"]["w"]),
+                 p["down"]["w"])
+    if mlp_residual_fn is not None:
+        mlp = mlp + mlp_residual_fn(x)
+    return h + mlp
+
+
+def mplug_owl2_forward(params, cfg: DecoderConfig, inputs_embeds, kv_valid,
+                       modality, lo: int = 0, hi: Optional[int] = None):
+    """Scan-stacked modality-adaptive forward (no interventions yet;
+    editors target the shared MLP, which reuses the generic machinery)."""
+    hi = cfg.n_layers if hi is None else hi
+    positions = positions_from_mask(kv_valid)
+    seg = jax.tree.map(lambda x: x[lo:hi], params["layers"])
+    h, _ = jax.lax.scan(
+        lambda c, p: (mplug_owl2_layer(p, cfg, c, kv_valid, positions,
+                                       modality), None),
+        inputs_embeds, seg)
+    return h

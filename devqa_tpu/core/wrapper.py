@@ -235,6 +235,19 @@ class JaxVLLM:
         return self._resume_jit(self.params if params is None else params,
                                 (hidden, kv_valid), layer)
 
+    def find_closest_tokens(self, embeddings, top_k: int = 1):
+        """Nearest vocabulary tokens by cosine similarity
+        (``BaseVLLMForEdit.find_closest_tokens``, base.py:187-196).
+        embeddings [B, L, d] → (token ids [B, L, k], sims [B, L, k])."""
+        emb = self.params["decoder"]["embed_tokens"]
+        e = embeddings / jnp.maximum(
+            jnp.linalg.norm(embeddings, axis=-1, keepdims=True), 1e-12)
+        m = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True),
+                              1e-12)
+        sim = jnp.einsum("bld,vd->blv", e, m)
+        sims, toks = jax.lax.top_k(sim, top_k)
+        return toks, sims
+
     def decode_supervised(self, pred_ids, label_masks, row: int) -> str:
         """Decode a row's predictions at supervised positions — the
         reference's ``tokenizer.decode(pre_y[label_masks.to(bool)])``."""

@@ -76,6 +76,11 @@ class LiveEditConfig(BaseConfig):
     llm_mid_dim: int = 2560
     edit_layer_i: int = 21
     max_edits: int = 1024  # pool capacity (TPU addition; reference grows unbounded)
+    # Residual mixing gathers only the top-K hard-gated experts instead of
+    # einsumming the whole pool (O(M) per token). Exact whenever the hard
+    # gate selects ≤ K experts (the paper's routing selects ~0-2); cost
+    # drops from M=1024 to K per token.
+    retrieve_top_k: int = 32
 
 
 def init_liveedit_params(cfg: LiveEditConfig, img_token_n: int, key):
@@ -180,12 +185,21 @@ def make_residual_fn(params, cfg: LiveEditConfig, state, vt_range,
         iqr = M.qv_extract_query(inpt, hn, h, query_mask)
         q_sim = jnp.einsum("bed,med->bm", iqr, state["eqr"]) / iqr.shape[1]
         q_sim = q_sim * sim_scale
-        fuse = fuse_coefficients(q_sim, selected)  # [B, M]
+        # Top-K expert gather: restrict the mixture to the K best-gated
+        # experts per row (exact when ≤ K pass the hard gate).
+        K = min(cfg.retrieve_top_k, cfg.max_edits)
+        gate_score = jnp.where(selected, vis_sim, M.NEG_INF)
+        topv, topi = jax.lax.top_k(gate_score, K)          # [B, K]
+        sel_k = topv > M.NEG_INF / 2
+        q_sim_k = jnp.take_along_axis(q_sim, topi, axis=1)  # [B, K]
+        fuse = fuse_coefficients(q_sim_k, sel_k)            # [B, K]
+        mc = state["moe_c"][topi]                           # [B, K, r, d]
+        mr = state["moe_r"][topi]
         # residual (liveedit.py:186-190): relu-LoRA mixture
         x = layer_norm(h, params["instant_reps_norm"]["scale"],
                        params["instant_reps_norm"]["bias"])
-        t = jax.nn.relu(jnp.einsum("bld,mrd->blmr", x, state["moe_c"]))
-        res = jnp.einsum("blmr,mrd,bm->bld", t, state["moe_r"], fuse)
+        t = jax.nn.relu(jnp.einsum("bld,bkrd->blkr", x, mc))
+        res = jnp.einsum("blkr,bkrd,bk->bld", t, mr, fuse)
         return h + res
 
     return fn
@@ -462,25 +476,38 @@ class LiveEditTrainingMixin:
                 rel_logits, batch["label_ids"][rel], batch["label_masks"][rel])
             logs["rel_loss"] = rel_loss
             total = total + rel_loss * tc.rel_lambda
-            # Generality
-            gen_loss = 0.0
-            for gi in range(G):
-                rows = rows_of(gi, B)
-                gl = _per_row_label_loss(
-                    edited_logits(rows, batch["gen_mask"]),
-                    batch["label_ids"][rows], batch["label_masks"][rows])
-                gen_loss = gen_loss + gl
+
+            def per_key_rows(logits, rows, n_keys, kl_pre=None):
+                """Per-key token-mean losses from ONE batched forward."""
+                m = batch["label_masks"][rows].astype(jnp.float32)
+                if kl_pre is None:
+                    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                    picked = jnp.take_along_axis(
+                        logp, batch["label_ids"][rows][..., None], -1)[..., 0]
+                    per_row = (-(picked * m).sum(-1)
+                               / jnp.maximum(m.sum(-1), 1.0))
+                else:
+                    lp1 = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                    lp2 = jax.nn.log_softmax(kl_pre.astype(jnp.float32), -1)
+                    klv = (jnp.exp(lp1) * (lp1 - lp2)).sum(-1)
+                    per_row = ((klv * m).sum(-1)
+                               / jnp.maximum(m.sum(-1), 1.0))
+                return per_row.reshape(n_keys, B).mean(1).sum()
+
+            # Generality: ALL G·B rows in one suffix forward (per-key means
+            # recovered by reshape — identical math to the per-key loop)
+            gen_rows = B + jnp.arange(G * B)
+            gen_logits = edited_logits(gen_rows,
+                                       jnp.tile(batch["gen_mask"], (G, 1)))
+            gen_loss = per_key_rows(gen_logits, gen_rows, G)
             logs["gen_loss"] = gen_loss
             total = total + gen_loss * tc.gen_lambda
-            # Locality (KL to unedited logits)
-            loc_loss = 0.0
-            for ki in range(K):
-                rows = rows_of(ki, B * (1 + G))
-                pre = jax.lax.stop_gradient(suffix(reps[rows], kv[rows]))
-                ll = _per_row_kl_loss(
-                    edited_logits(rows, batch["loc_mask"]), pre,
-                    batch["label_masks"][rows])
-                loc_loss = loc_loss + ll
+            # Locality: one batched forward + KL to the unedited suffix
+            loc_rows = B * (1 + G) + jnp.arange(K * B)
+            pre = jax.lax.stop_gradient(suffix(reps[loc_rows], kv[loc_rows]))
+            loc_logits = edited_logits(loc_rows,
+                                       jnp.tile(batch["loc_mask"], (K, 1)))
+            loc_loss = per_key_rows(loc_logits, loc_rows, K, kl_pre=pre)
             logs["loc_loss"] = loc_loss
             total = total + loc_loss * tc.loc_lambda
             # Soft-routing contrastive (liveedit.py:424-438)

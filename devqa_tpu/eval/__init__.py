@@ -1,1 +1,1 @@
-from .harness import EditorEvaluation  # noqa: F401
+from .harness import EditorEvaluation, FusedEditorEvaluation, case_probe_specs  # noqa: F401

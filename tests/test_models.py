@@ -212,3 +212,29 @@ class TestLosses:
         logits = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8))
         masks = jnp.ones((1, 4), jnp.int32)
         assert abs(float(logit_kl_loss(logits, logits, masks))) < 1e-6
+
+
+class TestMPlugOwl2:
+    def test_modality_adaptive_forward(self):
+        cfg = dec.DecoderConfig(
+            arch="mplug_owl2", vocab_size=64, d_model=16, n_layers=2,
+            n_heads=2, d_ffn=32, activation="silu",
+            tie_word_embeddings=False, norm_eps=1e-6, max_positions=64)
+        params = dec.init_mplug_owl2_decoder_params(cfg, jax.random.PRNGKey(0))
+        ids = (jnp.arange(10)[None, :] * 3) % cfg.vocab_size
+        h0 = dec.embed_tokens(params, cfg, ids)
+        kv = jnp.ones((1, 10), jnp.int32)
+        modality = jnp.zeros((1, 10), jnp.int32).at[0, 2:6].set(1)
+        h = dec.mplug_owl2_forward(params, cfg, h0, kv, modality)
+        logits = dec.decoder_logits(params, cfg, h)
+        assert logits.shape == (1, 10, 64)
+        assert np.isfinite(np.asarray(logits)).all()
+        # modality flip must change outputs (the visual way differs)
+        h2 = dec.mplug_owl2_forward(params, cfg, h0, kv,
+                                    jnp.zeros((1, 10), jnp.int32))
+        assert not np.allclose(np.asarray(h), np.asarray(h2))
+        # all-text modality == plain llama layer path on shared weights
+        llama_cfg = cfg.replace(arch="llama")
+        h3 = dec.decoder_forward(params, llama_cfg, h0, kv)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h3),
+                                   rtol=1e-5, atol=1e-6)
