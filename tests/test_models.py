@@ -238,3 +238,34 @@ class TestMPlugOwl2:
         h3 = dec.decoder_forward(params, llama_cfg, h0, kv)
         np.testing.assert_allclose(np.asarray(h2), np.asarray(h3),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestMiniGPT4Composition:
+    def test_minigpt4_style_end_to_end(self):
+        """MiniGPT-4 shape: llama decoder + qformer bridge + vision slot
+        after BOS (vt_range [1, 1+V], minigpt4.py:33-78)."""
+        cfg = vllm_mod.tiny_vllm_config("llama", img_slot_pos=1)
+        assert cfg.vt_range == (1, 1 + cfg.n_img_tokens)
+        params = vllm_mod.init_vllm_params(cfg, jax.random.PRNGKey(11))
+        px = jax.random.normal(jax.random.PRNGKey(12), (1, 16, 16, 3))
+        img = vllm_mod.encode_image(params, cfg, px)
+        ids = (jnp.arange(8)[None, :] + 1) % cfg.decoder.vocab_size
+        embeds, kv = vllm_mod.assemble_embeds(
+            params, cfg, ids, jnp.ones((1, 8), jnp.int32), img, jnp.array([1]))
+        # layout: [BOS][V img slots][text 7]
+        assert embeds.shape[1] == 8 + cfg.n_img_tokens
+        logits = vllm_mod.vllm_logits(params, cfg, embeds, kv)
+        assert np.isfinite(np.asarray(logits)).all()
+        # no-image row equals bare text (llama/rope positions via cumsum)
+        junk = jnp.full_like(img, 5.0)
+        e2, kv2 = vllm_mod.assemble_embeds(
+            params, cfg, ids, jnp.ones((1, 8), jnp.int32), junk, jnp.array([0]))
+        slotted = vllm_mod.vllm_logits(params, cfg, e2, kv2)
+        from devqa_tpu.core import decoder as D
+        h = D.embed_tokens(params["decoder"], cfg.decoder, ids)
+        bare = D.decoder_apply(params["decoder"], cfg.decoder, h,
+                               jnp.ones((1, 8), jnp.int32))
+        V = cfg.n_img_tokens
+        np.testing.assert_allclose(np.asarray(bare)[0, 1:],
+                                   np.asarray(slotted)[0, 1 + V:],
+                                   rtol=1e-4, atol=1e-5)
