@@ -89,31 +89,37 @@ def main():
         data = EVQA(path, tmp, encoder=hash_encoder(16))
         cases = data.data
 
-        # ---- fused split pipeline ----
-        fe = FusedEditorEvaluation(editor, data, evaluation_name="bench",
-                                   results_dir=os.path.join(tmp, "res"),
-                                   max_rows=60, pad_rows=True)
+        # ---- fused split pipeline (public API, chunk=30 rows: the 9-loc /
+        # 12-probe grids divide evenly → zero pad waste, one compiled
+        # program per pass kind) ----
+        import copy
 
-        def run_split(split):
-            loc_specs = [s for c in split for s in case_probe_specs(c)
-                         if s.kind == "locality"]
-            fe._run_probe_rows(loc_specs, False)
-            editor.edit_batch([c.requests[0] for c in split])
-            all_specs = [s for c in split for s in case_probe_specs(c)]
-            fe._run_probe_rows(all_specs, True)
-            editor.restore_to_original_model()
+        def sliced(lo, hi):
+            d = copy.copy(data)
+            d.cases = cases[lo:hi]
+            return d
+
+        import contextlib
+
+        def run_fused(eval_data, name):
+            fe = FusedEditorEvaluation(
+                editor, eval_data, evaluation_name=name,
+                results_dir=os.path.join(tmp, "res"),
+                max_rows=30, pad_rows=True, hoist_pre=True)
+            # Keep stdout clean: the driver expects exactly one JSON line.
+            with contextlib.redirect_stdout(sys.stderr):
+                fe.evaluate_sequential_edit(edit_n=SPLIT)
 
         editor.restore_to_original_model()
-        for i in range(n_warm_splits):
-            t1 = time.time()
-            run_split(cases[i * SPLIT:(i + 1) * SPLIT])
-            log("warm split %d: %.1fs" % (i, time.time() - t1))
+        t1 = time.time()
+        run_fused(sliced(0, SPLIT * n_warm_splits), "warm")
+        log("warm (%d cases): %.1fs" % (SPLIT * n_warm_splits, time.time() - t1))
         jax.effects_barrier()
-        t0 = time.time()
-        for i in range(n_warm_splits, n_warm_splits + n_timed_splits):
-            run_split(cases[i * SPLIT:(i + 1) * SPLIT])
-        fused_dt = time.time() - t0
         n_timed = SPLIT * n_timed_splits
+        t0 = time.time()
+        run_fused(sliced(SPLIT * n_warm_splits,
+                         SPLIT * n_warm_splits + n_timed), "timed")
+        fused_dt = time.time() - t0
         fused_cps = n_timed / fused_dt
         log("fused: %.2fs for %d cases → %.3f cases/s" %
             (fused_dt, n_timed, fused_cps))

@@ -99,18 +99,29 @@ class JaxVLLM:
         todo = [p for p in dict.fromkeys(paths)
                 if p is not None and p not in self._img_cache]
         if todo:
-            n = len(todo)
-            pad = (-n) % self.img_batch_pad
-            imgs = [self.image_provider(p) for p in todo]
-            imgs.extend([imgs[0]] * pad)
-            u8 = jnp.asarray(np.stack(imgs))
-            toks = self._encode_images_jit(self.params, u8)
-            for i, p in enumerate(todo):
-                self._img_cache[p] = toks[i]
-                self._img_cache.move_to_end(p)
+            # Encode in FIXED-size device batches of exactly img_batch_pad
+            # rows (last batch padded by repetition). Padding the whole todo
+            # list to a *multiple* instead makes the batch shape a function
+            # of how many images missed the cache — on a remote-compile
+            # runtime every new unique-count costs a 30-90s XLA compile.
+            # Fixed-size chunks keep the compiled encode program count at 1.
+            bp = self.img_batch_pad
+            for lo in range(0, len(todo), bp):
+                chunk = todo[lo:lo + bp]
+                imgs = [self.image_provider(p) for p in chunk]
+                imgs.extend([imgs[0]] * (bp - len(chunk)))
+                u8 = jnp.asarray(np.stack(imgs))
+                toks = self._encode_images_jit(self.params, u8)
+                for i, p in enumerate(chunk):
+                    self._img_cache[p] = toks[i]
+                    self._img_cache.move_to_end(p)
             while len(self._img_cache) > self._img_cache_size:
                 self._img_cache.popitem(last=False)
-        zero = jnp.zeros((V, d), jnp.float32)
+        if self._img_cache:
+            zdtype = next(iter(self._img_cache.values())).dtype
+        else:
+            zdtype = self.params["decoder"]["embed_tokens"].dtype
+        zero = jnp.zeros((V, d), zdtype)
         rows = [self._img_cache[p] if p is not None else zero for p in paths]
         for p in paths:
             if p is not None:
