@@ -85,6 +85,7 @@ class LTEvl(VLLMEditor):
         self.retr_pool = np.zeros((cfg.max_edits, cfg.retrieval_embed_dim),
                                   np.float32)
         self.requests: List[EditRequest] = []
+        self._last_prompts: List[str] = []
 
     # ------------------------------------------------------------------
 

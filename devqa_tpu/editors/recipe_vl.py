@@ -175,6 +175,7 @@ class RECIPEvl(VLLMEditor):
         }
         proto = krm_prototype(self.params, cfg)
         self.state["knowl_reps"] = self.state["knowl_reps"].at[0].set(proto[0])
+        self._last_prompts: List[str] = []
 
     # ------------------------------------------------------------------
 

@@ -51,6 +51,24 @@ class ProbeSpec:
     target: str
 
 
+def locality_agreement(pre_ids, pre_mask, post_ids, post_mask) -> float:
+    """Locality drift: fraction of the pre-edit supervised span whose
+    argmax prediction is unchanged post-edit.
+
+    Extracts each row's predictions at its OWN supervised (mask==1)
+    positions before comparing — prompt-space editors (IKE/HICE prepend
+    ICL text, RECIPE drops images) shift the span's absolute position
+    between the pre- and post-edit batches, and the two batches may
+    bucket to different padded widths. The reference end-aligns via
+    ``logits[:, -l2:]`` (vllm_editor_eval.py:167-174); span-relative
+    extraction is the same thing, robust to both shifts.
+    """
+    a = np.asarray(pre_ids)[np.asarray(pre_mask) == 1]
+    b = np.asarray(post_ids)[np.asarray(post_mask) == 1]
+    n = min(len(a), len(b))
+    return float((a[:n] == b[:n]).sum() / max(len(a), 1))
+
+
 def case_probe_specs(case: TestCase) -> List[ProbeSpec]:
     specs = []
     for i, r in enumerate(case.requests):
@@ -103,11 +121,10 @@ class EditorEvaluation:
                 preds[row][masks[row] == 1].tolist())
             if s.kind == "locality":
                 # Host-side numpy agreement (tiny arrays; avoids per-row
-                # device dispatches) — same math as losses.agreement_accuracy.
+                # device dispatches), span-relative per locality_agreement.
                 ref_ids, ref_mask = before[(s.sub, s.index)]
-                m = ref_mask.astype(np.float32)
-                acc = float(((preds[row] == ref_ids) * m).sum()
-                            / max(m.sum(), 1.0))
+                acc = locality_agreement(ref_ids, ref_mask,
+                                         preds[row], masks[row])
                 entry["predict_before_edit"] = vllm.tokenizer.decode(
                     ref_ids[ref_mask == 1].tolist())
             else:
@@ -407,11 +424,8 @@ class FusedEditorEvaluation(EditorEvaluation):
                         preds[j][masks[j] == 1].tolist())
                     if s.kind == "locality":
                         ref_ids, ref_mask = before[(s.sub, s.index)]
-                        m = ref_mask.astype(np.float32)
-                        n = min(len(preds[j]), len(ref_ids))
-                        entry["acc"] = float(
-                            ((preds[j][:n] == ref_ids[:n]) * m[:n]).sum()
-                            / max(m.sum(), 1.0))
+                        entry["acc"] = locality_agreement(
+                            ref_ids, ref_mask, preds[j], masks[j])
                         entry["predict_before_edit"] = editor.vllm.tokenizer.decode(
                             ref_ids[ref_mask == 1].tolist())
                     else:

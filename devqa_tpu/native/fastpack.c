@@ -39,6 +39,42 @@ static PyObject *pack(PyObject *self, PyObject *args) {
     const int32_t *plens = (const int32_t *)plen_buf.buf;
     Py_ssize_t N = len_buf.len / (Py_ssize_t)sizeof(int32_t);
 
+    /* Validate the caller-supplied invariants before touching memory:
+     * plens must have N entries, every lens[b] must fit in [0, L], and
+     * sum(lens) must equal the ids buffer's element count — otherwise
+     * memcpy below would read/write out of bounds. */
+    if (plen_buf.len != len_buf.len) {
+        PyBuffer_Release(&ids_buf);
+        PyBuffer_Release(&len_buf);
+        PyBuffer_Release(&plen_buf);
+        PyErr_SetString(PyExc_ValueError,
+                        "prompt_lens and lengths must have equal size");
+        return NULL;
+    }
+    {
+        Py_ssize_t total = 0;
+        for (Py_ssize_t b = 0; b < N; b++) {
+            if (lens[b] < 0 || (Py_ssize_t)lens[b] > L) {
+                PyBuffer_Release(&ids_buf);
+                PyBuffer_Release(&len_buf);
+                PyBuffer_Release(&plen_buf);
+                PyErr_Format(PyExc_ValueError,
+                             "lens[%zd]=%d outside [0, L=%zd]", b,
+                             (int)lens[b], L);
+                return NULL;
+            }
+            total += lens[b];
+        }
+        if (total * (Py_ssize_t)sizeof(int32_t) != ids_buf.len) {
+            PyBuffer_Release(&ids_buf);
+            PyBuffer_Release(&len_buf);
+            PyBuffer_Release(&plen_buf);
+            PyErr_SetString(PyExc_ValueError,
+                            "sum(lens) inconsistent with ids buffer size");
+            return NULL;
+        }
+    }
+
     PyObject *out = PyBytes_FromStringAndSize(NULL, 4 * N * L * sizeof(int32_t));
     if (!out) {
         PyBuffer_Release(&ids_buf);

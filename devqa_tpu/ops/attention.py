@@ -95,6 +95,7 @@ def _flash_kernel(
     block_k: int,
     sm_scale: float,
     kv_len: int,
+    causal_offset: int,
 ):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
@@ -108,10 +109,12 @@ def _flash_kernel(
 
     q_start = iq * block_q
     k_start = ik * block_k
-    # Causal: the whole k-block is maskable iff k_start > q_end.
+    # Causal: the whole k-block is maskable iff k_start > q_end + offset.
+    # ``causal_offset`` = kv_len - q_len aligns the diagonal for
+    # prefix-cached decoding (Lq < Lk), matching xla_attention.
     run = True
     if causal:
-        run = k_start <= q_start + block_q - 1
+        run = k_start <= q_start + causal_offset + block_q - 1
 
     @pl.when(run)
     def _compute():
@@ -126,7 +129,8 @@ def _flash_kernel(
         ki = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = jnp.logical_and(mask, ki < kv_len)
         if causal:
-            qi = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            qi = (q_start + causal_offset
+                  + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
             mask = jnp.logical_and(mask, ki <= qi)
         s = jnp.where(mask, s, NEG_INF)
 
@@ -160,6 +164,7 @@ def _flash_fwd(
     causal: bool,
     block_q: int = 128,
     block_k: int = 128,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -186,6 +191,7 @@ def _flash_fwd(
         block_k=block_k,
         sm_scale=sm_scale,
         kv_len=lk,
+        causal_offset=lk - lq,
     )
     out = pl.pallas_call(
         kernel,
@@ -210,20 +216,29 @@ def _flash_fwd(
             bytes_accessed=(qr.size + kr.size + vr.size * 2) * q.dtype.itemsize,
             transcendentals=b * h * lq * lk,
         ),
+        interpret=interpret,
     )(qr, kr, vr, maskr)
     return out.reshape(b, h, lq, d)
 
 
+def _interpret_mode() -> bool:
+    import os
+
+    return os.environ.get("DEVQA_FLASH_INTERPRET") == "1"
+
+
 def _on_tpu() -> bool:
-    """Use the Pallas kernel on single-device TPU. Multi-device GSPMD
-    programs fall back to XLA attention until the kernel is wrapped in
-    shard_map (the masking math is head-parallel so the wrap is
-    mechanical; tracked for the scaling pass). Override with
-    DEVQA_FORCE_FLASH=1 / DEVQA_DISABLE_FLASH=1."""
+    """Use the Pallas kernel on single-device TPU (multi-device programs
+    go through the shard_map path below when a mesh is active). Override
+    with DEVQA_FORCE_FLASH=1 / DEVQA_DISABLE_FLASH=1; set
+    DEVQA_FLASH_INTERPRET=1 to run the kernel in Pallas interpreter mode
+    on CPU (CI coverage of the kernel math without TPU hardware)."""
     import os
 
     if os.environ.get("DEVQA_DISABLE_FLASH") == "1":
         return False
+    if _interpret_mode():
+        return True
     if os.environ.get("DEVQA_FORCE_FLASH") == "1":
         return True
     try:
@@ -233,10 +248,84 @@ def _on_tpu() -> bool:
         return False
 
 
+def _active_mesh():
+    """The (dp, tp) mesh in whose context we're tracing, if any.
+
+    ``with mesh:`` (as parallel entry points and the multichip dryrun do)
+    exposes the mesh at trace time through jax's thread resources; the
+    sharded flash path activates automatically under it.
+    """
+    try:
+        m = jax.interpreters.pxla.thread_resources.env.physical_mesh
+        if m is not None and not m.empty:
+            return m
+    except Exception:
+        pass
+    return None
+
+
+def _sharded_flash(q, k, v, kv_valid, causal, mesh):
+    """Head/batch-parallel flash attention over a (dp, tp) mesh.
+
+    The kernel math is embarrassingly parallel across batch and heads
+    (softmax normalizes per (b, h, q-row)), so shard_map with batch on
+    ``dp`` and heads on ``tp`` needs no collectives; GSPMD reshards the
+    operands to match (the decoders' tp-sharded QKV projections already
+    produce head-sharded activations, so this is a no-op there). The
+    TPU-native role of the reference's vendored Triton flash kernel
+    (flash_attn_triton.py:1-483), extended to multi-chip.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax import shard_map
+    spec = P("dp", "tp", None, None)
+    kw = dict(mesh=mesh, in_specs=(spec, spec, spec, P("dp", None)),
+              out_specs=spec)
+    import inspect
+
+    sig = inspect.signature(shard_map)
+    # Replication checking can't see through pallas_call; disable it
+    # (the kernel is purely element-parallel over dp/tp shards).
+    if "check_vma" in sig.parameters:
+        kw["check_vma"] = False
+    elif "check_rep" in sig.parameters:
+        kw["check_rep"] = False
+    f = shard_map(
+        lambda q, k, v, m: _flash_fwd(q, k, v, m, causal,
+                                      interpret=_interpret_mode()),
+        **kw,
+    )
+    return f(q, k, v, kv_valid)
+
+
+def _mesh_flash_ok(mesh, q) -> bool:
+    import os
+
+    if os.environ.get("DEVQA_DISABLE_FLASH") == "1":
+        return False
+    if set(mesh.axis_names) != {"dp", "tp"}:
+        return False
+    b, h = q.shape[0], q.shape[1]
+    if b % mesh.shape["dp"] != 0 or h % mesh.shape["tp"] != 0:
+        return False
+    if _interpret_mode() or os.environ.get("DEVQA_FORCE_FLASH") == "1":
+        return True
+    return mesh.devices.flat[0].platform == "tpu"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _attention(q, k, v, kv_valid, causal):
+    mesh = _active_mesh()
+    if mesh is not None:
+        if _mesh_flash_ok(mesh, q):
+            return _sharded_flash(q, k, v, kv_valid, causal, mesh)
+        return xla_attention(q, k, v, kv_valid, causal)
     if _on_tpu():
-        return _flash_fwd(q, k, v, kv_valid, causal)
+        return _flash_fwd(q, k, v, kv_valid, causal,
+                          interpret=_interpret_mode())
     return xla_attention(q, k, v, kv_valid, causal)
 
 

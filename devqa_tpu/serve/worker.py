@@ -22,11 +22,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-
-from ..core import decoder as dec
 
 
 class ModelWorker:
@@ -42,45 +38,39 @@ class ModelWorker:
     def generate(self, prompt: str, image: Optional[str] = None,
                  max_new_tokens: int = 10) -> str:
         """Greedy decode; edits apply through the attached editor's
-        query_logits. Token ids are appended directly (no decode/re-encode
-        round trips)."""
-        from ..data.xym import SampleTokens
-        from ..data.xym import batch_samples
+        query_logits.
 
+        The query is encoded through ``editor.build_query_batch`` (empty
+        target) so prompt-keyed editors (LTE/RECIPE retrieval, IKE ICL
+        prefixes) see the real serving prompt instead of whatever batch
+        the harness encoded last. The next-token logit is read at the last
+        real *text* position: in the slotted layout
+        [text[:p] | V vision slots | text[p:]] the valid-count is NOT the
+        last-token index for text-only requests (vision slots are masked
+        mid-sequence), so we map the text index through the slot offset.
+        """
         vllm = self.vllm
         with self._lock:
-            base_ids = list(vllm.tokenizer.encode(
-                vllm._prompt_text(prompt, image is not None)))
             out_ids: list = []
+            text = prompt
             for _ in range(max_new_tokens):
-                ids = np.asarray(base_ids + out_ids, np.int32)
-                sample = SampleTokens(input_ids=ids, prompt_len=len(ids),
-                                      image_id=image)
-                tb = batch_samples([sample], vllm.tokenizer.pad_token_id,
-                                   bucket_multiple=vllm.bucket_multiple,
-                                   min_len=vllm.min_len)
-                img_tokens, has = vllm.encode_images([image])
-                embeds, kv = vllm._assemble_jit(
-                    vllm.params, jnp.asarray(tb.input_ids),
-                    jnp.asarray(tb.attn_mask), img_tokens, jnp.asarray(has))
                 if self.editor is not None:
-                    from ..core.wrapper import QueryBatch
-
-                    qb = QueryBatch(
-                        embeds=embeds, kv_valid=kv,
-                        label_ids=jnp.zeros_like(kv),
-                        label_masks=jnp.zeros_like(kv),
-                        prompt_lens=np.asarray([len(ids)], np.int32),
-                        has_image=has, input_ids=tb.input_ids)
+                    qb = self.editor.build_query_batch([text], [image], [""])
+                else:
+                    qb = vllm.encode_queries([text], [image], [""])
+                if self.editor is not None:
                     logits = self.editor.query_logits(qb)
                 else:
-                    logits = vllm.logits(embeds, kv)
-                n = int(np.asarray(kv)[0].sum())
-                nxt = int(np.argmax(np.asarray(logits)[0, n - 1]))
+                    logits = vllm.logits(qb.embeds, qb.kv_valid)
+                V, p = vllm.cfg.n_img_tokens, vllm.cfg.img_slot_pos
+                li = int(qb.prompt_lens[0]) - 1  # last text-token index
+                pos = li + V if li >= p else li
+                nxt = int(np.argmax(np.asarray(logits)[0, pos]))
                 if nxt in (vllm.tokenizer.pad_token_id,
                            getattr(vllm.tokenizer, "eos_token_id", -1)):
                     break
                 out_ids.append(nxt)
+                text = prompt + vllm.tokenizer.decode(out_ids)
             return vllm.tokenizer.decode(out_ids)
 
     # ---------------- http ----------------

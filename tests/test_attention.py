@@ -74,6 +74,21 @@ class TestFlashKernel:
         ref = xla_attention(q, k, v, kv_valid=kv, causal=causal)
         np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
+    def test_causal_cross_length(self, qkv):
+        """Prefix-cached decoding shape: Lq < Lk. The kernel must apply
+        the (kv_len - q_len) diagonal offset like xla_attention does."""
+        q, k, v = qkv
+        q = q[:, :, :8, :]  # 8 new query rows against 64 cached keys
+        lengths = jnp.array([50, 64], jnp.int32)
+        kv = jnp.asarray((np.arange(k.shape[2])[None, :]
+                          < np.asarray(lengths)[:, None]).astype(np.int32))
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = _flash_fwd(q, k, v, kv, True, block_q=8, block_k=32)
+        ref = xla_attention(q, k, v, kv_valid=kv, causal=True)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
     def test_fully_masked_rows_finite(self, qkv):
         q, k, v = qkv
         lengths = jnp.array([1, 1], jnp.int32)
@@ -83,6 +98,43 @@ class TestFlashKernel:
             kv = jnp.asarray((np.arange(q.shape[2])[None,:] < np.asarray(lengths)[:,None]).astype(np.int32))
             out = _flash_fwd(q, k, v, kv, True, block_q=32, block_k=32)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestShardedFlash:
+    """Multi-device flash: shard_map over the (dp, tp) mesh, kernel in
+    interpret mode on the virtual 8-CPU-device mesh."""
+
+    def test_mesh_path_matches_xla(self, qkv, monkeypatch):
+        from devqa_tpu.parallel.mesh import make_mesh
+
+        monkeypatch.setenv("DEVQA_FLASH_INTERPRET", "1")
+        q, k, v = qkv  # b=2 (dp=2), h=4 (tp=4)
+        lengths = jnp.array([50, 64], jnp.int32)
+        kv = jnp.asarray((np.arange(k.shape[2])[None, :]
+                          < np.asarray(lengths)[:, None]).astype(np.int32))
+        mesh = make_mesh(dp=2, tp=4)
+        ref = xla_attention(q, k, v, kv_valid=kv, causal=True)
+        with mesh:
+            out = jax.jit(
+                lambda q, k, v, m: multihead_attention(q, k, v, m, causal=True)
+            )(q, k, v, kv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_mesh_indivisible_falls_back(self, qkv, monkeypatch):
+        """Batch/head counts that don't divide the mesh use XLA attention
+        (still correct, no crash)."""
+        from devqa_tpu.parallel.mesh import make_mesh
+
+        monkeypatch.setenv("DEVQA_FLASH_INTERPRET", "1")
+        q, k, v = qkv
+        q, k, v = q[:1, :3], k[:1, :3], v[:1, :3]  # h=3 doesn't divide tp=4
+        mesh = make_mesh(dp=2, tp=4)
+        ref = xla_attention(q, k, v, causal=True)
+        with mesh:
+            out = multihead_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
 
 
 class TestGradPath:
