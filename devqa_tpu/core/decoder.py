@@ -340,6 +340,94 @@ def decoder_apply(
 # MLP linear probes (MEND's x/δ capture)
 # ---------------------------------------------------------------------------
 
+#: MLP linear modules per decoder arch, in dataflow order.
+MLP_MODULES = {"opt": ("fc1", "fc2"), "llama": ("gate", "up", "down")}
+
+
+def decoder_forward_with_linear_probes(
+    params,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    probe_targets: Tuple[Tuple[int, str], ...],
+    zs: Tuple[jnp.ndarray, ...],
+):
+    """Forward with per-(layer, module) MLP-linear probes for MEND-style
+    gradient capture, for both decoder families.
+
+    The reference captures each edited linear's input ``x`` with a forward
+    hook and its output gradient ``δ`` with a full-backward hook
+    (mend_vl.py:63-85); its llama configs resolve any module path
+    (mend_vl.py:200 get_edit_modules, configs/mend_vl/llava-v1.5-7b.yaml
+    lists mlp.{gate,up,down}_proj). Functionally: add a zero dummy ``z``
+    to the probed linear's output — ``grad(loss, z)`` IS δ — and return
+    the linear's input as an auxiliary output.
+
+    ``probe_targets``: static tuple of (layer, module) with module in
+    :data:`MLP_MODULES`[cfg.arch]; ``zs`` aligns with it ([B, L, out_dim]
+    zeros). Returns (logits, {(layer, module): x_input}).
+
+    Probe dataflow per arch:
+      opt:   x_fc1 = ln2(h);  x_fc2 = act(fc1(x_fc1) + z_fc1)
+      llama: x_gate = x_up = rms2(h);
+             x_down = silu(gate(x) + z_gate) * (up(x) + z_up)
+    """
+    mods = MLP_MODULES.get(cfg.arch)
+    if mods is None:
+        raise NotImplementedError("linear probes: arch %r" % cfg.arch)
+    for (l, m) in probe_targets:
+        assert m in mods, (l, m, cfg.arch)
+    z_of = {t: z for t, z in zip(probe_targets, zs)}
+    by_layer = sorted({l for (l, _) in probe_targets})
+    positions = positions_from_mask(kv_valid)
+    h = inputs_embeds
+    if cfg.arch == "opt":
+        h = h + params["embed_positions"][positions + cfg.pos_offset]
+    act = ACTIVATIONS[cfg.activation]
+    xs = {}
+    cur = 0
+    for li in by_layer:
+        h = _scan_layers(params["layers"], cfg, h, kv_valid, positions,
+                         cur, li, False)
+        p = tree_slice(params["layers"], li)
+
+        def z(m):
+            return z_of.get((li, m), 0.0)
+
+        def put(m, x):
+            if (li, m) in z_of:
+                xs[(li, m)] = x
+
+        if cfg.arch == "opt":
+            h_norm = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"],
+                                cfg.norm_eps)
+            h = h + _attn_block(p, cfg, h_norm, kv_valid, positions)
+            x1 = layer_norm(h, p["ln2"]["scale"], p["ln2"]["bias"],
+                            cfg.norm_eps)
+            o1 = linear(x1, p["fc1"]["w"], p["fc1"]["b"]) + z("fc1")
+            x2 = act(o1)
+            o2 = linear(x2, p["fc2"]["w"], p["fc2"]["b"]) + z("fc2")
+            h = h + o2
+            put("fc1", x1)
+            put("fc2", x2)
+        else:  # llama
+            h_norm = rms_norm(h, p["ln1"]["scale"], cfg.norm_eps)
+            h = h + _attn_block(p, cfg, h_norm, kv_valid, positions)
+            x = rms_norm(h, p["ln2"]["scale"], cfg.norm_eps)
+            g = linear(x, p["gate"]["w"]) + z("gate")
+            u = linear(x, p["up"]["w"]) + z("up")
+            xd = act(g) * u
+            o = linear(xd, p["down"]["w"]) + z("down")
+            h = h + o
+            put("gate", x)
+            put("up", x)
+            put("down", xd)
+        cur = li + 1
+    h = _scan_layers(params["layers"], cfg, h, kv_valid, positions,
+                     cur, cfg.n_layers, False)
+    return decoder_logits(params, cfg, h), xs
+
+
 def decoder_forward_with_fc_probes(
     params,
     cfg: DecoderConfig,
@@ -349,45 +437,18 @@ def decoder_forward_with_fc_probes(
     z1s: Tuple[jnp.ndarray, ...],
     z2s: Tuple[jnp.ndarray, ...],
 ):
-    """Forward with per-layer fc1/fc2 probes for MEND-style gradient
-    capture.
-
-    The reference captures each edited linear's input ``x`` with a forward
-    hook and its output gradient ``δ`` with a full-backward hook
-    (mend_vl.py:63-85). Functionally: add a zero dummy ``z`` to the
-    linear's output — ``grad(loss, z)`` IS δ — and return the inputs as
-    auxiliary outputs. For probe layer i:
-
-      x1 = post-norm MLP input  (fc1's input),  fc1_out += z1
-      x2 = act(fc1_out)         (fc2's input),  fc2_out += z2
-
-    Returns (logits, {layer: (x1, x2)}). OPT geometry (fc1/fc2); the
-    LLaMA gate/up/down variant raises until needed.
-    """
+    """OPT-geometry wrapper over :func:`decoder_forward_with_linear_probes`
+    keeping the original fc1/fc2 per-layer API:
+    returns (logits, {layer: (x1, x2)})."""
     if cfg.arch != "opt":
-        raise NotImplementedError("fc probes currently support the OPT MLP")
-    probe_index = {l: i for i, l in enumerate(probe_layers)}
-    positions = positions_from_mask(kv_valid)
-    h = inputs_embeds + params["embed_positions"][positions + cfg.pos_offset]
-    act = ACTIVATIONS[cfg.activation]
-    xs = {}
-    cur = 0
-    for li in sorted(probe_index):
-        h = _scan_layers(params["layers"], cfg, h, kv_valid, positions,
-                         cur, li, False)
-        p = tree_slice(params["layers"], li)
-        h_norm = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"], cfg.norm_eps)
-        h = h + _attn_block(p, cfg, h_norm, kv_valid, positions)
-        x1 = layer_norm(h, p["ln2"]["scale"], p["ln2"]["bias"], cfg.norm_eps)
-        o1 = linear(x1, p["fc1"]["w"], p["fc1"]["b"]) + z1s[probe_index[li]]
-        x2 = act(o1)
-        o2 = linear(x2, p["fc2"]["w"], p["fc2"]["b"]) + z2s[probe_index[li]]
-        h = h + o2
-        xs[li] = (x1, x2)
-        cur = li + 1
-    h = _scan_layers(params["layers"], cfg, h, kv_valid, positions,
-                     cur, cfg.n_layers, False)
-    return decoder_logits(params, cfg, h), xs
+        raise NotImplementedError(
+            "fc probes are the OPT API; use decoder_forward_with_linear_probes")
+    targets = tuple((l, m) for l in probe_layers for m in ("fc1", "fc2"))
+    zs = tuple(z for l in range(len(probe_layers))
+               for z in (z1s[l], z2s[l]))
+    logits, xs = decoder_forward_with_linear_probes(
+        params, cfg, inputs_embeds, kv_valid, targets, zs)
+    return logits, {l: (xs[(l, "fc1")], xs[(l, "fc2")]) for l in probe_layers}
 
 
 # ---------------------------------------------------------------------------

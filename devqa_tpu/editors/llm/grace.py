@@ -31,7 +31,8 @@ import optax
 
 from ...core import decoder as dec
 from ...utils.config import BaseConfig
-from ...utils.surgery import ParamTarget, get_target
+from .mlp_common import capture_down_inputs, down_input_from_mlp_input, \
+    down_out, down_weight_bias
 from .session import TextModel
 
 
@@ -48,12 +49,10 @@ class GRACEHyperParams(BaseConfig):
 
 
 class GraceEditor:
-    """Stateful GRACE editor over a TextModel (OPT-family decoder; the
-    wrapped layer is fc2 of ``hparams.layer``)."""
+    """Stateful GRACE editor over a TextModel; the wrapped layer is the
+    MLP down-projection (OPT fc2 / llama down_proj) of ``hparams.layer``."""
 
     def __init__(self, model: TextModel, hparams: GRACEHyperParams):
-        if model.cfg.arch != "opt":
-            raise NotImplementedError("GRACE currently wraps the OPT fc2")
         self.model = model
         self.hp = hparams
         self.reset()
@@ -73,22 +72,16 @@ class GraceEditor:
 
     def _mlp_residual(self, state):
         """Replace the MLP output with the chosen value at tokens whose
-        fc2 input falls inside a key's ε-ball."""
+        down-projection input falls inside a key's ε-ball."""
         cfg = self.model.cfg
-        w = get_target(self.model.params, ParamTarget(("layers", "fc2", "w"),
-                                                      self.hp.layer))
-        b = get_target(self.model.params, ParamTarget(("layers", "fc2", "b"),
-                                                      self.hp.layer))
+        w, b = down_weight_bias(self.model.params, cfg, self.hp.layer)
 
         def fn(x1):
-            # x1 is the MLP input (post-norm). fc2's input is act(fc1(x1));
-            # recompute it (cheap: fc1 already runs in the layer; this
-            # costs one extra fc1 matmul to stay within the generic
-            # mlp_residual signature).
-            p = self.model.params
-            fc1w = get_target(p, ParamTarget(("layers", "fc1", "w"), self.hp.layer))
-            fc1b = get_target(p, ParamTarget(("layers", "fc1", "b"), self.hp.layer))
-            q = jax.nn.relu(x1 @ fc1w + fc1b)             # [B, L, d_ffn]
+            # x1 is the MLP input (post-norm). The down-projection's input
+            # is recomputed from it (one extra fc1/gate+up matmul set to
+            # stay within the generic mlp_residual signature).
+            q = down_input_from_mlp_input(self.model.params, cfg,
+                                          self.hp.layer, x1)  # [B, L, d_ffn]
             dists = jnp.linalg.norm(
                 q[:, :, None, :] - state["keys"][None, None], axis=-1)
             active = jnp.arange(state["keys"].shape[0]) < state["count"]
@@ -96,7 +89,7 @@ class GraceEditor:
             best = jnp.argmin(dists, axis=-1)             # [B, L]
             dmin = jnp.min(dists, axis=-1)
             inside = (dmin < state["eps"][best]) & (state["count"] > 0)
-            orig_out = q @ w + b
+            orig_out = down_out(q, w, b)
             value = state["values"][best]
             return jnp.where(inside[..., None], value - orig_out, 0.0)
 
@@ -151,12 +144,9 @@ class GraceEditor:
         cfg = self.model.cfg
         hp = self.hp
         embeds = dec.embed_tokens(params, cfg, ids)
-        # query = fc2 input at the edit token
-        z1 = (jnp.zeros(ids.shape + (cfg.d_ffn,)),)
-        z2 = (jnp.zeros(ids.shape + (cfg.d_model,)),)
-        _, xs = dec.decoder_forward_with_fc_probes(
-            params, cfg, embeds, mask, (hp.layer,), z1, z2)
-        query = xs[hp.layer][1][0, edit_tok]  # [d_ffn]
+        # query = down-projection input at the edit token
+        _, xs = capture_down_inputs(params, cfg, embeds, mask, (hp.layer,))
+        query = xs[hp.layer][0, edit_tok]  # [d_ffn]
 
         cnt = state["count"]
         active = jnp.arange(hp.max_keys) < cnt
@@ -181,20 +171,16 @@ class GraceEditor:
                             dmin / 2, hp.eps)
 
         # value training at the edit token
-        w = get_target(params, ParamTarget(("layers", "fc2", "w"), hp.layer))
-        b = get_target(params, ParamTarget(("layers", "fc2", "b"), hp.layer))
-        warm = xs[hp.layer][1][0, edit_tok] @ w + b
+        w, b = down_weight_bias(params, cfg, hp.layer)
+        warm = down_out(xs[hp.layer][0, edit_tok], w, b)
         v0 = warm if hp.val_init == "warm" else jnp.zeros_like(warm)
 
         onehot = jax.nn.one_hot(jnp.asarray([edit_tok]), ids.shape[1])[..., None]
 
         def loss_fn(v):
-            fc1w = get_target(params, ParamTarget(("layers", "fc1", "w"), hp.layer))
-            fc1b = get_target(params, ParamTarget(("layers", "fc1", "b"), hp.layer))
-
             def fn(x1):
-                q = jax.nn.relu(x1 @ fc1w + fc1b)
-                orig = q @ w + b
+                q = down_input_from_mlp_input(params, cfg, hp.layer, x1)
+                orig = down_out(q, w, b)
                 return onehot * (v - orig)
 
             logits = dec.decoder_apply(params, cfg, embeds, mask,

@@ -23,7 +23,8 @@ import numpy as np
 
 from ...core import decoder as dec
 from ...utils.config import BaseConfig
-from ...utils.surgery import ParamTarget, get_target, set_target
+from ...utils.surgery import get_target, set_target
+from .mlp_common import capture_down_inputs, down_target
 from .session import TextModel
 
 
@@ -52,28 +53,23 @@ def attribution_scores(model: TextModel, prompt: str, target: str,
     @jax.jit
     def ig(params):
         embeds = dec.embed_tokens(params, cfg, ids)
-        # baseline activations at the prediction position
-        z1 = tuple(jnp.zeros((B, L, cfg.d_ffn)) for _ in layers)
-        z2 = tuple(jnp.zeros((B, L, cfg.d_model)) for _ in layers)
-        _, xs = dec.decoder_forward_with_fc_probes(
-            params, cfg, embeds, mask, layers, z1, z2)
-        acts = {l: xs[l][1] for l in layers}  # post-activation fc1 outputs
+        # baseline activations (down-projection inputs) at the prediction
+        # position
+        _, acts = capture_down_inputs(params, cfg, embeds, mask, layers)
 
-        # Scaling a neuron's activation by α is realized through the z2
-        # dummy: fc2_out' = fc2_out + (α·acts_in − acts)@W2, so at
-        # acts_in == acts the probed layer contributes α-scaled output and
-        # gradients flow through acts_in.
+        # Scaling a neuron's activation by α is realized through the
+        # dummy-z output delta: down_out' = down_out + (α·acts_in −
+        # acts)@W_down, so at acts_in == acts the probed layer contributes
+        # α-scaled output and gradients flow through acts_in.
         def grad_wrt_acts(alpha):
             def f(acts_in):
                 def delta_for(l):
-                    w2 = get_target(params,
-                                    ParamTarget(("layers", "fc2", "w"), l))
+                    w2 = get_target(params, down_target(cfg, l))
                     return alpha * (acts_in[l] @ w2) - (acts[l] @ w2)
 
-                z2s = tuple(delta_for(l) for l in layers)
-                z1s = tuple(jnp.zeros((B, L, cfg.d_ffn)) for _ in layers)
-                logits, _ = dec.decoder_forward_with_fc_probes(
-                    params, cfg, embeds, mask, layers, z1s, z2s)
+                zd = {l: delta_for(l) for l in layers}
+                logits, _ = capture_down_inputs(
+                    params, cfg, embeds, mask, layers, z_deltas=zd)
                 return jax.nn.softmax(logits[0, pred_pos])[tgt_tok]
 
             return jax.grad(f)(acts)
@@ -134,7 +130,7 @@ def apply_kn(model: TextModel, request, hparams: KNHyperParams):
                if old else 0.0)
     params = model.params
     for (l, j) in neurons:
-        t = ParamTarget(("layers", "fc2", "w"), l)
+        t = down_target(model.cfg, l)
         w = get_target(params, t)
         w = w.at[j].add(hparams.edit_lambda * (new_vec - old_vec))
         params = set_target(params, t, w)
@@ -148,7 +144,7 @@ def suppress_kn(model: TextModel, request, hparams: KNHyperParams):
                              or request["target_new"], hparams)
     params = model.params
     for (l, j) in neurons:
-        t = ParamTarget(("layers", "fc2", "w"), l)
+        t = down_target(model.cfg, l)
         w = get_target(params, t)
         params = set_target(params, t, w.at[j].set(0.0))
     return params

@@ -29,7 +29,8 @@ import optax
 
 from ...core import decoder as dec
 from ...utils.config import BaseConfig
-from ...utils.surgery import ParamTarget, add_to_target, get_target
+from ...utils.surgery import add_to_target
+from .mlp_common import capture_down_inputs, down_target
 from .rome import CONTEXT_TEMPLATES, _subject_last_token_index
 from .session import TextModel
 
@@ -46,19 +47,15 @@ class MEMITHyperParams(BaseConfig):
 
 
 def _capture(model: TextModel, params, ids, mask, sidx, layer):
-    """(fc2 input K at `layer`, hidden state at the z layer) per row,
-    at the subject token."""
+    """Down-projection input K at `layer`, per row at the subject token."""
     cfg = model.cfg
-    B, L = ids.shape
+    B = ids.shape[0]
 
     @jax.jit
     def run(params):
-        z1 = (jnp.zeros((B, L, cfg.d_ffn)),)
-        z2 = (jnp.zeros((B, L, cfg.d_model)),)
         embeds = dec.embed_tokens(params, cfg, ids)
-        _, xs = dec.decoder_forward_with_fc_probes(
-            params, cfg, embeds, mask, (layer,), z1, z2)
-        return xs[layer][1][jnp.arange(B), sidx]
+        _, xs = capture_down_inputs(params, cfg, embeds, mask, (layer,))
+        return xs[layer][jnp.arange(B), sidx]
 
     return run(params)
 
@@ -135,8 +132,6 @@ def apply_memit(model: TextModel, requests: List[Dict],
                 cov: Optional[Dict[int, jnp.ndarray]] = None):
     """→ edited decoder params for a batch of requests."""
     cfg = model.cfg
-    if cfg.arch != "opt":
-        raise NotImplementedError("MEMIT fc probes currently support OPT")
     layers = tuple(hparams.layers)
     z_layer = layers[-1]
     params = model.params
@@ -161,6 +156,5 @@ def apply_memit(model: TextModel, requests: List[Dict],
             jnp.eye(cfg.d_ffn) * hparams.mom2_update_weight
         A = C + K.T @ K                       # [d_ffn, d_ffn]
         dw = jnp.linalg.solve(A, K.T @ resid)  # [d_ffn, d]
-        params = add_to_target(params,
-                               ParamTarget(("layers", "fc2", "w"), l), dw)
+        params = add_to_target(params, down_target(cfg, l), dw)
     return params

@@ -16,10 +16,12 @@ Pipeline (rome_main.py:17-60 + compute_u.py + compute_v.py):
 4. **Δ W = u ⊗ (z − k*W) / (uᵀ k*)** — closed-form rank-one update on the
    down-projection (our [in, out] layout), giving k*ᵀ W' = z exactly.
 
-OPT-family decoders (fc probes); context templates are a fixed neutral
-set (the reference samples generations from the model itself —
-rome_main.get_context_templates; a documented divergence that only
-affects the k* averaging distribution).
+Arch-generic: the edited linear is OPT's fc2 / llama's down_proj (the
+reference's per-model ``rewrite_module_tmp``, e.g.
+``model.layers.{}.mlp.down_proj`` for llama). Context templates are a
+fixed neutral set (the reference samples generations from the model
+itself — rome_main.get_context_templates; a documented divergence that
+only affects the k* averaging distribution).
 """
 from __future__ import annotations
 
@@ -33,7 +35,9 @@ import optax
 
 from ...core import decoder as dec
 from ...utils.config import BaseConfig
-from ...utils.surgery import ParamTarget, add_to_target, get_target
+from ...utils.surgery import add_to_target
+from .mlp_common import capture_down_inputs, down_out, down_target, \
+    down_weight_bias
 from .session import TextModel
 
 CONTEXT_TEMPLATES = [
@@ -73,8 +77,6 @@ def apply_rome(model: TextModel, request, hparams: ROMEHyperParams,
     """→ edited decoder params. ``request`` needs 'prompt', 'target_new'
     and ideally 'subject' (defaults to the last prompt word)."""
     cfg = model.cfg
-    if cfg.arch != "opt":
-        raise NotImplementedError("ROME fc probes currently support OPT")
     tokenizer = model.tokenizer
     subject = request.get("subject") or request["prompt"].split()[-1]
     li = hparams.layer
@@ -93,19 +95,13 @@ def apply_rome(model: TextModel, request, hparams: ROMEHyperParams,
 
     @jax.jit
     def capture_k_and_out(params):
-        """fc2 input (k) and MLP-block output contribution at the subject
-        token per row."""
-        d_ffn, d = cfg.d_ffn, cfg.d_model
-        z1 = (jnp.zeros((B, L, d_ffn)),)
-        z2 = (jnp.zeros((B, L, d)),)
+        """Down-projection input (k) and MLP-block output contribution at
+        the subject token per row."""
         embeds = dec.embed_tokens(params, cfg, ids)
-        _, xs = dec.decoder_forward_with_fc_probes(
-            params, cfg, embeds, mask, (li,), z1, z2)
-        x1, x2 = xs[li]
-        k = x2[jnp.arange(B), sidx]              # [B, d_ffn] fc2 inputs
-        w = get_target(params, ParamTarget(("layers", "fc2", "w"), li))
-        b = get_target(params, ParamTarget(("layers", "fc2", "b"), li))
-        out = k @ w + b                          # fc2 output at the token
+        _, xs = capture_down_inputs(params, cfg, embeds, mask, (li,))
+        k = xs[li][jnp.arange(B), sidx]          # [B, d_ffn] down inputs
+        w, b = down_weight_bias(params, cfg, li)
+        out = down_out(k, w, b)                  # down output at the token
         return k.mean(0), out.mean(0)
 
     k_star, cur_out = capture_k_and_out(model.params)
@@ -171,18 +167,17 @@ def apply_rome(model: TextModel, request, hparams: ROMEHyperParams,
     z = optimize_z(model.params)
 
     # ---- rank-one update (rome_main.py:17-60 closed form) ----
-    w = get_target(model.params, ParamTarget(("layers", "fc2", "w"), li))
-    b = get_target(model.params, ParamTarget(("layers", "fc2", "b"), li))
+    w, b = down_weight_bias(model.params, cfg, li)
     denom = jnp.maximum(jnp.dot(u, k_star), 1e-8)
-    dw = jnp.outer(u, (z - (k_star @ w + b)) / denom)
-    return add_to_target(model.params, ParamTarget(("layers", "fc2", "w"), li),
-                         dw)
+    dw = jnp.outer(u, (z - down_out(k_star, w, b)) / denom)
+    return add_to_target(model.params, down_target(cfg, li), dw)
 
 
 def estimate_fc2_covariance(model: TextModel, texts, layer: int,
                             batch_size: int = 8):
     """Layer-stats covariance over a corpus (rome/layer_stats.py) →
-    inverse second moment for mom2_adjustment."""
+    inverse second moment for mom2_adjustment. Despite the legacy name,
+    covers the down-projection of either arch (fc2 / down_proj)."""
     from ...utils.runningstats import SecondMoment
 
     cfg = model.cfg
@@ -190,12 +185,9 @@ def estimate_fc2_covariance(model: TextModel, texts, layer: int,
 
     @jax.jit
     def capture(params, ids, mask):
-        z1 = (jnp.zeros(ids.shape + (cfg.d_ffn,)),)
-        z2 = (jnp.zeros(ids.shape + (cfg.d_model,)),)
         embeds = dec.embed_tokens(params, cfg, ids)
-        _, xs = dec.decoder_forward_with_fc_probes(
-            params, cfg, embeds, mask, (layer,), z1, z2)
-        return xs[layer][1]
+        _, xs = capture_down_inputs(params, cfg, embeds, mask, (layer,))
+        return xs[layer]
 
     for i in range(0, len(texts), batch_size):
         chunk = texts[i:i + batch_size]

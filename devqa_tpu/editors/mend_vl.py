@@ -55,7 +55,10 @@ class MENDvlConfig(BaseConfig):
 
     edit_model_name: str = ""
     # (layer, module) pairs; the reference's edit_modules strings
-    # "…layers.29.fc1" etc. (configs/mend_vl/blip2-opt-2.7b.yaml)
+    # "…layers.29.fc1" etc. (configs/mend_vl/blip2-opt-2.7b.yaml).
+    # OPT decoders edit fc1/fc2; llama-arch decoders edit gate/up/down
+    # (the reference's mlp.{gate,up,down}_proj,
+    # configs/mend_vl/llava-v1.5-7b.yaml).
     edit_layers: Tuple[int, ...] = (29, 30, 31)
     edit_modules: Tuple[str, ...] = ("fc1", "fc2")
     init_edit_lr: float = 1e-4
@@ -156,17 +159,22 @@ class MENDvl(VLLMEditor):
     def __init__(self, vllm: JaxVLLM, config: MENDvlConfig, params=None,
                  seed: int = 0):
         super().__init__(vllm)
-        if vllm.cfg.decoder.arch != "opt":
-            raise NotImplementedError(
-                "MEND fc probes currently support OPT-family decoders")
         self.cfg = config
         dcfg = vllm.cfg.decoder
+        mods = dec.MLP_MODULES.get(dcfg.arch)
+        if mods is None:
+            raise NotImplementedError("MEND probes: arch %r" % dcfg.arch)
+        edit_modules = tuple(m for m in config.edit_modules if m in mods)
+        assert edit_modules, (
+            "edit_modules %r has no module of arch %r (expected among %r)"
+            % (config.edit_modules, dcfg.arch, mods))
         self.targets: List[Tuple[int, str]] = [
-            (l, m) for l in config.edit_layers for m in config.edit_modules]
+            (l, m) for l in config.edit_layers for m in edit_modules]
         self.probe_layers = tuple(sorted(set(config.edit_layers)))
         # group by (in_dim, out_dim) shape (mend_vl.py:200-214)
-        self.shape_of = {"fc1": (dcfg.d_model, dcfg.d_ffn),
-                         "fc2": (dcfg.d_ffn, dcfg.d_model)}
+        d, f = dcfg.d_model, dcfg.d_ffn
+        self.shape_of = ({"fc1": (d, f), "fc2": (f, d)} if dcfg.arch == "opt"
+                         else {"gate": (d, f), "up": (d, f), "down": (f, d)})
         shapes = {}
         self.mode_of: Dict[Tuple[int, str], int] = {}
         for (l, m) in self.targets:
@@ -207,39 +215,34 @@ class MENDvl(VLLMEditor):
 
     def _capture(self, vparams, qb_arrays, train_norm: bool):
         """(x, δ, w) per target from the edit loss (the __edit_batch__
-        gradient capture, mend_vl.py:186-195)."""
+        gradient capture, mend_vl.py:186-195). Arch-generic via the
+        module-keyed linear probes."""
         embeds, kv, labels, masks = qb_arrays
         vcfg = self.vllm.cfg
         B, L, _ = embeds.shape
         dcfg = vcfg.decoder
-        z1s = tuple(jnp.zeros((B, L, dcfg.d_ffn)) for _ in self.probe_layers)
-        z2s = tuple(jnp.zeros((B, L, dcfg.d_model)) for _ in self.probe_layers)
+        targets = tuple(self.targets)
+        zs = tuple(jnp.zeros((B, L, self.shape_of[m][1])) for (_, m) in targets)
 
         def loss_fn(zs):
-            z1s, z2s = zs
-            logits, xs = dec.decoder_forward_with_fc_probes(
-                vparams["decoder"], dcfg, embeds, kv, self.probe_layers,
-                z1s, z2s)
+            logits, xs = dec.decoder_forward_with_linear_probes(
+                vparams["decoder"], dcfg, embeds, kv, targets, zs)
             logp = jax.nn.log_softmax(logits, -1)
             picked = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
             m = masks.astype(jnp.float32)
             return -(picked * m).sum() / jnp.maximum(m.sum(), 1.0), xs
 
-        (loss, xs), (d1s, d2s) = jax.value_and_grad(
-            loss_fn, has_aux=True)((z1s, z2s))
+        (loss, xs), dzs = jax.value_and_grad(loss_fn, has_aux=True)(zs)
         out = {}
         w_row = kv.reshape(-1).astype(jnp.float32)  # valid-token rows
-        for i, li in enumerate(self.probe_layers):
-            x1, x2 = xs[li]
-            for (m, x, d) in (("fc1", x1, d1s[i]), ("fc2", x2, d2s[i])):
-                if (li, m) not in self.mode_of:
-                    continue
-                xr = x.reshape(-1, x.shape[-1])
-                dr = d.reshape(-1, d.shape[-1])
-                nz = (jnp.any(xr != 0, -1) & jnp.any(dr != 0, -1)).astype(
-                    jnp.float32) * w_row
-                out[(li, m)] = (jax.lax.stop_gradient(xr),
-                                jax.lax.stop_gradient(dr), nz)
+        for t, d in zip(targets, dzs):
+            x = xs[t]
+            xr = x.reshape(-1, x.shape[-1])
+            dr = d.reshape(-1, d.shape[-1])
+            nz = (jnp.any(xr != 0, -1) & jnp.any(dr != 0, -1)).astype(
+                jnp.float32) * w_row
+            out[t] = (jax.lax.stop_gradient(xr),
+                      jax.lax.stop_gradient(dr), nz)
         return out
 
     def _transform(self, params, norm_state, captured):
