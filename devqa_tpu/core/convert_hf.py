@@ -8,7 +8,11 @@ of numpy arrays so no torch import is required at conversion time; tensors
 are transposed from torch's [out, in] linear layout to our [in, out].
 
 Parity is enforced by tests/test_hf_parity.py: tiny random HF models are
-instantiated on CPU and logits are compared end-to-end.
+instantiated on CPU and logits are compared end-to-end. Full-size layouts
+are covered by conversion DRY tests: the converters are tracer-friendly,
+so ``jax.eval_shape(lambda sd: convert_x(sd, cfg), manifest)`` validates
+every key name and shape of the 2.7B/7B layouts without allocating any
+weight memory (tests/test_convert_dry.py).
 """
 from __future__ import annotations
 
@@ -28,11 +32,11 @@ Array = np.ndarray
 
 def _t(sd: Mapping[str, Array], name: str) -> Array:
     """Fetch a torch linear weight and transpose to [in, out]."""
-    return np.asarray(sd[name]).T
+    return jnp.asarray(sd[name]).T
 
 
 def _a(sd: Mapping[str, Array], name: str) -> Array:
-    return np.asarray(sd[name])
+    return jnp.asarray(sd[name])
 
 
 def _ln(sd, prefix):
@@ -49,7 +53,7 @@ def _dense(sd, prefix, bias=True):
 def _stack(layer_dicts):
     import jax
 
-    return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *layer_dicts)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_dicts)
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +142,7 @@ def convert_blip2_vision(sd: Mapping[str, Array], cfg: ViTConfig,
             "b": jnp.asarray(
                 _a(sd, prefix + "embeddings.patch_embedding.bias")
                 if prefix + "embeddings.patch_embedding.bias" in sd
-                else np.zeros((d,), patch_w.dtype)),
+                else jnp.zeros((d,), patch_w.dtype)),
         },
         "cls_token": jnp.asarray(
             _a(sd, prefix + "embeddings.class_embedding").reshape(-1)),
@@ -257,6 +261,217 @@ def convert_llava(sd: Mapping[str, Array], cfg: VLLMConfig):
     }
 
 
+# ---------------------------------------------------------------------------
+# MiniGPT-4 (LAVIS-style checkpoint layout)
+# ---------------------------------------------------------------------------
+
+def convert_eva_vit(sd: Mapping[str, Array], cfg: ViTConfig,
+                    prefix: str = "visual_encoder.",
+                    ln_vision_prefix: str = "ln_vision"):
+    """EVA-ViT-g from the LAVIS/MiniGPT-4 layout
+    (``editor/vllms_for_edit/minigpt4/modules/eva_vit.py:137-260``):
+    timm-style blocks (norm1/attn/norm2/mlp), fused qkv with bias
+    assembled from separate q_bias and v_bias (zero k bias,
+    eva_vit.py:150-196), conv patch embed, [1, T, d] pos_embed/cls_token.
+    The model's own final norm is unused (forward_features skips it,
+    eva_vit.py:414); MiniGPT-4's external ``ln_vision``
+    (minigpt4.py:224) maps to our ``post_ln``.
+    """
+    layers = []
+    d = cfg.d_model
+    for i in range(cfg.n_layers):
+        p = f"{prefix}blocks.{i}."
+        qb = _a(sd, p + "attn.q_bias")
+        vb = _a(sd, p + "attn.v_bias")
+        layers.append({
+            "ln1": _ln(sd, p + "norm1"),
+            "qkv": {"w": _t(sd, p + "attn.qkv.weight"),
+                    "b": jnp.concatenate([qb, jnp.zeros_like(qb), vb])},
+            "o": _dense(sd, p + "attn.proj"),
+            "ln2": _ln(sd, p + "norm2"),
+            "fc1": _dense(sd, p + "mlp.fc1"),
+            "fc2": _dense(sd, p + "mlp.fc2"),
+        })
+    patch_w = _a(sd, prefix + "patch_embed.proj.weight")  # [d, 3, P, P]
+    return {
+        "patch_embed": {
+            "w": patch_w.reshape(d, -1).T,
+            "b": _a(sd, prefix + "patch_embed.proj.bias"),
+        },
+        "cls_token": _a(sd, prefix + "cls_token").reshape(-1),
+        "pos_embed": _a(sd, prefix + "pos_embed").reshape(-1, d),
+        "post_ln": _ln(sd, ln_vision_prefix),  # external ln_vision
+        "layers": _stack(layers),
+    }
+
+
+def convert_lavis_qformer(sd: Mapping[str, Array], cfg: QFormerConfig,
+                          prefix: str = "Qformer.bert.",
+                          query_tokens_key: str = "query_tokens"):
+    """BLIP-2 Q-Former in the LAVIS BERT layout
+    (``modules/Qformer.py``: attention.self.{query,key,value} +
+    attention.output.{dense,LayerNorm}; crossattention every
+    ``cross_attention_frequency`` layers; intermediate_query /
+    output_query MLP; embeddings.LayerNorm)."""
+    def mha(p):
+        return {
+            "q": _dense(sd, p + "self.query"),
+            "k": _dense(sd, p + "self.key"),
+            "v": _dense(sd, p + "self.value"),
+            "o": _dense(sd, p + "output.dense"),
+            "ln": _ln(sd, p + "output.LayerNorm"),
+        }
+
+    import jax
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"{prefix}encoder.layer.{i}."
+        lp = {
+            "self_attn": mha(p + "attention."),
+            "fc1": _dense(sd, p + "intermediate_query.dense"),
+            "fc2": _dense(sd, p + "output_query.dense"),
+            "mlp_ln": _ln(sd, p + "output_query.LayerNorm"),
+        }
+        if i % cfg.cross_attention_frequency == 0:
+            lp["cross_attn"] = mha(p + "crossattention.")
+        layers.append(jax.tree.map(jnp.asarray, lp))
+    return {
+        "query_tokens": _a(sd, query_tokens_key).reshape(
+            cfg.n_query_tokens, cfg.d_model),
+        "embed_ln": _ln(sd, prefix + "embeddings.LayerNorm"),
+        "layers": layers,
+    }
+
+
+def convert_minigpt4(sd: Mapping[str, Array], cfg: VLLMConfig):
+    """Merged MiniGPT-4 state dict → VLLM params.
+
+    Expected keys (``editor/vllms_for_edit/minigpt4/modules/minigpt4.py``
+    attribute names, which is how LAVIS checkpoints serialize):
+    ``visual_encoder.*`` (EVA-ViT-g), ``ln_vision.*``,
+    ``Qformer.bert.*`` + ``query_tokens``, ``llama_proj.{weight,bias}``
+    (minigpt4.py:70), ``llama_model.model.*`` (HF LlamaForCausalLM).
+    Use :func:`merge_minigpt4_checkpoints` to assemble the dict from the
+    separate files the reference loads (eva ckpt + blip2 q-former ckpt +
+    vicuna HF dir + stage-2 minigpt4 ckpt).
+    """
+    return {
+        "vit": convert_eva_vit(sd, cfg.vit, "visual_encoder.", "ln_vision"),
+        "qformer": convert_lavis_qformer(sd, cfg.qformer, "Qformer.bert.",
+                                         "query_tokens"),
+        "projection": {"w": _t(sd, "llama_proj.weight"),
+                       "b": _a(sd, "llama_proj.bias")},
+        "decoder": convert_llama(sd, cfg.decoder, "llama_model.model."),
+    }
+
+
+def merge_minigpt4_checkpoints(paths, llama_dir=None) -> Dict[str, Array]:
+    """torch-load LAVIS ``.pth`` checkpoint(s) (each either a raw state
+    dict or {"model": state_dict}) and optionally an HF Vicuna directory,
+    merging into one flat numpy dict with ``convert_minigpt4``'s expected
+    prefixes. Later files win on key conflicts (the stage-2 MiniGPT-4
+    ckpt overrides llama_proj)."""
+    import torch
+
+    merged: Dict[str, Array] = {}
+    for path in paths:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        state = obj.get("model", obj) if isinstance(obj, dict) else obj
+        for k, v in state.items():
+            if hasattr(v, "detach"):
+                merged[k] = v.detach().cpu().numpy()
+    if llama_dir is not None:
+        import transformers
+
+        hf = transformers.LlamaForCausalLM.from_pretrained(llama_dir)
+        for k, v in torch_state_dict_to_numpy(hf).items():
+            merged["llama_model." + k] = v
+    return merged
+
+
 def torch_state_dict_to_numpy(model) -> Dict[str, Array]:
     """torch nn.Module → {name: numpy array} (host-side, no grad)."""
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# Full-size layout manifests (conversion dry tests)
+# ---------------------------------------------------------------------------
+
+def minigpt4_manifest(cfg: VLLMConfig) -> Dict[str, "jnp.ndarray"]:
+    """{key: ShapeDtypeStruct} of the MiniGPT-4 checkpoint layout for
+    ``jax.eval_shape`` conversion dry-runs (no weight memory). Mirrors
+    the reference module structure cited in :func:`convert_minigpt4`."""
+    import jax
+
+    S = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    v, q, d = cfg.vit, cfg.qformer, cfg.decoder
+    m: Dict[str, jnp.ndarray] = {}
+    # EVA-ViT
+    m["visual_encoder.patch_embed.proj.weight"] = S(v.d_model, 3,
+                                                    v.patch_size, v.patch_size)
+    m["visual_encoder.patch_embed.proj.bias"] = S(v.d_model)
+    m["visual_encoder.cls_token"] = S(1, 1, v.d_model)
+    m["visual_encoder.pos_embed"] = S(1, v.n_tokens, v.d_model)
+    for i in range(v.n_layers):
+        p = f"visual_encoder.blocks.{i}."
+        m[p + "norm1.weight"] = S(v.d_model)
+        m[p + "norm1.bias"] = S(v.d_model)
+        m[p + "attn.qkv.weight"] = S(3 * v.d_model, v.d_model)
+        m[p + "attn.q_bias"] = S(v.d_model)
+        m[p + "attn.v_bias"] = S(v.d_model)
+        m[p + "attn.proj.weight"] = S(v.d_model, v.d_model)
+        m[p + "attn.proj.bias"] = S(v.d_model)
+        m[p + "norm2.weight"] = S(v.d_model)
+        m[p + "norm2.bias"] = S(v.d_model)
+        m[p + "mlp.fc1.weight"] = S(v.d_ffn, v.d_model)
+        m[p + "mlp.fc1.bias"] = S(v.d_ffn)
+        m[p + "mlp.fc2.weight"] = S(v.d_model, v.d_ffn)
+        m[p + "mlp.fc2.bias"] = S(v.d_model)
+    m["ln_vision.weight"] = S(v.d_model)
+    m["ln_vision.bias"] = S(v.d_model)
+    # Q-Former (LAVIS BERT)
+    m["query_tokens"] = S(1, q.n_query_tokens, q.d_model)
+    m["Qformer.bert.embeddings.LayerNorm.weight"] = S(q.d_model)
+    m["Qformer.bert.embeddings.LayerNorm.bias"] = S(q.d_model)
+    for i in range(q.n_layers):
+        p = f"Qformer.bert.encoder.layer.{i}."
+
+        def attn(ap, kv_width):
+            m[ap + "self.query.weight"] = S(q.d_model, q.d_model)
+            m[ap + "self.query.bias"] = S(q.d_model)
+            m[ap + "self.key.weight"] = S(q.d_model, kv_width)
+            m[ap + "self.key.bias"] = S(q.d_model)
+            m[ap + "self.value.weight"] = S(q.d_model, kv_width)
+            m[ap + "self.value.bias"] = S(q.d_model)
+            m[ap + "output.dense.weight"] = S(q.d_model, q.d_model)
+            m[ap + "output.dense.bias"] = S(q.d_model)
+            m[ap + "output.LayerNorm.weight"] = S(q.d_model)
+            m[ap + "output.LayerNorm.bias"] = S(q.d_model)
+
+        attn(p + "attention.", q.d_model)
+        if i % q.cross_attention_frequency == 0:
+            attn(p + "crossattention.", q.encoder_width)
+        m[p + "intermediate_query.dense.weight"] = S(q.d_ffn, q.d_model)
+        m[p + "intermediate_query.dense.bias"] = S(q.d_ffn)
+        m[p + "output_query.dense.weight"] = S(q.d_model, q.d_ffn)
+        m[p + "output_query.dense.bias"] = S(q.d_model)
+        m[p + "output_query.LayerNorm.weight"] = S(q.d_model)
+        m[p + "output_query.LayerNorm.bias"] = S(q.d_model)
+    # projector + Vicuna
+    m["llama_proj.weight"] = S(d.d_model, q.d_model)
+    m["llama_proj.bias"] = S(d.d_model)
+    m["llama_model.model.embed_tokens.weight"] = S(d.vocab_size, d.d_model)
+    m["llama_model.model.norm.weight"] = S(d.d_model)
+    m["llama_model.lm_head.weight"] = S(d.vocab_size, d.d_model)
+    for i in range(d.n_layers):
+        p = f"llama_model.model.layers.{i}."
+        m[p + "input_layernorm.weight"] = S(d.d_model)
+        m[p + "post_attention_layernorm.weight"] = S(d.d_model)
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            m[p + f"self_attn.{proj}.weight"] = S(d.d_model, d.d_model)
+        m[p + "mlp.gate_proj.weight"] = S(d.d_ffn, d.d_model)
+        m[p + "mlp.up_proj.weight"] = S(d.d_ffn, d.d_model)
+        m[p + "mlp.down_proj.weight"] = S(d.d_model, d.d_ffn)
+    return m

@@ -1,8 +1,9 @@
 """Vision transformers: one generic ViT covering the three backbone towers.
 
 Behavioral spec (SURVEY.md §2 backbone table):
-- BLIP-2's EVA-ViT   (HF ``Blip2VisionModel``): fused qkv, pre- and
-  post-layernorm, gelu, 224px/14 → 257 tokens (cls + 256). Reference use:
+- BLIP-2's EVA-ViT   (HF ``Blip2VisionModel``): fused qkv, post-layernorm
+  only (no embedding pre-LN — that's CLIP's quirk), gelu, 224px/14 → 257
+  tokens (cls + 256). Reference use:
   ``editor/vllms_for_edit/blip2/blip2.py:25-31``.
 - LLaVA's CLIP ViT-L/14-336: split qkv, quick_gelu, 336px/14 → 577
   tokens; LLaVA reads the penultimate layer's hidden states and drops
@@ -52,7 +53,8 @@ class ViTConfig(BaseConfig):
 
 def blip2_vit_config() -> ViTConfig:
     return ViTConfig(image_size=224, patch_size=14, d_model=1408, n_layers=39,
-                     n_heads=16, d_ffn=6144, fused_qkv=True, pre_layernorm=True)
+                     n_heads=16, d_ffn=6144, fused_qkv=True,
+                     pre_layernorm=False)
 
 
 def clip_vit_l_336_config() -> ViTConfig:

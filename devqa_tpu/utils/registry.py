@@ -61,6 +61,7 @@ def load_vllm_for_edit(
     from ..data.images import FileImageProvider, SyntheticImageProvider
 
     cfg = model_config(get_full_model_name(model_name))
+    tok_dir = weights_dir
     if weights_dir is not None:
         from ..core import convert_hf
 
@@ -77,13 +78,28 @@ def load_vllm_for_edit(
             params = convert_hf.convert_llava(
                 convert_hf.torch_state_dict_to_numpy(hf), cfg)
         else:
-            raise NotImplementedError(
-                "MiniGPT-4 weights ship as LAVIS checkpoints; use "
-                "core.convert_hf pieces (vit/qformer/llama) directly.")
+            # MiniGPT-4: LAVIS-style checkpoints. ``weights_dir`` holds the
+            # .pth file(s) the reference composes (eva/blip2-qformer/
+            # stage-2 minigpt4 ckpts — minigpt4.py:45-70) and optionally a
+            # "llama"/"vicuna" HF subdirectory for the decoder.
+            import glob
+
+            paths = sorted(glob.glob(os.path.join(weights_dir, "*.pth")))
+            if not paths:
+                raise FileNotFoundError(
+                    "no .pth LAVIS checkpoints in %s" % weights_dir)
+            llama_dir = next(
+                (p for p in (os.path.join(weights_dir, n)
+                             for n in ("llama", "vicuna", "llama_model"))
+                 if os.path.isdir(p)), None)
+            sd = convert_hf.merge_minigpt4_checkpoints(paths, llama_dir)
+            params = convert_hf.convert_minigpt4(sd, cfg)
+            if llama_dir is not None:
+                tok_dir = llama_dir  # Vicuna tokenizer lives with the LLM
         params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
         if tokenizer is None:
             tokenizer = HFTokenizerAdapter(
-                transformers.AutoTokenizer.from_pretrained(weights_dir))
+                transformers.AutoTokenizer.from_pretrained(tok_dir))
         if image_provider is None:
             image_provider = FileImageProvider(cfg.vit.image_size)
     else:
