@@ -30,7 +30,35 @@ def get_args():
                    help="local HF checkpoint dir (random init if absent)")
     p.add_argument("-cfgs", "--configs_dir", type=str, default="configs")
     p.add_argument("-res", "--results_dir", type=str, default="eval_results")
+    p.add_argument("-rt", "--retrieval", type=str, default="hash",
+                   choices=["hash", "minilm"],
+                   help="probe-retrieval sentence encoder (the reference "
+                        "uses all-MiniLM-L6-v2, dataset/vllm.py:89-117; "
+                        "hash is the zero-checkpoint stand-in)")
+    p.add_argument("-red", "--retrieval_encoder_dir", type=str, default=None,
+                   help="local sentence-transformer checkpoint dir "
+                        "(required with -rt minilm)")
+    p.add_argument("-st", "--store_path", type=str, default=None,
+                   help="pre-built embedding store .pkl (reference-format "
+                        "sentences/embeddings/images/prompts pickle)")
     return p.parse_args()
+
+
+def build_retriever(args, records=None, img_root_dir=""):
+    """-rt/-red/-st → a Retriever (or None to build from the dataset)."""
+    from ..retrieval.store import EmbeddingStore, Retriever, hash_encoder
+
+    if args.retrieval == "minilm":
+        if not args.retrieval_encoder_dir:
+            raise SystemExit("-rt minilm requires -red <encoder dir>")
+        from ..retrieval.encoders import MiniLMEncoder
+
+        encoder = MiniLMEncoder.from_hf_dir(args.retrieval_encoder_dir)
+    else:
+        encoder = hash_encoder(384)
+    if args.store_path:
+        return Retriever(EmbeddingStore.load(args.store_path), encoder), encoder
+    return None, encoder
 
 
 DEFAULT_DATA = {
@@ -44,7 +72,6 @@ def main():
     args = get_args()
     from ..data import schema
     from ..eval.harness import EditorEvaluation
-    from ..retrieval.store import hash_encoder
     from ..utils.registry import get_full_model_name, load_vllm_editor
 
     editor_name = args.editor_name.lower()
@@ -52,20 +79,27 @@ def main():
     eval_name = args.data_name.upper()
     if args.eval_name_postfix:
         eval_name = "%s-%s" % (eval_name, args.eval_name_postfix)
+    # Skip-if-evaluated: check the directory THIS run will write
+    # (sequential_edit_<n>). The reference always tests single_edit
+    # (test_vllm_edit.py:38-41) even before a sequential run — a quirk we
+    # deliberately correct: a stale single_edit dir must not suppress a
+    # sequential run, and re-runs of the same sequential_edit_n do skip.
     done = os.path.join(args.results_dir, editor_name, full, eval_name,
-                        "single_edit")
+                        "sequential_edit_%s" % args.sequential_edit_n)
     if os.path.exists(done):
         print("Has evaluated: %s" % done)
         sys.exit()
 
+    retriever, encoder = build_retriever(args)
     editor = load_vllm_editor(
         editor_name, full, weights_dir=args.weights_dir,
-        configs_dir=args.configs_dir, ckpt_path=args.editor_ckpt_path)
+        configs_dir=args.configs_dir, ckpt_path=args.editor_ckpt_path,
+        sentence_encoder=encoder, ike_store_path=args.store_path)
     data_cls = {"EVQA": schema.EVQA, "EIC": schema.EIC,
                 "VLKEB": schema.VLKEB}[args.data_name]
     data_path = args.data_path or DEFAULT_DATA[args.data_name]
-    data = data_cls(data_path, args.img_root_dir,
-                    data_n=args.data_sample_n, encoder=hash_encoder(384))
+    data = data_cls(data_path, args.img_root_dir, retriever=retriever,
+                    data_n=args.data_sample_n, encoder=encoder)
     ev = EditorEvaluation(editor, data, eval_name, args.results_dir)
     ev.evaluate_sequential_edit(args.sequential_edit_n, False, None)
 

@@ -27,6 +27,10 @@ def get_args():
     p.add_argument("-wd", "--weights_dir", type=str, default=None)
     p.add_argument("-cfgs", "--configs_dir", type=str, default="configs")
     p.add_argument("-rec", "--records_dir", type=str, default="records")
+    p.add_argument("-rt", "--retrieval", type=str, default="hash",
+                   choices=["hash", "minilm"])
+    p.add_argument("-red", "--retrieval_encoder_dir", type=str, default=None)
+    p.add_argument("-st", "--store_path", type=str, default=None)
     return p.parse_args()
 
 
@@ -35,21 +39,22 @@ def main():
     import time
 
     from ..data import schema
-    from ..retrieval.store import hash_encoder
     from ..train.loop import EditorTrainer
     from ..utils.registry import get_full_model_name, load_vllm_editor
-    from .evaluate import DEFAULT_DATA
+    from .evaluate import DEFAULT_DATA, build_retriever
 
     full = get_full_model_name(args.edit_model_name)
+    retriever, encoder = build_retriever(args)
     editor = load_vllm_editor(
         args.editor_name.lower(), full, weights_dir=args.weights_dir,
-        configs_dir=args.configs_dir, for_train=True)
+        configs_dir=args.configs_dir, for_train=True,
+        sentence_encoder=encoder)
     data_cls = {"EVQA": schema.EVQA, "EIC": schema.EIC,
                 "VLKEB": schema.VLKEB}[args.data_name]
     data_path = args.data_path or DEFAULT_DATA[args.data_name].replace(
         "eval", "train")
-    data = data_cls(data_path, args.img_root_dir,
-                    data_n=args.data_sample_n, encoder=hash_encoder(384))
+    data = data_cls(data_path, args.img_root_dir, retriever=retriever,
+                    data_n=args.data_sample_n, encoder=encoder)
     name = (args.train_name_prefix + "-" if args.train_name_prefix else "") \
         + args.data_name + "-" + time.strftime("%Y.%m.%d-%H.%M.%S")
     trainer = EditorTrainer(

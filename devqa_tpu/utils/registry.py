@@ -126,6 +126,7 @@ def load_vllm_editor(
     configs_dir: str = "configs",
     ckpt_path: Optional[str] = None,
     sentence_encoder=None,
+    ike_store_path: Optional[str] = None,
     for_train: bool = False,
     seed: int = 0,
 ):
@@ -185,8 +186,15 @@ def load_vllm_editor(
 
         return LEMoEvl(vllm, cfg_of(LEMoEvlConfig), seed=seed)
     elif editor_name == "ike":
-        raise ValueError("IKE needs a demonstration store; construct "
-                         "editors.ike.IKE directly with encode_ike_facts().")
+        if ike_store_path is None:
+            raise ValueError(
+                "IKE needs a demonstration store: pass ike_store_path "
+                "(cli: -st store.pkl, built by cli.build_store --kind ike).")
+        from ..editors.ike import IKE, IKEConfig
+        from ..retrieval.store import EmbeddingStore
+
+        store = EmbeddingStore.load(ike_store_path)
+        return IKE(vllm, cfg_of(IKEConfig), store, sentence_encoder)
     else:
         raise ValueError("unknown editor: %s (known: %s)"
                          % (editor_name, EDITOR_NAMES))
