@@ -337,6 +337,133 @@ def decoder_apply(
 
 
 # ---------------------------------------------------------------------------
+# KV-cached decoding (serving / generate)
+# ---------------------------------------------------------------------------
+#
+# The reference serves with HF use_cache streaming
+# (mPLUG_Owl2/serve/model_worker.py:44). TPU-native shape: ONE compiled
+# prefill program (full slotted prompt → per-layer K/V stacked into a
+# fixed-capacity cache) + ONE compiled single-token decode program whose
+# cost is independent of generated length. Per-row write indices use a
+# masked select over the (short) cache axis — no dynamic shapes.
+
+
+def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
+                  dtype=jnp.float32):
+    shape = (cfg.n_layers, batch, cfg.n_heads, max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype),
+            "valid": jnp.zeros((batch, max_len), jnp.int32)}
+
+
+def _qkv_heads(p, cfg: DecoderConfig, h_norm, positions):
+    q = _split_heads(linear(h_norm, p["q"]["w"], p["q"].get("b")), cfg.n_heads)
+    k = _split_heads(linear(h_norm, p["k"]["w"], p["k"].get("b")), cfg.n_heads)
+    v = _split_heads(linear(h_norm, p["v"]["w"], p["v"].get("b")), cfg.n_heads)
+    if cfg.arch == "llama":
+        q, k = _rope(q, k, positions, cfg.rope_theta)
+    return q, k, v
+
+
+def _layer_with_kv(p, cfg: DecoderConfig, h, kv_valid, positions,
+                   attend_fn):
+    """One decoder layer where attention K/V flow through ``attend_fn``
+    (so prefill can emit them and decode can splice the cache)."""
+    act = ACTIVATIONS[cfg.activation]
+    if cfg.arch == "opt":
+        h_norm = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"], cfg.norm_eps)
+    else:
+        h_norm = rms_norm(h, p["ln1"]["scale"], cfg.norm_eps)
+    q, k, v = _qkv_heads(p, cfg, h_norm, positions)
+    o, aux = attend_fn(q, k, v)
+    h = h + linear(_merge_heads(o), p["o"]["w"], p["o"].get("b"))
+    if cfg.arch == "opt":
+        x = layer_norm(h, p["ln2"]["scale"], p["ln2"]["bias"], cfg.norm_eps)
+        mlp = linear(act(linear(x, p["fc1"]["w"], p["fc1"]["b"])),
+                     p["fc2"]["w"], p["fc2"]["b"])
+    else:
+        x = rms_norm(h, p["ln2"]["scale"], cfg.norm_eps)
+        mlp = linear(act(linear(x, p["gate"]["w"])) * linear(x, p["up"]["w"]),
+                     p["down"]["w"])
+    return h + mlp, aux
+
+
+def decoder_prefill(params, cfg: DecoderConfig, inputs_embeds, kv_valid,
+                    max_len: int):
+    """Full-prompt forward that also fills a KV cache.
+
+    → (logits [B, L, V], cache). ``max_len`` is the cache capacity (≥ L);
+    cached K carry RoPE already applied at their absolute positions.
+    """
+    B, L, _ = inputs_embeds.shape
+    assert max_len >= L, (max_len, L)
+    positions = positions_from_mask(kv_valid)
+    h = inputs_embeds
+    if cfg.arch == "opt":
+        h = h + params["embed_positions"][positions + cfg.pos_offset]
+
+    def attend(q, k, v):
+        o = multihead_attention(q, k, v, kv_valid=kv_valid, causal=True)
+        return o, (k, v)
+
+    def body(carry, p):
+        h, (k, v) = _layer_with_kv(p, cfg, carry, kv_valid, positions, attend)
+        return h, (k, v)
+
+    h, (ks, vs) = jax.lax.scan(body, h, params["layers"])
+    pad = max_len - L
+    ks = jnp.pad(ks, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    vs = jnp.pad(vs, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    cache = {"k": ks, "v": vs,
+             "valid": jnp.pad(kv_valid.astype(jnp.int32), ((0, 0), (0, pad)))}
+    logits = decoder_logits(params, cfg, h)
+    return logits, cache
+
+
+def decoder_decode_step(params, cfg: DecoderConfig, cache, token_embeds):
+    """One cached greedy-decode step.
+
+    ``token_embeds`` [B, d]: the new token's input embedding. The token's
+    POSITION is its row's valid count (mask-derived cumsum semantics),
+    while its cache SLOT is the index after the row's last valid slot —
+    the two differ when the slotted layout masks vision slots
+    mid-sequence (text-only rows). If a row's cache is full the write is
+    silently dropped; size ``max_len`` for prompt + max_new_tokens.
+    → (logits [B, V], cache')."""
+    B, d = token_embeds.shape
+    max_len = cache["valid"].shape[1]
+    valid = cache["valid"]
+    n_valid = valid.sum(1)                              # [B]
+    pos = n_valid[:, None]                              # [B, 1] new position
+    h = token_embeds[:, None, :]                        # [B, 1, d]
+    if cfg.arch == "opt":
+        h = h + params["embed_positions"][pos + cfg.pos_offset]
+    iota = jnp.arange(max_len)
+    last = jnp.max(jnp.where(valid > 0, iota[None, :], -1), axis=1)  # [B]
+    slot = last + 1
+    write = (iota[None, :] == slot[:, None])            # [B, max_len]
+    new_valid = valid | write.astype(jnp.int32)
+
+    def body(carry, xs):
+        h = carry
+        p, ck, cv = xs
+
+        def attend(q, k, v):
+            wk = jnp.where(write[:, None, :, None], k, ck)
+            wv = jnp.where(write[:, None, :, None], v, cv)
+            o = multihead_attention(q, wk, wv, kv_valid=new_valid,
+                                    causal=False)
+            return o, (wk, wv)
+
+        h, (wk, wv) = _layer_with_kv(p, cfg, h, new_valid, pos, attend)
+        return h, (wk, wv)
+
+    h, (ks, vs) = jax.lax.scan(
+        body, h, (params["layers"], cache["k"], cache["v"]))
+    logits = decoder_logits(params, cfg, h)[:, 0]
+    return logits, {"k": ks, "v": vs, "valid": new_valid}
+
+
+# ---------------------------------------------------------------------------
 # MLP linear probes (MEND's x/δ capture)
 # ---------------------------------------------------------------------------
 

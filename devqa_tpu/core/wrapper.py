@@ -246,6 +246,27 @@ class JaxVLLM:
         return self._resume_jit(self.params if params is None else params,
                                 (hidden, kv_valid), layer)
 
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _prefill_jit(self, params, embeds, kv_valid, max_len):
+        return dec.decoder_prefill(params["decoder"], self.cfg.decoder,
+                                   embeds, kv_valid, max_len)
+
+    def prefill(self, embeds, kv_valid, max_len: int, params=None):
+        """Full-prompt forward + KV cache (decoder.decoder_prefill)."""
+        return self._prefill_jit(self.params if params is None else params,
+                                 embeds, kv_valid, max_len)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _decode_step_jit(self, params, cache, token_ids):
+        temb = params["decoder"]["embed_tokens"][token_ids]
+        return dec.decoder_decode_step(params["decoder"], self.cfg.decoder,
+                                       cache, temb)
+
+    def decode_step(self, cache, token_ids, params=None):
+        """One cached decode step from token ids [B] → (logits [B,V], cache)."""
+        return self._decode_step_jit(self.params if params is None else params,
+                                     cache, jnp.asarray(token_ids))
+
     def find_closest_tokens(self, embeddings, top_k: int = 1):
         """Nearest vocabulary tokens by cosine similarity
         (``BaseVLLMForEdit.find_closest_tokens``, base.py:187-196).

@@ -48,30 +48,54 @@ class ModelWorker:
         [text[:p] | V vision slots | text[p:]] the valid-count is NOT the
         last-token index for text-only requests (vision slots are masked
         mid-sequence), so we map the text index through the slot offset.
+
+        Without an editor, decoding is KV-cached: one prefill + one
+        compiled single-token step whose latency is independent of the
+        generated length (model_worker.py:44 streaming semantics;
+        cached == full-recompute asserted in tests/test_kv_cache.py).
+        Editor-intervened decoding stays full-recompute — interventions
+        are defined on whole-sequence forwards.
         """
         vllm = self.vllm
         with self._lock:
+            if self.editor is None:
+                return self._generate_cached(prompt, image, max_new_tokens)
             out_ids: list = []
             text = prompt
             for _ in range(max_new_tokens):
-                if self.editor is not None:
-                    qb = self.editor.build_query_batch([text], [image], [""])
-                else:
-                    qb = vllm.encode_queries([text], [image], [""])
-                if self.editor is not None:
-                    logits = self.editor.query_logits(qb)
-                else:
-                    logits = vllm.logits(qb.embeds, qb.kv_valid)
-                V, p = vllm.cfg.n_img_tokens, vllm.cfg.img_slot_pos
-                li = int(qb.prompt_lens[0]) - 1  # last text-token index
-                pos = li + V if li >= p else li
-                nxt = int(np.argmax(np.asarray(logits)[0, pos]))
+                qb = self.editor.build_query_batch([text], [image], [""])
+                logits = self.editor.query_logits(qb)
+                nxt = int(np.argmax(
+                    np.asarray(logits)[0, self._last_text_pos(qb)]))
                 if nxt in (vllm.tokenizer.pad_token_id,
                            getattr(vllm.tokenizer, "eos_token_id", -1)):
                     break
                 out_ids.append(nxt)
                 text = prompt + vllm.tokenizer.decode(out_ids)
             return vllm.tokenizer.decode(out_ids)
+
+    def _last_text_pos(self, qb) -> int:
+        V, p = self.vllm.cfg.n_img_tokens, self.vllm.cfg.img_slot_pos
+        li = int(qb.prompt_lens[0]) - 1  # last text-token index
+        return li + V if li >= p else li
+
+    def _generate_cached(self, prompt, image, max_new_tokens: int) -> str:
+        vllm = self.vllm
+        qb = vllm.encode_queries([prompt], [image], [""])
+        L = qb.embeds.shape[1]
+        logits, cache = vllm.prefill(qb.embeds, qb.kv_valid,
+                                     max_len=L + max_new_tokens)
+        nxt = int(np.argmax(np.asarray(logits)[0, self._last_text_pos(qb)]))
+        out_ids: list = []
+        stop = (vllm.tokenizer.pad_token_id,
+                getattr(vllm.tokenizer, "eos_token_id", -1))
+        for _ in range(max_new_tokens):
+            if nxt in stop:
+                break
+            out_ids.append(nxt)
+            logits, cache = vllm.decode_step(cache, np.asarray([nxt]))
+            nxt = int(np.argmax(np.asarray(logits)[0]))
+        return vllm.tokenizer.decode(out_ids)
 
     # ---------------- http ----------------
 

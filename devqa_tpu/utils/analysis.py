@@ -37,17 +37,51 @@ def _greedy_step_full(params, cfg, ids, mask, max_new: int):
     return jax.lax.fori_loop(0, max_new, body, (ids, mask))
 
 
-def generate_fast(model, prompts: Sequence[str], max_new_tokens: int = 10
-                  ) -> List[str]:
+@partial(jax.jit, static_argnums=(1, 4))
+def _greedy_cached(params, cfg, ids, mask, max_new: int):
+    """Greedy decode with a KV cache: one prefill + (max_new−1)
+    single-token steps inside one jitted program — per-token cost is
+    independent of generated length (the reference's use_cache streaming,
+    mPLUG_Owl2/serve/model_worker.py:44). Output-identical to
+    :func:`_greedy_step_full` (asserted in tests/test_kv_cache.py)."""
+    B, L = ids.shape
+    embeds = dec.embed_tokens(params, cfg, ids)
+    pre_logits, cache = dec.decoder_prefill(params, cfg, embeds, mask, L)
+    lens = mask.sum(1)
+    last = jnp.take_along_axis(pre_logits, (lens - 1)[:, None, None], 1)[:, 0]
+    nxt = jnp.argmax(last, -1)
+
+    def commit(ids, mask, nxt):
+        lens = mask.sum(1)
+        oh = jax.nn.one_hot(lens, L, dtype=bool)
+        return (jnp.where(oh, nxt[:, None], ids), jnp.where(oh, 1, mask))
+
+    def body(i, carry):
+        ids, mask, cache, nxt = carry
+        ids, mask = commit(ids, mask, nxt)
+        logits, cache = dec.decoder_decode_step(
+            params, cfg, cache, params["embed_tokens"][nxt])
+        return ids, mask, cache, jnp.argmax(logits, -1)
+
+    ids, mask, cache, nxt = jax.lax.fori_loop(
+        0, max_new - 1, body, (ids, mask, cache, nxt))
+    ids, mask = commit(ids, mask, nxt)
+    return ids, mask
+
+
+def generate_fast(model, prompts: Sequence[str], max_new_tokens: int = 10,
+                  cached: bool = True) -> List[str]:
     """Batched greedy generation (util/generate.py:77 ``generate_fast``).
-    ``model``: an editors.llm.session.TextModel."""
+    ``model``: an editors.llm.session.TextModel. ``cached=False`` forces
+    the full-recompute reference path."""
     tb = model.batch(list(prompts), [""] * len(prompts))
     L = tb.input_ids.shape[1] + max_new_tokens
     pad = L - tb.input_ids.shape[1]
     ids = np.pad(tb.input_ids, ((0, 0), (0, pad)),
                  constant_values=model.tokenizer.pad_token_id)
     mask = np.pad(tb.attn_mask, ((0, 0), (0, pad)))
-    out_ids, out_mask = _greedy_step_full(
+    step = _greedy_cached if cached else _greedy_step_full
+    out_ids, out_mask = step(
         model.params, model.cfg, jnp.asarray(ids), jnp.asarray(mask),
         max_new_tokens)
     out_ids, out_mask = np.asarray(out_ids), np.asarray(out_mask)
