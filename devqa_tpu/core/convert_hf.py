@@ -396,8 +396,226 @@ def torch_state_dict_to_numpy(model) -> Dict[str, Array]:
 
 
 # ---------------------------------------------------------------------------
+# mPLUG-Owl2
+# ---------------------------------------------------------------------------
+
+def convert_owl2_vision(sd: Mapping[str, Array], cfg: ViTConfig,
+                        prefix: str = "model.vision_model."):
+    """MplugOwlVisionModel (visual_encoder.py:84-446): conv patch embed
+    (no bias), cls + pos params, embedding pre-layernorm, pre-LN layers
+    with a FUSED qkv whose output features are laid out head-major
+    ``[heads, 3, head_dim]`` (visual_encoder.py:155-163) — permuted here
+    to this framework's ``[3, heads, head_dim]`` chunk layout."""
+    d, nh = cfg.d_model, cfg.n_heads
+    hd = d // nh
+
+    def qkv_perm(w, b):
+        # torch w: [3d(out: h,3,hd), d(in)] → ours [d(in), 3d(out: 3,h,hd)]
+        w = jnp.asarray(w).reshape(nh, 3, hd, d).transpose(1, 0, 2, 3)
+        b = jnp.asarray(b).reshape(nh, 3, hd).transpose(1, 0, 2)
+        return {"w": w.reshape(3 * d, d).T, "b": b.reshape(3 * d)}
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"{prefix}encoder.layers.{i}."
+        layers.append({
+            "ln1": _ln(sd, p + "input_layernorm"),
+            "qkv": qkv_perm(sd[p + "self_attn.query_key_value.weight"],
+                            sd[p + "self_attn.query_key_value.bias"]),
+            "o": _dense(sd, p + "self_attn.dense"),
+            "ln2": _ln(sd, p + "post_attention_layernorm"),
+            "fc1": _dense(sd, p + "mlp.fc1"),
+            "fc2": _dense(sd, p + "mlp.fc2"),
+        })
+    patch_w = _a(sd, prefix + "embeddings.patch_embed.weight")  # [d,3,P,P]
+    return {
+        "patch_embed": {"w": patch_w.reshape(d, -1).T,
+                        "b": jnp.zeros((d,), patch_w.dtype)},  # conv bias=False
+        "cls_token": _a(sd, prefix + "embeddings.cls_token").reshape(-1),
+        "pos_embed": _a(sd, prefix + "embeddings.position_embedding"
+                        ).reshape(-1, d),
+        "pre_ln": _ln(sd, prefix + "embeddings.pre_layernorm"),
+        "post_ln": _ln(sd, prefix + "post_layernorm"),
+        "layers": _stack(layers),
+    }
+
+
+def convert_owl2_abstractor(sd: Mapping[str, Array], cfg,
+                            prefix: str = "model.visual_abstractor."):
+    """MplugOwlVisualAbstractorModel (visual_encoder.py:448-920). The
+    sincos q/k position buffers are deterministic and recomputed
+    (abstractor.abstractor_pos_embeds), not read from the checkpoint."""
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"{prefix}encoder.layers.{i}.crossattention."
+        layers.append({
+            "norm1": _ln(sd, p + "norm1"),
+            "normk": _ln(sd, p + "normk"),
+            "q": _dense(sd, p + "attention.query"),
+            "k": _dense(sd, p + "attention.key"),
+            "v": _dense(sd, p + "attention.value"),
+            "o": _dense(sd, p + "output.out_proj"),
+            "norm2": _ln(sd, p + "output.norm2"),
+            "w1": _dense(sd, p + "output.mlp.w1"),
+            "w2": _dense(sd, p + "output.mlp.w2"),
+            "w3": _dense(sd, p + "output.mlp.w3"),
+            "ffn_ln": _ln(sd, p + "output.mlp.ffn_ln"),
+        })
+    return {
+        "query_embeds": _a(sd, prefix + "query_embeds").reshape(
+            cfg.n_queries, cfg.d_model),
+        "visual_fc": _dense(sd, prefix + "visual_fc"),
+        "vit_eos": _a(sd, prefix + "vit_eos").reshape(-1),
+        "layers": _stack(layers),
+    }
+
+
+def convert_owl2_decoder(sd: Mapping[str, Array], cfg: DecoderConfig,
+                         prefix: str = "model."):
+    """Modality-adaptive LLaMA-2 (modeling_llama2.py): q/o and the MLP are
+    shared; k_proj/v_proj and both layer norms are MultiwayNetwork pairs
+    serialized as ``.multiway.0`` (text) / ``.multiway.1`` (visual)."""
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"{prefix}layers.{i}."
+        layers.append({
+            "ln1": {"scale": _a(sd, p + "input_layernorm.multiway.0.weight")},
+            "ln1_vis": {"scale": _a(sd, p + "input_layernorm.multiway.1.weight")},
+            "q": _dense(sd, p + "self_attn.q_proj", bias=False),
+            "k": {"w": _t(sd, p + "self_attn.k_proj.multiway.0.weight")},
+            "k_vis": {"w": _t(sd, p + "self_attn.k_proj.multiway.1.weight")},
+            "v": {"w": _t(sd, p + "self_attn.v_proj.multiway.0.weight")},
+            "v_vis": {"w": _t(sd, p + "self_attn.v_proj.multiway.1.weight")},
+            "o": _dense(sd, p + "self_attn.o_proj", bias=False),
+            "ln2": {"scale": _a(sd, p + "post_attention_layernorm.multiway.0.weight")},
+            "ln2_vis": {"scale": _a(sd, p + "post_attention_layernorm.multiway.1.weight")},
+            "gate": _dense(sd, p + "mlp.gate_proj", bias=False),
+            "up": _dense(sd, p + "mlp.up_proj", bias=False),
+            "down": _dense(sd, p + "mlp.down_proj", bias=False),
+        })
+    return {
+        "embed_tokens": _a(sd, prefix + "embed_tokens.weight"),
+        "final_norm": {"scale": _a(sd, prefix + "norm.weight")},
+        "lm_head": _t(sd, "lm_head.weight"),
+        "layers": _stack(layers),
+    }
+
+
+def convert_mplug_owl2(sd: Mapping[str, Array], cfg: VLLMConfig):
+    """Full mplug-owl2-llama2-7b state dict → VLLM params
+    (modeling_mplug_owl2.py:35-39 composition)."""
+    return {
+        "vit": convert_owl2_vision(sd, cfg.vit, "model.vision_model."),
+        "abstractor": convert_owl2_abstractor(sd, cfg.abstractor,
+                                              "model.visual_abstractor."),
+        "decoder": convert_owl2_decoder(sd, cfg.decoder, "model."),
+    }
+
+
+def load_torch_dir(weights_dir: str) -> Dict[str, Array]:
+    """Flat numpy state dict from a directory of torch ``.bin``/``.pth``
+    (and ``.safetensors`` when the library is available) shards."""
+    import glob
+    import os
+
+    merged: Dict[str, Array] = {}
+    paths = sorted(glob.glob(os.path.join(weights_dir, "*.bin"))
+                   + glob.glob(os.path.join(weights_dir, "*.pth")))
+    if paths:
+        import torch
+
+        for path in paths:
+            obj = torch.load(path, map_location="cpu", weights_only=True)
+            state = obj.get("model", obj) if isinstance(obj, dict) else obj
+            for k, v in state.items():
+                if hasattr(v, "detach"):
+                    merged[k] = v.detach().cpu().numpy()
+    for path in sorted(glob.glob(os.path.join(weights_dir, "*.safetensors"))):
+        from safetensors.numpy import load_file  # optional dependency
+
+        merged.update(load_file(path))
+    return merged
+
+
+# ---------------------------------------------------------------------------
 # Full-size layout manifests (conversion dry tests)
 # ---------------------------------------------------------------------------
+
+
+def mplug_owl2_manifest(cfg: VLLMConfig) -> Dict[str, "jnp.ndarray"]:
+    """{key: ShapeDtypeStruct} of the mplug-owl2-llama2-7b checkpoint
+    layout for eval_shape dry-runs (mirrors the module structure cited in
+    the converters above)."""
+    import jax
+
+    S = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    v, a, d = cfg.vit, cfg.abstractor, cfg.decoder
+    m: Dict[str, jnp.ndarray] = {}
+    vp = "model.vision_model."
+    m[vp + "embeddings.cls_token"] = S(1, 1, v.d_model)
+    m[vp + "embeddings.patch_embed.weight"] = S(v.d_model, 3, v.patch_size,
+                                                v.patch_size)
+    m[vp + "embeddings.position_embedding"] = S(1, v.n_tokens, v.d_model)
+    m[vp + "embeddings.pre_layernorm.weight"] = S(v.d_model)
+    m[vp + "embeddings.pre_layernorm.bias"] = S(v.d_model)
+    m[vp + "post_layernorm.weight"] = S(v.d_model)
+    m[vp + "post_layernorm.bias"] = S(v.d_model)
+    for i in range(v.n_layers):
+        p = f"{vp}encoder.layers.{i}."
+        for ln in ("input_layernorm", "post_attention_layernorm"):
+            m[p + ln + ".weight"] = S(v.d_model)
+            m[p + ln + ".bias"] = S(v.d_model)
+        m[p + "self_attn.query_key_value.weight"] = S(3 * v.d_model, v.d_model)
+        m[p + "self_attn.query_key_value.bias"] = S(3 * v.d_model)
+        m[p + "self_attn.dense.weight"] = S(v.d_model, v.d_model)
+        m[p + "self_attn.dense.bias"] = S(v.d_model)
+        m[p + "mlp.fc1.weight"] = S(v.d_ffn, v.d_model)
+        m[p + "mlp.fc1.bias"] = S(v.d_ffn)
+        m[p + "mlp.fc2.weight"] = S(v.d_model, v.d_ffn)
+        m[p + "mlp.fc2.bias"] = S(v.d_model)
+    ap = "model.visual_abstractor."
+    m[ap + "query_embeds"] = S(1, a.n_queries, a.d_model)
+    m[ap + "visual_fc.weight"] = S(a.out_dim, a.d_model)
+    m[ap + "visual_fc.bias"] = S(a.out_dim)
+    m[ap + "vit_eos"] = S(1, 1, a.out_dim)
+    for i in range(a.n_layers):
+        p = f"{ap}encoder.layers.{i}.crossattention."
+        for ln in ("norm1", "normk"):
+            m[p + ln + ".weight"] = S(a.d_model)
+            m[p + ln + ".bias"] = S(a.d_model)
+        for proj, width in (("query", a.d_model), ("key", a.encoder_width),
+                            ("value", a.encoder_width)):
+            m[p + f"attention.{proj}.weight"] = S(a.d_model, width)
+            m[p + f"attention.{proj}.bias"] = S(a.d_model)
+        m[p + "attention.q_pos_embed"] = S(a.n_queries, a.d_model)
+        m[p + "attention.k_pos_embed"] = S(1 + a.grid_size ** 2, a.d_model)
+        m[p + "output.out_proj.weight"] = S(a.d_model, a.d_model)
+        m[p + "output.out_proj.bias"] = S(a.d_model)
+        m[p + "output.norm2.weight"] = S(a.d_model)
+        m[p + "output.norm2.bias"] = S(a.d_model)
+        for w, din, dout in (("w1", a.d_model, a.d_ffn),
+                             ("w3", a.d_model, a.d_ffn),
+                             ("w2", a.d_ffn, a.d_model)):
+            m[p + f"output.mlp.{w}.weight"] = S(dout, din)
+            m[p + f"output.mlp.{w}.bias"] = S(dout)
+        m[p + "output.mlp.ffn_ln.weight"] = S(a.d_ffn)
+        m[p + "output.mlp.ffn_ln.bias"] = S(a.d_ffn)
+    m["model.embed_tokens.weight"] = S(d.vocab_size, d.d_model)
+    m["model.norm.weight"] = S(d.d_model)
+    m["lm_head.weight"] = S(d.vocab_size, d.d_model)
+    for i in range(d.n_layers):
+        p = f"model.layers.{i}."
+        for w in (0, 1):
+            m[p + f"input_layernorm.multiway.{w}.weight"] = S(d.d_model)
+            m[p + f"post_attention_layernorm.multiway.{w}.weight"] = S(d.d_model)
+            m[p + f"self_attn.k_proj.multiway.{w}.weight"] = S(d.d_model, d.d_model)
+            m[p + f"self_attn.v_proj.multiway.{w}.weight"] = S(d.d_model, d.d_model)
+        m[p + "self_attn.q_proj.weight"] = S(d.d_model, d.d_model)
+        m[p + "self_attn.o_proj.weight"] = S(d.d_model, d.d_model)
+        m[p + "mlp.gate_proj.weight"] = S(d.d_ffn, d.d_model)
+        m[p + "mlp.up_proj.weight"] = S(d.d_ffn, d.d_model)
+        m[p + "mlp.down_proj.weight"] = S(d.d_model, d.d_ffn)
+    return m
 
 def minigpt4_manifest(cfg: VLLMConfig) -> Dict[str, "jnp.ndarray"]:
     """{key: ShapeDtypeStruct} of the MiniGPT-4 checkpoint layout for

@@ -278,18 +278,39 @@ def decoder_forward(
     layer_residual: Optional[Tuple[int, Callable]] = None,
     mlp_residual: Optional[Tuple[int, Callable]] = None,
     remat: bool = False,
+    modality: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run decoder layers [lo, hi) over ``inputs_embeds`` → hidden states.
 
     ``lo == 0`` additionally applies the model's position embeddings (OPT);
     resuming from a mid-layer capture (``lo > 0``) must not re-add them —
     the functional equivalent of ``forward_from_mid_layer``.
+
+    ``modality`` [B, L] (1 = visual token) selects the second way of
+    mPLUG-Owl2's multiway k/v/norms; ignored by opt/llama. Defaults to
+    all-text.
     """
     hi = cfg.n_layers if hi is None else hi
     positions = positions_from_mask(kv_valid)
     h = inputs_embeds
     if lo == 0 and cfg.arch == "opt":
         h = h + params["embed_positions"][positions + cfg.pos_offset]
+    if cfg.arch == "mplug_owl2" and modality is None:
+        modality = jnp.zeros_like(kv_valid)
+
+    def run_layer(p_i, h, mlp_fn):
+        if cfg.arch == "mplug_owl2":
+            return mplug_owl2_layer(p_i, cfg, h, kv_valid, positions,
+                                    modality, mlp_residual_fn=mlp_fn)
+        return decoder_layer(p_i, cfg, h, kv_valid, positions,
+                             mlp_residual_fn=mlp_fn)
+
+    def run_span(h, a, b):
+        if cfg.arch == "mplug_owl2":
+            return _scan_mplug_layers(params["layers"], cfg, h, kv_valid,
+                                      positions, modality, a, b, remat)
+        return _scan_layers(params["layers"], cfg, h, kv_valid, positions,
+                            a, b, remat)
 
     # Split the scan at intervention layers.
     points = {}
@@ -301,16 +322,26 @@ def decoder_forward(
 
     cur = lo
     for i in cut_layers:
-        h = _scan_layers(params["layers"], cfg, h, kv_valid, positions, cur, i, remat)
+        h = run_span(h, cur, i)
         p_i = tree_slice(params["layers"], i)
-        h = decoder_layer(
-            p_i, cfg, h, kv_valid, positions,
-            mlp_residual_fn=points[i].get("mlp_residual"),
-        )
+        h = run_layer(p_i, h, points[i].get("mlp_residual"))
         if "layer_residual" in points[i]:
             h = points[i]["layer_residual"](h)
         cur = i + 1
-    h = _scan_layers(params["layers"], cfg, h, kv_valid, positions, cur, hi, remat)
+    h = run_span(h, cur, hi)
+    return h
+
+
+def _scan_mplug_layers(layers, cfg, h, kv_valid, positions, modality,
+                       lo, hi, remat):
+    if hi <= lo:
+        return h
+    seg = jax.tree.map(lambda x: x[lo:hi], layers)
+    body = lambda carry, p: (
+        mplug_owl2_layer(p, cfg, carry, kv_valid, positions, modality), None)
+    if remat:
+        body = jax.checkpoint(body)
+    h, _ = jax.lax.scan(body, h, seg)
     return h
 
 
@@ -394,6 +425,10 @@ def decoder_prefill(params, cfg: DecoderConfig, inputs_embeds, kv_valid,
     → (logits [B, L, V], cache). ``max_len`` is the cache capacity (≥ L);
     cached K carry RoPE already applied at their absolute positions.
     """
+    if cfg.arch not in ("opt", "llama"):
+        raise NotImplementedError(
+            "KV-cached decoding covers opt/llama; %r uses the "
+            "full-recompute path" % cfg.arch)
     B, L, _ = inputs_embeds.shape
     assert max_len >= L, (max_len, L)
     positions = positions_from_mask(kv_valid)
@@ -648,14 +683,10 @@ def mplug_owl2_layer(p, cfg: DecoderConfig, h, kv_valid, positions,
 
 
 def mplug_owl2_forward(params, cfg: DecoderConfig, inputs_embeds, kv_valid,
-                       modality, lo: int = 0, hi: Optional[int] = None):
-    """Scan-stacked modality-adaptive forward (no interventions yet;
-    editors target the shared MLP, which reuses the generic machinery)."""
-    hi = cfg.n_layers if hi is None else hi
-    positions = positions_from_mask(kv_valid)
-    seg = jax.tree.map(lambda x: x[lo:hi], params["layers"])
-    h, _ = jax.lax.scan(
-        lambda c, p: (mplug_owl2_layer(p, cfg, c, kv_valid, positions,
-                                       modality), None),
-        inputs_embeds, seg)
-    return h
+                       modality, lo: int = 0, hi: Optional[int] = None,
+                       **kw):
+    """Modality-adaptive forward — delegates to :func:`decoder_forward`,
+    which dispatches on arch and supports the same typed interventions
+    (editors target the shared MLP / layer outputs)."""
+    return decoder_forward(params, cfg, inputs_embeds, kv_valid,
+                           lo=lo, hi=hi, modality=modality, **kw)

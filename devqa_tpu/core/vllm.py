@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.config import BaseConfig
+from . import abstractor as abs_mod
 from . import decoder as dec
 from . import qformer as qf
 from . import vit as vit_mod
@@ -38,12 +39,13 @@ from .preprocess import preprocess_images
 @dataclasses.dataclass(frozen=True)
 class VLLMConfig(BaseConfig):
     name: str = "blip2-opt-2.7b"
-    bridge: str = "qformer"  # "qformer" | "mlp"
+    bridge: str = "qformer"  # "qformer" | "mlp" | "abstractor"
     img_slot_pos: int = 0    # where the vision block sits in the text stream
     n_img_tokens: int = 32
     vit: vit_mod.ViTConfig = dataclasses.field(default_factory=vit_mod.blip2_vit_config)
     qformer: Optional[qf.QFormerConfig] = dataclasses.field(
         default_factory=qf.blip2_qformer_config)
+    abstractor: Optional[abs_mod.AbstractorConfig] = None
     decoder: dec.DecoderConfig = dataclasses.field(default_factory=dec.opt_2_7b_config)
     vit_feature_layer: Optional[int] = None  # LLaVA: take hidden at this layer
     # image special token string in prompts (stripped before tokenizing;
@@ -86,6 +88,30 @@ def minigpt4_vicuna_7b_config() -> VLLMConfig:
     )
 
 
+def owl2_vit_config() -> vit_mod.ViTConfig:
+    """MplugOwlVisionModel (visual_encoder.py:384-446 + config defaults:
+    448px/14 → 1025 tokens, d=1024, 24 pre-LN layers, fused qkv,
+    quick_gelu, embedding pre-layernorm)."""
+    return vit_mod.ViTConfig(
+        image_size=448, patch_size=14, d_model=1024, n_layers=24, n_heads=16,
+        d_ffn=4096, activation="quick_gelu", fused_qkv=True,
+        pre_layernorm=True, norm_eps=1e-6)
+
+
+def mplug_owl2_llama2_7b_config() -> VLLMConfig:
+    """mPLUG-Owl2 (modeling_mplug_owl2.py:35-39 composition): owl ViT →
+    visual abstractor (64 queries + vit_eos = 65 vision tokens) →
+    modality-adaptive LLaMA-2-7b. ``<|image|>`` splices after BOS."""
+    return VLLMConfig(
+        name="mplug-owl2-llama2-7b", bridge="abstractor", img_slot_pos=1,
+        n_img_tokens=65,
+        vit=owl2_vit_config(), qformer=None,
+        abstractor=abs_mod.AbstractorConfig(),
+        decoder=dec.mplug_owl2_config(),
+        img_special_token="<|image|>",
+    )
+
+
 # --- tiny configs for CPU tests -------------------------------------------
 
 def tiny_vllm_config(arch: str = "opt", img_slot_pos: int = 0) -> VLLMConfig:
@@ -105,12 +131,35 @@ def tiny_vllm_config(arch: str = "opt", img_slot_pos: int = 0) -> VLLMConfig:
         n_img_tokens=4, vit=vit_cfg, qformer=qf_cfg, decoder=dcfg)
 
 
+def tiny_owl2_vllm_config() -> VLLMConfig:
+    """Tiny mPLUG-Owl2: abstractor bridge + modality-adaptive decoder."""
+    vit_cfg = vit_mod.ViTConfig(
+        image_size=16, patch_size=4, d_model=32, n_layers=2, n_heads=2,
+        d_ffn=64, activation="quick_gelu", fused_qkv=True, pre_layernorm=True)
+    a_cfg = abs_mod.AbstractorConfig(
+        n_queries=4, d_model=32, n_layers=2, n_heads=2, d_ffn=48,
+        encoder_width=32, grid_size=4, out_dim=32)
+    dcfg = dec.DecoderConfig(
+        arch="mplug_owl2", vocab_size=512, d_model=32, n_layers=4, n_heads=2,
+        d_ffn=64, max_positions=128, activation="silu",
+        tie_word_embeddings=False)
+    return VLLMConfig(
+        name="tiny-owl2", bridge="abstractor", img_slot_pos=1,
+        n_img_tokens=a_cfg.n_queries + 1, vit=vit_cfg, qformer=None,
+        abstractor=a_cfg, decoder=dcfg, img_special_token="<|image|>")
+
+
 def init_vllm_params(cfg: VLLMConfig, key, dtype=jnp.float32):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     d_llm = cfg.decoder.d_model
+    if cfg.decoder.arch == "mplug_owl2":
+        decoder_params = dec.init_mplug_owl2_decoder_params(cfg.decoder, k2,
+                                                            dtype)
+    else:
+        decoder_params = dec.init_decoder_params(cfg.decoder, k2, dtype)
     params = {
         "vit": vit_mod.init_vit_params(cfg.vit, k1, dtype),
-        "decoder": dec.init_decoder_params(cfg.decoder, k2, dtype),
+        "decoder": decoder_params,
     }
     if cfg.bridge == "qformer":
         params["qformer"] = qf.init_qformer_params(cfg.qformer, k3, dtype)
@@ -118,6 +167,9 @@ def init_vllm_params(cfg: VLLMConfig, key, dtype=jnp.float32):
             "w": jax.random.normal(k4, (cfg.qformer.d_model, d_llm), dtype) * 0.02,
             "b": jnp.zeros((d_llm,), dtype),
         }
+    elif cfg.bridge == "abstractor":
+        params["abstractor"] = abs_mod.init_abstractor_params(
+            cfg.abstractor, k3, dtype)
     else:  # llava 2-layer MLP projector (gelu between)
         ka, kb = jax.random.split(k4)
         params["projection"] = {
@@ -139,6 +191,8 @@ def encode_image(params, cfg: VLLMConfig, pixels: jnp.ndarray) -> jnp.ndarray:
 
     BLIP-2: ViT → Q-Former → linear projection (blip2.py:22-52).
     LLaVA: ViT penultimate hidden, drop CLS → MLP projector (llava.py:25-51).
+    mPLUG-Owl2: ViT (post-LN) → visual abstractor (+vit_eos)
+    (modeling_mplug_owl2.py:60-63 encode_images).
     """
     if cfg.bridge == "qformer":
         feats = vit_mod.vit_forward(params["vit"], cfg.vit, pixels)
@@ -146,6 +200,10 @@ def encode_image(params, cfg: VLLMConfig, pixels: jnp.ndarray) -> jnp.ndarray:
         out = jnp.dot(q, params["projection"]["w"],
                       preferred_element_type=jnp.float32)
         return (out + params["projection"]["b"]).astype(q.dtype)
+    elif cfg.bridge == "abstractor":
+        feats = vit_mod.vit_forward(params["vit"], cfg.vit, pixels)
+        return abs_mod.abstractor_forward(params["abstractor"],
+                                          cfg.abstractor, feats)
     else:
         feats = vit_mod.vit_forward(
             params["vit"], cfg.vit, pixels,
@@ -185,6 +243,20 @@ def assemble_embeds(
     return embeds, kv_valid
 
 
+def vllm_modality(cfg: VLLMConfig, batch: int, length: int) -> Optional[jnp.ndarray]:
+    """Static modality indicators for the slotted layout (mPLUG-Owl2's
+    MultiwayNetwork routing, modeling_mplug_owl2.py:84-120): 1 on the
+    vision-slot positions, 0 elsewhere. None for single-way decoders.
+    No-image rows keep slot modality 1 — those positions are masked out
+    of attention, so their multiway routing is unobservable."""
+    if cfg.decoder.arch != "mplug_owl2":
+        return None
+    lo, hi = cfg.vt_range
+    pos = jnp.arange(length)
+    row = ((pos >= lo) & (pos < hi)).astype(jnp.int32)
+    return jnp.broadcast_to(row, (batch, length))
+
+
 def vllm_logits(
     params,
     cfg: VLLMConfig,
@@ -198,7 +270,8 @@ def vllm_logits(
     use_cache=False — blip2.py:68-75) with optional editor interventions."""
     h = dec.decoder_forward(
         params["decoder"], cfg.decoder, inputs_embeds, kv_valid,
-        layer_residual=layer_residual, mlp_residual=mlp_residual)
+        layer_residual=layer_residual, mlp_residual=mlp_residual,
+        modality=vllm_modality(cfg, *inputs_embeds.shape[:2]))
     return dec.decoder_logits(params["decoder"], cfg.decoder, h)
 
 
@@ -210,7 +283,8 @@ def vllm_hidden_at(
     decoder simply does not run past the captured layer."""
     return dec.decoder_forward(
         params["decoder"], cfg.decoder, inputs_embeds, kv_valid,
-        lo=0, hi=layer + 1)
+        lo=0, hi=layer + 1,
+        modality=vllm_modality(cfg, *inputs_embeds.shape[:2]))
 
 
 def vllm_resume_from(
@@ -230,5 +304,6 @@ def vllm_resume_from(
         hidden = layer_residual_fn(hidden)
     h = dec.decoder_forward(
         params["decoder"], cfg.decoder, hidden, kv_valid,
-        lo=layer + 1, mlp_residual=mlp_residual)
+        lo=layer + 1, mlp_residual=mlp_residual,
+        modality=vllm_modality(cfg, *hidden.shape[:2]))
     return dec.decoder_logits(params["decoder"], cfg.decoder, h)

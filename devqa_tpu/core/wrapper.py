@@ -227,8 +227,9 @@ class JaxVLLM:
     @partial(jax.jit, static_argnums=(0, 3))
     def _hidden_at_jit(self, params, args, layer):
         embeds, kv = args
-        return dec.decoder_forward(
-            params["decoder"], self.cfg.decoder, embeds, kv, lo=0, hi=layer + 1)
+        from .vllm import vllm_hidden_at
+
+        return vllm_hidden_at(params, self.cfg, embeds, kv, layer)
 
     def hidden_at(self, embeds, kv_valid, layer: int, params=None) -> jnp.ndarray:
         """Hidden state after ``layer`` (functional get_mid_module_outpt)."""
@@ -238,9 +239,9 @@ class JaxVLLM:
     @partial(jax.jit, static_argnums=(0, 3))
     def _resume_jit(self, params, args, layer):
         hidden, kv = args
-        h = dec.decoder_forward(
-            params["decoder"], self.cfg.decoder, hidden, kv, lo=layer + 1)
-        return dec.decoder_logits(params["decoder"], self.cfg.decoder, h)
+        from .vllm import vllm_resume_from
+
+        return vllm_resume_from(params, self.cfg, hidden, kv, layer)
 
     def resume_from(self, hidden, kv_valid, layer: int, params=None) -> jnp.ndarray:
         return self._resume_jit(self.params if params is None else params,

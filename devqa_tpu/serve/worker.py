@@ -58,13 +58,18 @@ class ModelWorker:
         """
         vllm = self.vllm
         with self._lock:
-            if self.editor is None:
+            if (self.editor is None
+                    and vllm.cfg.decoder.arch in ("opt", "llama")):
                 return self._generate_cached(prompt, image, max_new_tokens)
             out_ids: list = []
             text = prompt
             for _ in range(max_new_tokens):
-                qb = self.editor.build_query_batch([text], [image], [""])
-                logits = self.editor.query_logits(qb)
+                if self.editor is not None:
+                    qb = self.editor.build_query_batch([text], [image], [""])
+                    logits = self.editor.query_logits(qb)
+                else:
+                    qb = vllm.encode_queries([text], [image], [""])
+                    logits = vllm.logits(qb.embeds, qb.kv_valid)
                 nxt = int(np.argmax(
                     np.asarray(logits)[0, self._last_text_pos(qb)]))
                 if nxt in (vllm.tokenizer.pad_token_id,

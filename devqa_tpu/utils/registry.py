@@ -17,6 +17,9 @@ MODEL_NAME_MAP = {
     "llava-v1.5-7b": "llava-v1.5-7b",
     "minigpt4": "minigpt-4-vicuna-7b",
     "minigpt-4-vicuna-7b": "minigpt-4-vicuna-7b",
+    "owl2": "mplug-owl2-llama2-7b",
+    "mplug-owl2": "mplug-owl2-llama2-7b",
+    "mplug-owl2-llama2-7b": "mplug-owl2-llama2-7b",
 }
 
 EDITOR_NAMES = ("null", "ike", "ft_vl", "liveedit", "mend_vl", "serac_vl",
@@ -38,6 +41,7 @@ def model_config(full_name: str):
         "blip2-opt-2.7b": V.blip2_opt_2_7b_config,
         "llava-v1.5-7b": V.llava_v15_7b_config,
         "minigpt-4-vicuna-7b": V.minigpt4_vicuna_7b_config,
+        "mplug-owl2-llama2-7b": V.mplug_owl2_llama2_7b_config,
     }[full_name]()
 
 
@@ -77,6 +81,11 @@ def load_vllm_for_edit(
                 weights_dir)
             params = convert_hf.convert_llava(
                 convert_hf.torch_state_dict_to_numpy(hf), cfg)
+        elif cfg.bridge == "abstractor":
+            # mPLUG-Owl2 ships as a custom-code HF repo; load the shard
+            # files directly (no trust_remote_code in a zero-egress image).
+            sd = convert_hf.load_torch_dir(weights_dir)
+            params = convert_hf.convert_mplug_owl2(sd, cfg)
         else:
             # MiniGPT-4: LAVIS-style checkpoints. ``weights_dir`` holds the
             # .pth file(s) the reference composes (eva/blip2-qformer/
