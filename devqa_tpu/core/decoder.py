@@ -368,6 +368,67 @@ def decoder_apply(
 
 
 # ---------------------------------------------------------------------------
+# Layer-contribution readout (analysis)
+# ---------------------------------------------------------------------------
+
+def decoder_layer_contributions(params, cfg: DecoderConfig, inputs_embeds,
+                                kv_valid):
+    """Per-layer residual-stream contribution readout — the functional
+    equivalent of the reference's ``show_s`` instrumentation
+    (MultimodalTrainer.py:62-260, which collects per-layer input /
+    attention / MLP hidden states and their norm + cosine contribution
+    to the layer output; disabled upstream by an early return).
+
+    Returns dict of [n_layers, B, L] arrays: ``attn_norm`` / ``mlp_norm``
+    (contribution magnitudes) and ``attn_cos`` / ``mlp_cos`` / ``in_cos``
+    (cosine similarity of each component to the layer output).
+    """
+    if cfg.arch not in ("opt", "llama"):
+        raise NotImplementedError(cfg.arch)
+    positions = positions_from_mask(kv_valid)
+    h = inputs_embeds
+    if cfg.arch == "opt":
+        h = h + params["embed_positions"][positions + cfg.pos_offset]
+    act = ACTIVATIONS[cfg.activation]
+
+    def cos(a, b):
+        na = jnp.maximum(jnp.linalg.norm(a, axis=-1), 1e-8)
+        nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-8)
+        return (a * b).sum(-1) / (na * nb)
+
+    def body(carry, p):
+        h_in = carry
+        if cfg.arch == "opt":
+            h_norm = layer_norm(h_in, p["ln1"]["scale"], p["ln1"]["bias"],
+                                cfg.norm_eps)
+        else:
+            h_norm = rms_norm(h_in, p["ln1"]["scale"], cfg.norm_eps)
+        attn = _attn_block(p, cfg, h_norm, kv_valid, positions)
+        h_mid = h_in + attn
+        if cfg.arch == "opt":
+            x = layer_norm(h_mid, p["ln2"]["scale"], p["ln2"]["bias"],
+                           cfg.norm_eps)
+            mlp = linear(act(linear(x, p["fc1"]["w"], p["fc1"]["b"])),
+                         p["fc2"]["w"], p["fc2"]["b"])
+        else:
+            x = rms_norm(h_mid, p["ln2"]["scale"], cfg.norm_eps)
+            mlp = linear(act(linear(x, p["gate"]["w"]))
+                         * linear(x, p["up"]["w"]), p["down"]["w"])
+        h_out = h_mid + mlp
+        stats = {
+            "attn_norm": jnp.linalg.norm(attn, axis=-1),
+            "mlp_norm": jnp.linalg.norm(mlp, axis=-1),
+            "attn_cos": cos(attn, h_out),
+            "mlp_cos": cos(mlp, h_out),
+            "in_cos": cos(h_in, h_out),
+        }
+        return h_out, stats
+
+    _, stats = jax.lax.scan(body, h, params["layers"])
+    return stats
+
+
+# ---------------------------------------------------------------------------
 # KV-cached decoding (serving / generate)
 # ---------------------------------------------------------------------------
 #

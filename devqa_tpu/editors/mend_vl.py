@@ -66,6 +66,9 @@ class MENDvlConfig(BaseConfig):
     relia_lambda: float = 0.1
     gen_lambda: float = 0.1
     loc_lambda: float = 0.1
+    # DE-VQA analysis loss variant ('0'..'7', '3IC', 'cl', 'cl_n') —
+    # MultimodalTrainer.py:295-1043; see train/loss_variants.py.
+    train_loss_variant: str = "0"
     aux_model: "MENDvlConfig.AuxModelConfig" = dataclasses.field(
         default_factory=lambda: MENDvlConfig.AuxModelConfig())
 
@@ -321,7 +324,15 @@ class MENDvlTrainable(MENDvl):
     def organize_batch_data(self, cases):
         """All generality rows (and all locality rows) ride ONE QueryBatch
         — per-key means are recovered by reshape, keeping the training
-        graph a constant number of forwards regardless of probe count."""
+        graph a constant number of forwards regardless of probe count.
+
+        The configured loss variant's extra probe batches are built here
+        (vqa.py collate semantics): TC = edit query under the m_loc
+        image, TO = edit query with no image, IC = retrieved close
+        question (t2) under the edit image, TO_IC = close question with
+        no image."""
+        from ..train.loss_variants import required_probes
+
         def enc(lst):
             return self.vllm.encode_queries([x[0] for x in lst],
                                             [x[1] for x in lst],
@@ -338,8 +349,30 @@ class MENDvlTrainable(MENDvl):
         locs = enc([(c.locality[k][0]["prompt"], c.locality[k][0]["image"],
                      c.locality[k][0]["target"])
                     for k in loc_keys for c in cases])
-        return {"rel": rel, "gens": gens, "locs": locs,
-                "B": B, "G": len(gen_keys), "K": len(loc_keys)}
+        extras = {}
+        for name in required_probes(self.cfg.train_loss_variant):
+            rows = []
+            for c in cases:
+                r = c.requests[0]
+                t2 = c.locality.get("t2i1", c.locality.get("t1i2"))
+                t2 = t2[0] if t2 else {"prompt": r["prompt"],
+                                       "target": r["target_new"]}
+                m_loc = c.locality["t3i3"][0]["image"] \
+                    if c.locality.get("t3i3") else None
+                if name == "tc":
+                    rows.append((r["prompt"], m_loc, r["target_new"]))
+                elif name == "to":
+                    rows.append((r["prompt"], None, r["target_new"]))
+                elif name == "ic":
+                    rows.append((t2["prompt"], r["image"], t2["target"]))
+                elif name == "to_ic":
+                    rows.append((t2["prompt"], None, t2["target"]))
+            extras[name] = enc(rows)
+        gi_img = gen_keys.index("image_rephrase") \
+            if "image_rephrase" in gen_keys else 0
+        return {"rel": rel, "gens": gens, "locs": locs, "extras": extras,
+                "B": B, "G": len(gen_keys), "K": len(loc_keys),
+                "GI_IMG": gi_img}
 
     def train_step(self, batch):
         vparams = self.vllm.params
@@ -356,12 +389,13 @@ class MENDvlTrainable(MENDvl):
         self.params, self._opt_state, loss, logs = self._meta_step_jit(
             self.params, self._opt_state, self.norm_state, vparams,
             captured, batch["rel"], batch["gens"], batch["locs"],
-            batch["B"], batch["G"], batch["K"])
+            batch.get("extras", {}), batch["B"], batch["G"], batch["K"],
+            batch.get("GI_IMG", 0))
         return float(loss), {k: float(v) for k, v in logs.items()}
 
-    @partial(jax.jit, static_argnums=(0, 9, 10, 11))
+    @partial(jax.jit, static_argnums=(0, 10, 11, 12, 13))
     def _meta_step_jit(self, params, opt_state, norm_state, vparams,
-                       captured, rel, gens, locs, B, G, K):
+                       captured, rel, gens, locs, extras, B, G, K, GI_IMG):
         cfg = self.cfg
         vcfg = self.vllm.cfg
 
@@ -377,6 +411,8 @@ class MENDvlTrainable(MENDvl):
             return dec.decoder_logits(vp["decoder"], vcfg.decoder, h)
 
         pre_loc = jax.lax.stop_gradient(fwd(vparams, locs))
+        pre_extra = {k: jax.lax.stop_gradient(fwd(vparams, qb))
+                     for k, qb in extras.items()}
 
         def loss_fn(params):
             deltas = self._transform(params, norm_state, captured)
@@ -384,12 +420,14 @@ class MENDvlTrainable(MENDvl):
                 vparams, {k: v[0] for k, v in deltas.items()})
             logs = {}
             # reliability (token-mean over the batch, mend_vl.py:315-318)
-            nll, cnt = per_row_ce(fwd(vp, rel), rel)
+            rel_logits = fwd(vp, rel)
+            nll, cnt = per_row_ce(rel_logits, rel)
             rel_loss = cfg.relia_lambda * nll.sum() / jnp.maximum(cnt.sum(), 1.0)
             logs["rel_loss"] = rel_loss
             total = rel_loss
             # generality: ONE forward over [G*B] rows; per-key token-mean
-            nll, cnt = per_row_ce(fwd(vp, gens), gens)
+            gen_logits = fwd(vp, gens)
+            nll, cnt = per_row_ce(gen_logits, gens)
             g = (nll.reshape(G, B).sum(1)
                  / jnp.maximum(cnt.reshape(G, B).sum(1), 1.0))
             gen_loss = cfg.gen_lambda * g.sum()
@@ -405,6 +443,22 @@ class MENDvlTrainable(MENDvl):
             loc_loss = cfg.loc_lambda * per_key.sum()
             logs["loc_loss"] = loc_loss
             total = total + loc_loss
+            # DE-VQA analysis loss variants (MultimodalTrainer.py:585-738)
+            if extras:
+                from ..train.loss_variants import variant_extra_losses
+
+                post_extra = {k: fwd(vp, qb) for k, qb in extras.items()}
+                img_re = gen_logits.reshape(
+                    (G, B) + gen_logits.shape[1:])[GI_IMG]
+                extra = variant_extra_losses(
+                    cfg.train_loss_variant, vcfg.vt_range,
+                    pre_extra, post_extra,
+                    {k: qb.kv_valid for k, qb in extras.items()},
+                    inner_logits=rel_logits,
+                    image_rephrase_logits=img_re)
+                for k, v in extra.items():
+                    logs[k] = v
+                    total = total + v
             return total, logs
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -93,6 +93,19 @@ def generate_fast(model, prompts: Sequence[str], max_new_tokens: int = 10,
     return texts
 
 
+def layer_contributions(vllm, prompts, images, targets):
+    """Per-layer attention/MLP contribution stats for a batch of queries —
+    the TPU-native show_s (MultimodalTrainer.py:62-260): what the
+    reference gathered through instrumented HF modules comes from one
+    jitted scan emitting per-layer norms and cosines.
+
+    → dict of numpy arrays [n_layers, B, L]."""
+    qb = vllm.encode_queries(prompts, images, targets)
+    stats = jax.jit(dec.decoder_layer_contributions, static_argnums=1)(
+        vllm.params["decoder"], vllm.cfg.decoder, qb.embeds, qb.kv_valid)
+    return {k: np.asarray(v) for k, v in stats.items()}
+
+
 def logit_lens(model, prompt: str, top_k: int = 5):
     """Decode every layer's hidden state against the unembedding
     (util/logit_lens.py:10-100). → list over layers of top-k token ids
