@@ -538,6 +538,160 @@ def load_torch_dir(weights_dir: str) -> Dict[str, Array]:
 
 
 # ---------------------------------------------------------------------------
+# Qwen-VL (public Qwen-VL module layout; the reference loads this backbone
+# via trust_remote_code only — trainer/models.py:113)
+# ---------------------------------------------------------------------------
+
+def convert_qwen_vl_vision(sd: Mapping[str, Array], cfg: ViTConfig,
+                           prefix: str = "transformer.visual."):
+    """Qwen-VL's CLIP-like tower: conv1 patch embed (no bias), no class
+    token, ln_pre, resblocks with nn.MultiheadAttention fused in_proj
+    (contiguous q|k|v thirds — matches this framework's qkv chunking),
+    mlp c_fc/c_proj. The tower output feeds the resampler RAW; ln_post
+    belongs to the pooled path, so the tower's post_ln slot is filled
+    with identity."""
+    d = cfg.d_model
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"{prefix}transformer.resblocks.{i}."
+        layers.append({
+            "ln1": _ln(sd, p + "ln_1"),
+            "qkv": {"w": _t(sd, p + "attn.in_proj_weight"),
+                    "b": _a(sd, p + "attn.in_proj_bias")},
+            "o": _dense(sd, p + "attn.out_proj"),
+            "ln2": _ln(sd, p + "ln_2"),
+            "fc1": _dense(sd, p + "mlp.c_fc"),
+            "fc2": _dense(sd, p + "mlp.c_proj"),
+        })
+    patch_w = _a(sd, prefix + "conv1.weight")
+    return {
+        "patch_embed": {"w": patch_w.reshape(d, -1).T,
+                        "b": jnp.zeros((d,), patch_w.dtype)},
+        "pos_embed": _a(sd, prefix + "positional_embedding"),
+        "pre_ln": _ln(sd, prefix + "ln_pre"),
+        "post_ln": {"scale": jnp.ones((d,), patch_w.dtype),
+                    "bias": jnp.zeros((d,), patch_w.dtype)},  # inert
+        "layers": _stack(layers),
+    }
+
+
+def convert_qwen_vl_resampler(sd: Mapping[str, Array], cfg,
+                              prefix: str = "transformer.visual."):
+    d = cfg.d_model
+    inw = _a(sd, prefix + "attn_pool.attn.in_proj_weight")  # [3d, d]
+    inb = _a(sd, prefix + "attn_pool.attn.in_proj_bias")
+    qw, kw, vw = jnp.split(inw, 3, axis=0)
+    qb, kb, vb = jnp.split(inb, 3, axis=0)
+    return {
+        "query": _a(sd, prefix + "attn_pool.query").reshape(cfg.n_queries, d),
+        "kv_proj": {"w": _t(sd, prefix + "attn_pool.kv_proj.weight")},
+        "ln_q": _ln(sd, prefix + "attn_pool.ln_q"),
+        "ln_kv": _ln(sd, prefix + "attn_pool.ln_kv"),
+        "attn": {
+            "q": {"w": qw.T, "b": qb}, "k": {"w": kw.T, "b": kb},
+            "v": {"w": vw.T, "b": vb},
+            "o": _dense(sd, prefix + "attn_pool.attn.out_proj"),
+        },
+        "ln_post": _ln(sd, prefix + "ln_post"),
+        "proj": _a(sd, prefix + "proj"),
+    }
+
+
+def convert_qwen_decoder(sd: Mapping[str, Array], cfg: DecoderConfig,
+                         prefix: str = "transformer."):
+    """Qwen-7B: fused c_attn with bias split into contiguous q|k|v
+    thirds; mlp.w2 is the silu-gated branch (→ gate), mlp.w1 the linear
+    branch (→ up), mlp.c_proj → down."""
+    d = cfg.d_model
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"{prefix}h.{i}."
+        cw = _a(sd, p + "attn.c_attn.weight")   # [3d, d]
+        cb = _a(sd, p + "attn.c_attn.bias")
+        qw, kw, vw = jnp.split(cw, 3, axis=0)
+        qb, kb, vb = jnp.split(cb, 3, axis=0)
+        layers.append({
+            "ln1": {"scale": _a(sd, p + "ln_1.weight")},
+            "q": {"w": qw.T, "b": qb},
+            "k": {"w": kw.T, "b": kb},
+            "v": {"w": vw.T, "b": vb},
+            "o": {"w": _t(sd, p + "attn.c_proj.weight")},
+            "ln2": {"scale": _a(sd, p + "ln_2.weight")},
+            "gate": {"w": _t(sd, p + "mlp.w2.weight")},
+            "up": {"w": _t(sd, p + "mlp.w1.weight")},
+            "down": {"w": _t(sd, p + "mlp.c_proj.weight")},
+        })
+    return {
+        "embed_tokens": _a(sd, prefix + "wte.weight"),
+        "final_norm": {"scale": _a(sd, prefix + "ln_f.weight")},
+        "lm_head": _t(sd, "lm_head.weight"),
+        "layers": _stack(layers),
+    }
+
+
+def convert_qwen_vl(sd: Mapping[str, Array], cfg: VLLMConfig):
+    return {
+        "vit": convert_qwen_vl_vision(sd, cfg.vit, "transformer.visual."),
+        "resampler": convert_qwen_vl_resampler(sd, cfg.resampler,
+                                               "transformer.visual."),
+        "decoder": convert_qwen_decoder(sd, cfg.decoder, "transformer."),
+    }
+
+
+def qwen_vl_manifest(cfg: VLLMConfig) -> Dict[str, "jnp.ndarray"]:
+    import jax
+
+    S = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    v, r, d = cfg.vit, cfg.resampler, cfg.decoder
+    m: Dict[str, jnp.ndarray] = {}
+    vp = "transformer.visual."
+    m[vp + "conv1.weight"] = S(v.d_model, 3, v.patch_size, v.patch_size)
+    m[vp + "positional_embedding"] = S(v.n_tokens, v.d_model)
+    m[vp + "ln_pre.weight"] = S(v.d_model)
+    m[vp + "ln_pre.bias"] = S(v.d_model)
+    # ln_post sits AFTER the attention pool, at the resampler width
+    m[vp + "ln_post.weight"] = S(r.d_model)
+    m[vp + "ln_post.bias"] = S(r.d_model)
+    for i in range(v.n_layers):
+        p = f"{vp}transformer.resblocks.{i}."
+        for ln in ("ln_1", "ln_2"):
+            m[p + ln + ".weight"] = S(v.d_model)
+            m[p + ln + ".bias"] = S(v.d_model)
+        m[p + "attn.in_proj_weight"] = S(3 * v.d_model, v.d_model)
+        m[p + "attn.in_proj_bias"] = S(3 * v.d_model)
+        m[p + "attn.out_proj.weight"] = S(v.d_model, v.d_model)
+        m[p + "attn.out_proj.bias"] = S(v.d_model)
+        m[p + "mlp.c_fc.weight"] = S(v.d_ffn, v.d_model)
+        m[p + "mlp.c_fc.bias"] = S(v.d_ffn)
+        m[p + "mlp.c_proj.weight"] = S(v.d_model, v.d_ffn)
+        m[p + "mlp.c_proj.bias"] = S(v.d_model)
+    m[vp + "attn_pool.query"] = S(r.n_queries, r.d_model)
+    m[vp + "attn_pool.kv_proj.weight"] = S(r.d_model, r.kv_dim)
+    m[vp + "attn_pool.attn.in_proj_weight"] = S(3 * r.d_model, r.d_model)
+    m[vp + "attn_pool.attn.in_proj_bias"] = S(3 * r.d_model)
+    m[vp + "attn_pool.attn.out_proj.weight"] = S(r.d_model, r.d_model)
+    m[vp + "attn_pool.attn.out_proj.bias"] = S(r.d_model)
+    for ln in ("attn_pool.ln_q", "attn_pool.ln_kv"):
+        m[vp + ln + ".weight"] = S(r.d_model)
+        m[vp + ln + ".bias"] = S(r.d_model)
+    m[vp + "proj"] = S(r.d_model, r.out_dim)
+    m["transformer.wte.weight"] = S(d.vocab_size, d.d_model)
+    m["transformer.ln_f.weight"] = S(d.d_model)
+    m["lm_head.weight"] = S(d.vocab_size, d.d_model)
+    for i in range(d.n_layers):
+        p = f"transformer.h.{i}."
+        m[p + "ln_1.weight"] = S(d.d_model)
+        m[p + "ln_2.weight"] = S(d.d_model)
+        m[p + "attn.c_attn.weight"] = S(3 * d.d_model, d.d_model)
+        m[p + "attn.c_attn.bias"] = S(3 * d.d_model)
+        m[p + "attn.c_proj.weight"] = S(d.d_model, d.d_model)
+        m[p + "mlp.w1.weight"] = S(d.d_ffn, d.d_model)
+        m[p + "mlp.w2.weight"] = S(d.d_ffn, d.d_model)
+        m[p + "mlp.c_proj.weight"] = S(d.d_model, d.d_ffn)
+    return m
+
+
+# ---------------------------------------------------------------------------
 # Full-size layout manifests (conversion dry tests)
 # ---------------------------------------------------------------------------
 

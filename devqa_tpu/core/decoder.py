@@ -78,6 +78,7 @@ class DecoderConfig(BaseConfig):
     norm_eps: float = 1e-5
     tie_word_embeddings: bool = True
     pos_offset: int = 2  # OPT's learned-position offset
+    attn_bias: bool = False  # llama-family q/k/v bias (Qwen's c_attn has one)
 
     @property
     def head_dim(self) -> int:
@@ -100,6 +101,18 @@ def vicuna_7b_config() -> DecoderConfig:
         arch="llama", vocab_size=32000, d_model=4096, n_layers=32, n_heads=32,
         d_ffn=11008, activation="silu", tie_word_embeddings=False,
         norm_eps=1e-6, max_positions=4096,
+    )
+
+
+def qwen_7b_config() -> DecoderConfig:
+    """Qwen-7B (Qwen-VL's language model — the reference loads it via
+    trust_remote_code, trainer/models.py:113): llama-family block with
+    fused-qkv bias (c_attn), RMSNorm, RoPE, SwiGLU, untied lm_head."""
+    return DecoderConfig(
+        arch="llama", vocab_size=151936, d_model=4096, n_layers=32,
+        n_heads=32, d_ffn=11008, activation="silu",
+        tie_word_embeddings=False, norm_eps=1e-6, max_positions=8192,
+        attn_bias=True,
     )
 
 
@@ -141,11 +154,12 @@ def init_decoder_params(cfg: DecoderConfig, key, dtype=jnp.float32):
     elif cfg.arch == "llama":
         def layer(k):
             ks = jax.random.split(k, 8)
+            ab = cfg.attn_bias
             return {
                 "ln1": {"scale": jnp.ones((d,), dtype)},
-                "q": _dense(ks[0], d, d, dtype, bias=False),
-                "k": _dense(ks[1], d, d, dtype, bias=False),
-                "v": _dense(ks[2], d, d, dtype, bias=False),
+                "q": _dense(ks[0], d, d, dtype, bias=ab),
+                "k": _dense(ks[1], d, d, dtype, bias=ab),
+                "v": _dense(ks[2], d, d, dtype, bias=ab),
                 "o": _dense(ks[3], d, d, dtype, bias=False),
                 "ln2": {"scale": jnp.ones((d,), dtype)},
                 "gate": _dense(ks[4], d, f, dtype, bias=False),

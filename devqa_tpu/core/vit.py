@@ -39,7 +39,8 @@ class ViTConfig(BaseConfig):
     d_ffn: int = 6144
     activation: str = "gelu"
     fused_qkv: bool = True      # Blip2/EVA style single qkv matmul
-    pre_layernorm: bool = True  # Blip2 has pre_layernorm on embeddings
+    pre_layernorm: bool = True  # CLIP has pre_layernorm on embeddings
+    use_cls_token: bool = True  # Qwen-VL's tower has no class token
     norm_eps: float = 1e-5
 
     @property
@@ -48,7 +49,7 @@ class ViTConfig(BaseConfig):
 
     @property
     def n_tokens(self) -> int:
-        return self.n_patches + 1  # cls token
+        return self.n_patches + (1 if self.use_cls_token else 0)
 
 
 def blip2_vit_config() -> ViTConfig:
@@ -99,11 +100,12 @@ def init_vit_params(cfg: ViTConfig, key, dtype=jnp.float32):
     params = {
         "patch_embed": {"w": jax.random.normal(keys[1], (patch_dim, d), dtype) * 0.02,
                         "b": jnp.zeros((d,), dtype)},
-        "cls_token": jax.random.normal(keys[2], (d,), dtype) * 0.02,
         "pos_embed": jax.random.normal(keys[3], (cfg.n_tokens, d), dtype) * 0.02,
         "post_ln": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
         "layers": layers,
     }
+    if cfg.use_cls_token:
+        params["cls_token"] = jax.random.normal(keys[2], (d,), dtype) * 0.02
     if cfg.pre_layernorm:
         params["pre_ln"] = {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
     return params
@@ -165,8 +167,10 @@ def vit_forward(
     """
     x = patchify(pixels, cfg.patch_size)
     h = linear(x, params["patch_embed"]["w"], params["patch_embed"]["b"])
-    cls = jnp.broadcast_to(params["cls_token"], (h.shape[0], 1, cfg.d_model))
-    h = jnp.concatenate([cls.astype(h.dtype), h], axis=1)
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(params["cls_token"],
+                               (h.shape[0], 1, cfg.d_model))
+        h = jnp.concatenate([cls.astype(h.dtype), h], axis=1)
     h = h + params["pos_embed"]
     if cfg.pre_layernorm and "pre_ln" in params:
         h = layer_norm(h, params["pre_ln"]["scale"], params["pre_ln"]["bias"],

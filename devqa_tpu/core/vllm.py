@@ -32,6 +32,7 @@ from ..utils.config import BaseConfig
 from . import abstractor as abs_mod
 from . import decoder as dec
 from . import qformer as qf
+from . import resampler as res_mod
 from . import vit as vit_mod
 from .preprocess import preprocess_images
 
@@ -39,13 +40,14 @@ from .preprocess import preprocess_images
 @dataclasses.dataclass(frozen=True)
 class VLLMConfig(BaseConfig):
     name: str = "blip2-opt-2.7b"
-    bridge: str = "qformer"  # "qformer" | "mlp" | "abstractor"
+    bridge: str = "qformer"  # "qformer" | "mlp" | "abstractor" | "resampler"
     img_slot_pos: int = 0    # where the vision block sits in the text stream
     n_img_tokens: int = 32
     vit: vit_mod.ViTConfig = dataclasses.field(default_factory=vit_mod.blip2_vit_config)
     qformer: Optional[qf.QFormerConfig] = dataclasses.field(
         default_factory=qf.blip2_qformer_config)
     abstractor: Optional[abs_mod.AbstractorConfig] = None
+    resampler: Optional[res_mod.ResamplerConfig] = None
     decoder: dec.DecoderConfig = dataclasses.field(default_factory=dec.opt_2_7b_config)
     vit_feature_layer: Optional[int] = None  # LLaVA: take hidden at this layer
     # image special token string in prompts (stripped before tokenizing;
@@ -131,6 +133,29 @@ def tiny_vllm_config(arch: str = "opt", img_slot_pos: int = 0) -> VLLMConfig:
         n_img_tokens=4, vit=vit_cfg, qformer=qf_cfg, decoder=dcfg)
 
 
+def qwen_vl_vit_config() -> vit_mod.ViTConfig:
+    """Qwen-VL's OpenCLIP-bigG-style tower: 448/14 → 1024 patch tokens,
+    no class token, d=1664, 48 pre-LN layers; the tower's own output is
+    fed RAW to the resampler (ln_post lives after the pool)."""
+    return vit_mod.ViTConfig(
+        image_size=448, patch_size=14, d_model=1664, n_layers=48, n_heads=16,
+        d_ffn=8192, activation="gelu", fused_qkv=True, pre_layernorm=True,
+        use_cls_token=False, norm_eps=1e-6)
+
+
+def qwen_vl_7b_config() -> VLLMConfig:
+    """Qwen-VL: tower → attention-pool resampler (256 queries) → Qwen-7B.
+    The reference wires this backbone via trust_remote_code only
+    (trainer/models.py:113); layout follows the public Qwen-VL module."""
+    return VLLMConfig(
+        name="qwen-vl", bridge="resampler", img_slot_pos=0, n_img_tokens=256,
+        vit=qwen_vl_vit_config(), qformer=None,
+        resampler=res_mod.ResamplerConfig(),
+        decoder=dec.qwen_7b_config(),
+        img_special_token="<img>",
+    )
+
+
 def tiny_owl2_vllm_config() -> VLLMConfig:
     """Tiny mPLUG-Owl2: abstractor bridge + modality-adaptive decoder."""
     vit_cfg = vit_mod.ViTConfig(
@@ -170,6 +195,9 @@ def init_vllm_params(cfg: VLLMConfig, key, dtype=jnp.float32):
     elif cfg.bridge == "abstractor":
         params["abstractor"] = abs_mod.init_abstractor_params(
             cfg.abstractor, k3, dtype)
+    elif cfg.bridge == "resampler":
+        params["resampler"] = res_mod.init_resampler_params(
+            cfg.resampler, k3, dtype)
     else:  # llava 2-layer MLP projector (gelu between)
         ka, kb = jax.random.split(k4)
         params["projection"] = {
@@ -204,6 +232,12 @@ def encode_image(params, cfg: VLLMConfig, pixels: jnp.ndarray) -> jnp.ndarray:
         feats = vit_mod.vit_forward(params["vit"], cfg.vit, pixels)
         return abs_mod.abstractor_forward(params["abstractor"],
                                           cfg.abstractor, feats)
+    elif cfg.bridge == "resampler":
+        # raw tower output: Qwen-VL's ln_post sits after the pool
+        feats = vit_mod.vit_forward(params["vit"], cfg.vit, pixels,
+                                    apply_post_ln=False)
+        return res_mod.resampler_forward(params["resampler"],
+                                         cfg.resampler, feats)
     else:
         feats = vit_mod.vit_forward(
             params["vit"], cfg.vit, pixels,

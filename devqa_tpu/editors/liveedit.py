@@ -81,6 +81,15 @@ class LiveEditConfig(BaseConfig):
     # gate selects ≤ K experts (the paper's routing selects ~0-2); cost
     # drops from M=1024 to K per token.
     retrieve_top_k: int = 32
+    # Faithful A/B flag for the reference's training-path quirk: its
+    # forward_from_mid_layer skips layers 0..k-1 and edit_input-replaces
+    # layer k's INPUT with the captured layer-k OUTPUT, so layer k runs
+    # twice during training relative to inference (base.py:164-185 +
+    # liveedit.py:295-317; see core/decoder.py module docstring). False =
+    # this framework's consistent resume-after-k (default); True = re-run
+    # layer k like the reference, making reference-trained checkpoints
+    # numerically comparable.
+    faithful_mid_layer_rerun: bool = False
 
 
 def init_liveedit_params(cfg: LiveEditConfig, img_token_n: int, key):
@@ -447,10 +456,14 @@ class LiveEditTrainingMixin:
         rel = jnp.arange(B)
         rows_of = lambda gi, base: base + gi * B + jnp.arange(B)
 
+        # Resume after the edit layer (consistent with inference), or
+        # re-run it on the edited rep in faithful mode (see config flag).
+        resume_lo = cfg.edit_layer_i if cfg.faithful_mid_layer_rerun \
+            else cfg.edit_layer_i + 1
+
         def suffix(h, kv_rows):
             hh = dec.decoder_forward(
-                vparams["decoder"], vcfg.decoder, h, kv_rows,
-                lo=cfg.edit_layer_i + 1)
+                vparams["decoder"], vcfg.decoder, h, kv_rows, lo=resume_lo)
             return dec.decoder_logits(vparams["decoder"], vcfg.decoder, hh)
 
         def loss_fn(lp):

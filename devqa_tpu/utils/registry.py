@@ -20,6 +20,8 @@ MODEL_NAME_MAP = {
     "owl2": "mplug-owl2-llama2-7b",
     "mplug-owl2": "mplug-owl2-llama2-7b",
     "mplug-owl2-llama2-7b": "mplug-owl2-llama2-7b",
+    "qwen-vl": "qwen-vl",
+    "qwenvl": "qwen-vl",
 }
 
 EDITOR_NAMES = ("null", "ike", "ft_vl", "liveedit", "mend_vl", "serac_vl",
@@ -42,6 +44,7 @@ def model_config(full_name: str):
         "llava-v1.5-7b": V.llava_v15_7b_config,
         "minigpt-4-vicuna-7b": V.minigpt4_vicuna_7b_config,
         "mplug-owl2-llama2-7b": V.mplug_owl2_llama2_7b_config,
+        "qwen-vl": V.qwen_vl_7b_config,
     }[full_name]()
 
 
@@ -86,6 +89,9 @@ def load_vllm_for_edit(
             # files directly (no trust_remote_code in a zero-egress image).
             sd = convert_hf.load_torch_dir(weights_dir)
             params = convert_hf.convert_mplug_owl2(sd, cfg)
+        elif cfg.bridge == "resampler":
+            sd = convert_hf.load_torch_dir(weights_dir)
+            params = convert_hf.convert_qwen_vl(sd, cfg)
         else:
             # MiniGPT-4: LAVIS-style checkpoints. ``weights_dir`` holds the
             # .pth file(s) the reference composes (eva/blip2-qformer/

@@ -59,29 +59,30 @@ class Mean:
 
 
 class Variance:
-    """Welford mean/variance over feature rows."""
+    """Welford mean/variance over feature rows.
+
+    State stays HOST-side numpy: ``add`` is pure numpy arithmetic, no
+    per-call host↔device transfers (the jnp↔np ping-pong pattern this
+    runtime punishes). Call sites hand in numpy rows; ``mean``/
+    ``variance`` return numpy (convertible on demand)."""
 
     def __init__(self, dim: int):
-        self.mean_ = jnp.zeros((dim,), jnp.float32)
-        self.m2 = jnp.zeros((dim,), jnp.float32)
+        self.mean_ = np.zeros((dim,), np.float32)
+        self.m2 = np.zeros((dim,), np.float32)
         self.count = 0.0
 
     def add(self, x):
         x = np.asarray(x, np.float32)
-        for chunk in (x,):
-            nb = chunk.shape[0]
-            if nb == 0:
-                continue
-            bm = chunk.mean(0)
-            bs = ((chunk - bm) ** 2).sum(0)
-            delta = bm - np.asarray(self.mean_)
-            tot = self.count + nb
-            self.mean_ = jnp.asarray(
-                np.asarray(self.mean_) + delta * nb / max(tot, 1.0))
-            self.m2 = jnp.asarray(
-                np.asarray(self.m2) + bs + delta ** 2 * self.count * nb
-                / max(tot, 1.0))
-            self.count = tot
+        nb = x.shape[0]
+        if nb == 0:
+            return
+        bm = x.mean(0)
+        bs = ((x - bm) ** 2).sum(0)
+        delta = bm - self.mean_
+        tot = self.count + nb
+        self.mean_ = self.mean_ + delta * nb / max(tot, 1.0)
+        self.m2 = self.m2 + bs + delta ** 2 * self.count * nb / max(tot, 1.0)
+        self.count = tot
 
     def mean(self):
         return self.mean_

@@ -35,6 +35,21 @@ class TestLiveEditTraining:
         for k in ("rel_loss", "gen_loss", "loc_loss", "soft_routing_loss"):
             assert k in logs and np.isfinite(logs[k])
 
+    def test_faithful_mid_layer_rerun_mode(self, setup):
+        """The A/B flag re-runs the edit layer during training (the
+        reference's forward_from_mid_layer quirk): the step runs, is
+        finite, and differs numerically from the consistent resume."""
+        tmp, vllm, data, editor = setup
+        batch = editor.organize_batch_data(data.data[:4])
+        cfg_f = editor.cfg.replace(faithful_mid_layer_rerun=True)
+        ed_f = LiveEditTrainable(vllm, cfg_f, seed=0)
+        ed_d = LiveEditTrainable(vllm, editor.cfg.replace(
+            faithful_mid_layer_rerun=False), seed=0)
+        lf, _ = ed_f.train_step(batch)
+        ld, _ = ed_d.train_step(batch)
+        assert np.isfinite(lf) and np.isfinite(ld)
+        assert abs(lf - ld) > 1e-9, (lf, ld)
+
     def test_loss_decreases(self, setup):
         tmp, vllm, data, editor = setup
         editor.train_init_editor(0)
