@@ -6,3 +6,4 @@ from .rome import ROMEHyperParams, apply_rome  # noqa: F401
 from .grace import GRACEHyperParams, GraceEditor  # noqa: F401
 from .lora import LoRAHyperParams, apply_lora  # noqa: F401
 from .ft import FTHyperParams, apply_ft  # noqa: F401
+from .ft_api import FTApiHyperParams, apply_ft_api  # noqa: F401

@@ -122,6 +122,30 @@ class LLMEditSession:
                 self.model.params = original
         return results
 
+    def batch_edit(self, requests: List[EditRequestText]) -> List[Dict]:
+        """The EasyEdit ``BatchEditor`` protocol
+        (``easyeditor/editors/batch_editor.py``): hand ALL requests to
+        one algorithm call (batch-capable algorithms — MEMIT, FT — edit
+        jointly), then measure every request under the jointly edited
+        weights. Restores the original weights afterwards."""
+        original = self.model.params
+        pre_raw = [self._metrics(r) for r in requests]
+        loc_refs = [p.pop("locality", None) for p in pre_raw]
+        start = time.time()
+        out = self.apply_algo(self.model, requests)
+        new_params, restore = out if isinstance(out, tuple) else (out, None)
+        edit_time = time.time() - start
+        results = []
+        for req, pre, refs in zip(requests, pre_raw, loc_refs):
+            post = self._metrics(req, params=new_params, loc_refs=refs)
+            results.append({"case": req.get("case_id"), "pre": dict(pre),
+                            "post": post,
+                            "edit_time": edit_time / max(len(requests), 1)})
+        if restore is not None:
+            restore()
+        self.model.params = original
+        return results
+
     @staticmethod
     def summary(results: List[Dict]) -> Dict:
         keys = ["rewrite_acc", "rephrase_acc"]

@@ -23,6 +23,61 @@ def model():
                      bucket_multiple=8)
 
 
+class TestBatchEditor:
+    def test_batch_edit_protocol(self, model):
+        """BatchEditor semantics: one joint algorithm call, per-request
+        metrics under the joint edit, weights restored after."""
+        from devqa_tpu.editors.llm import LLMEditSession
+        from devqa_tpu.editors.llm.memit import MEMITHyperParams, apply_memit
+
+        hp = MEMITHyperParams(layers=(2,), v_num_grad_steps=6, v_lr=0.3)
+        calls = []
+
+        def algo(m, reqs):
+            calls.append(len(reqs))
+            return apply_memit(m, reqs, hp)
+
+        sess = LLMEditSession(model, algo, "memit")
+        reqs = [
+            {"case_id": 0, "prompt": "the capital of france is",
+             "target_new": "lyon", "subject": "france",
+             "locality": {"nb": {"prompt": "the capital of italy is",
+                                 "ground_truth": "rome"}}},
+            {"case_id": 1, "prompt": "the author of hamlet is",
+             "target_new": "marlowe", "subject": "hamlet"},
+        ]
+        orig = model.params
+        res = sess.batch_edit(reqs)
+        assert calls == [2]  # ONE joint call with both requests
+        assert len(res) == 2
+        assert all("rewrite_acc" in r["post"] for r in res)
+        assert "nb" in res[0]["post"]["locality"]
+        assert model.params is orig  # restored
+
+
+class TestFTApi:
+    def test_prepare_and_submit(self, tmp_path):
+        from devqa_tpu.editors.llm import FTApiHyperParams, apply_ft_api
+        import json as _json
+
+        hp = FTApiHyperParams(results_dir=str(tmp_path))
+        reqs = [{"prompt": "q1", "target_new": "a1"},
+                {"prompt": "q2", "target_new": "a2"}]
+        seen = {}
+
+        def submit(path, model_name):
+            seen["path"], seen["model"] = path, model_name
+            return {"id": "job-1"}
+
+        job = apply_ft_api(reqs, hp, submit_fn=submit)
+        assert job == {"id": "job-1"} and seen["model"] == hp.model_name
+        lines = [_json.loads(l) for l in open(seen["path"])]
+        assert len(lines) == 10  # duplicated to the service minimum
+        assert lines[0]["messages"][1] == {"role": "user", "content": "q1"}
+        with pytest.raises(RuntimeError):
+            apply_ft_api(reqs, hp)  # no backend wired
+
+
 class TestMEMIT:
     def test_batch_edit_layers(self, model):
         reqs = [
