@@ -28,7 +28,13 @@ def main(argv=None):
     p.add_argument("--url", default="http://127.0.0.1:21001")
     p.add_argument("--image", default=None)
     p.add_argument("--max-new-tokens", type=int, default=16)
+    p.add_argument("--template", default="none",
+                   help="conversation template (serve/templates.py): "
+                        "none|v0|minigpt4|v1|mplug_owl2")
     args = p.parse_args(argv)
+    from .templates import CONV_TEMPLATES
+
+    conv = CONV_TEMPLATES[args.template]
     image = args.image
     print("devqa_tpu chat — /edit <prompt> => <target>, /restore, "
           "/image <path>, /quit")
@@ -55,8 +61,9 @@ def main(argv=None):
                        {"prompt": prompt, "target_new": target,
                         "image": image}))
             continue
+        prompt = conv.wrap(line) if conv is not None else line
         out = post(args.url, "/generate",
-                   {"prompt": line, "image": image,
+                   {"prompt": prompt, "image": image,
                     "max_new_tokens": args.max_new_tokens})
         print(out.get("text", out))
 

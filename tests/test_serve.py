@@ -73,3 +73,28 @@ class TestServe:
         st = json.loads(urllib.request.urlopen(
             "http://127.0.0.1:%d/status" % wport, timeout=60).read())
         assert st["edits"] == 0
+
+
+class TestConversationTemplates:
+    def test_vicuna0_single_sep(self):
+        from devqa_tpu.serve.templates import CONV_VISION_VICUNA0
+
+        p = CONV_VISION_VICUNA0.wrap("what is this")
+        assert p.startswith("Give the following image:")
+        assert "###Human: what is this###Assistant:" in p
+
+    def test_owl2_two_sep(self):
+        from devqa_tpu.serve.templates import CONV_MPLUG_OWL2
+
+        p = CONV_MPLUG_OWL2.wrap("hello")
+        assert "USER: hello ASSISTANT:" in p
+        p2 = CONV_MPLUG_OWL2.get_prompt([
+            ("USER", "q1"), ("ASSISTANT", "a1"), ("USER", "q2"),
+            ("ASSISTANT", None)])
+        assert "ASSISTANT: a1</s>USER: q2 ASSISTANT:" in p2
+
+    def test_registry(self):
+        from devqa_tpu.serve.templates import CONV_TEMPLATES
+
+        assert CONV_TEMPLATES["none"] is None
+        assert CONV_TEMPLATES["minigpt4"] is CONV_TEMPLATES["v0"]
