@@ -76,7 +76,7 @@ def main():
     # One sequence bucket + padded image batches + padded probe rows →
     # O(1) compiled programs (remote compile costs ~30-90s per shape).
     vllm = JaxVLLM(cfg, params, tok, provider, bucket_multiple=32,
-                   min_len=96, img_cache_size=256, img_batch_pad=8)
+                   min_len=32, img_cache_size=256, img_batch_pad=8)
     lcfg = LiveEditConfig(edit_model_name=cfg.name, llm_mid_dim=cfg.decoder.d_model,
                           edit_layer_i=21, max_edits=256)
     editor = LiveEdit(vllm, lcfg, seed=0)
@@ -130,7 +130,7 @@ def main():
         from devqa_tpu.core.losses import token_accuracy
 
         vllm_base = JaxVLLM(cfg, params, tok, provider, bucket_multiple=32,
-                            min_len=96, img_cache_size=256, img_batch_pad=1)
+                            min_len=32, img_cache_size=256, img_batch_pad=1)
         editor_base = LiveEdit(vllm_base, lcfg, seed=0)
         metrics = jax.jit(token_accuracy)
 
