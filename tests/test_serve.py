@@ -75,6 +75,29 @@ class TestServe:
         assert st["edits"] == 0
 
 
+class TestWebServer:
+    def test_page_models_and_chat(self, served):
+        from devqa_tpu.serve.web import WebServer
+
+        wport, cport, worker, ctl = served
+        web = WebServer("http://127.0.0.1:%d" % cport, max_new_tokens=2)
+        wbport = free_port()
+        web.serve(port=wbport, background=True)
+        try:
+            page = urllib.request.urlopen(
+                "http://127.0.0.1:%d/" % wbport, timeout=60).read()
+            assert b"devqa_tpu chat" in page
+            models = json.loads(urllib.request.urlopen(
+                "http://127.0.0.1:%d/models" % wbport, timeout=60).read())
+            assert models["workers"] == ["w0"]
+            out = post("http://127.0.0.1:%d/chat" % wbport,
+                       {"prompt": "what is this", "template": "v0",
+                        "image": "imgZ.jpg"})
+            assert "text" in out
+        finally:
+            web.shutdown()
+
+
 class TestConversationTemplates:
     def test_vicuna0_single_sep(self):
         from devqa_tpu.serve.templates import CONV_VISION_VICUNA0
