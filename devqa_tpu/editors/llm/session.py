@@ -92,6 +92,15 @@ class LLMEditSession:
                     m["locality"][name] = float(agree)
                 else:
                     m["locality"][name] = (preds, masks)
+        if request.get("portability"):
+            # token accuracy on hop/paraphrase probes vs their ground truth
+            # (compute_portability_quality, evaluate.py:169-188) — unlike
+            # locality this is plain accuracy, not pre/post agreement.
+            m["portability"] = {}
+            for name, port in request["portability"].items():
+                acc, _, _ = self.model.accuracy(
+                    [port["prompt"]], [port["ground_truth"]], params)
+                m["portability"][name + "_acc"] = float(acc[0])
         return m
 
     def edit(self, requests: List[EditRequestText],
@@ -160,5 +169,12 @@ class LLMEditSession:
                 locs.setdefault(name, []).append(v)
         if locs:
             out["locality"] = {k: float(np.mean(v)) for k, v in locs.items()}
+        ports: Dict[str, List[float]] = {}
+        for r in results:
+            for name, v in r["post"].get("portability", {}).items():
+                ports.setdefault(name, []).append(v)
+        if ports:
+            out["portability"] = {k: float(np.mean(v))
+                                  for k, v in ports.items()}
         out["edit_time"] = float(np.mean([r["edit_time"] for r in results]))
         return out

@@ -108,6 +108,20 @@ class TestSession:
         s = LLMEditSession.summary(results)
         assert "rewrite_acc" in s and "locality" in s
 
+    def test_portability_metrics(self, model):
+        """Portability probes report plain token accuracy under the edit
+        (compute_portability_quality, evaluate.py:169-188)."""
+        hp = FTHyperParams(layers=(5,), num_steps=10, lr=1e-1)
+        session = LLMEditSession(
+            model, lambda m, r: apply_ft(m, r, hp), "FT")
+        req = {**REQ, "portability": {
+            "one_hop": {"prompt": "lyon is located in",
+                        "ground_truth": "france"}}}
+        results = session.edit([req])
+        assert "one_hop_acc" in results[0]["post"]["portability"]
+        s = LLMEditSession.summary(results)
+        assert "one_hop_acc" in s["portability"]
+
     def test_zsre_loader(self, tmp_path):
         from devqa_tpu.data.text_datasets import load_zsre
 
