@@ -86,17 +86,19 @@ def _flash_kernel(
     v_ref,        # VMEM [1, block_k, d]
     mask_ref,     # VMEM [1, 8, block_k] int32 kv-validity (sublane-tiled)
     o_ref,        # VMEM [1, block_q, d]
-    m_scr,        # VMEM [block_q, 128] f32 running max
-    l_scr,        # VMEM [block_q, 128] f32 running sum
-    acc_scr,      # VMEM [block_q, d] f32 accumulator
-    *,
+    *rest,        # [lse_ref [1, 8, block_q]] + scratches (m, l, acc)
     causal: bool,
     block_q: int,
     block_k: int,
     sm_scale: float,
     kv_len: int,
     causal_offset: int,
+    with_lse: bool = False,
 ):
+    if with_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -152,8 +154,12 @@ def _flash_kernel(
     @pl.when(ik == nk - 1)
     def _finalize():
         l = l_scr[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padding) rows → 0 out
-        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lsafe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows → 0 out
+        o_ref[0] = (acc_scr[...] / lsafe).astype(o_ref.dtype)
+        if with_lse:
+            lse = m_scr[:, 0] + jnp.log(lsafe[:, 0])
+            lse = jnp.where(l[:, 0] == 0.0, NEG_INF, lse)
+            lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, block_q))
 
 
 def _flash_fwd(
@@ -165,7 +171,8 @@ def _flash_fwd(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     block_q = min(block_q, lq)
@@ -192,7 +199,16 @@ def _flash_fwd(
         sm_scale=sm_scale,
         kv_len=lk,
         causal_offset=lk - lq,
+        with_lse=return_lse,
     )
+    out_specs = pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0))
+    out_shape = jax.ShapeDtypeStruct((b * h, lq, d), q.dtype)
+    if return_lse:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 8, block_q),
+                                  lambda bh, iq, ik: (bh, 0, iq)))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b * h, 8, lq), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(b * h, nq, nk),
@@ -204,8 +220,8 @@ def _flash_fwd(
                 (1, 8, block_k), lambda bh, iq, ik: (bh // num_heads, 0, ik)
             ),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -218,7 +234,190 @@ def _flash_fwd(
         ),
         interpret=interpret,
     )(qr, kr, vr, maskr)
+    if return_lse:
+        o, lse = out
+        return o.reshape(b, h, lq, d), lse[:, 0, :].reshape(b, h, lq)
     return out.reshape(b, h, lq, d)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (backward)
+# ---------------------------------------------------------------------------
+#
+# Standard two-kernel flash backward with the forward's logsumexp saved:
+#   p  = exp(q·kᵀ·scale − lse)           (re-materialized per block)
+#   dv = pᵀ dO
+#   ds = p ∘ (dO·vᵀ − D),  D = rowsum(dO ∘ O)   (D precomputed outside)
+#   dq = ds·k·scale        (grid (bh, q-blocks, k-blocks), k-accumulated)
+#   dk = dsᵀ·q·scale       (grid (bh, k-blocks, q-blocks), q-accumulated)
+
+
+def _bwd_p_ds(q, k, v, do, lse_row, delta_row, mask, sm_scale):
+    """Shared block math → (p, ds), both [block_q, block_k] f32."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    row_valid = lse_row > NEG_INF / 2            # [block_q]
+    p = jnp.exp(s - lse_row[:, None])
+    p = jnp.where(mask & row_valid[:, None], p, 0.0)
+    dpv = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dpv - delta_row[:, None]) * sm_scale
+    return p, ds
+
+
+def _block_mask(mask_row, k_start, q_start, shape, causal, causal_offset,
+                kv_len):
+    ki = k_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    mask = jnp.broadcast_to(mask_row[None, :] > 0, shape)
+    mask = jnp.logical_and(mask, ki < kv_len)
+    if causal:
+        qi = (q_start + causal_offset
+              + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+        mask = jnp.logical_and(mask, ki <= qi)
+    return mask
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, acc_scr, *, causal, block_q,
+                         block_k, sm_scale, kv_len, causal_offset):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q_start, k_start = iq * block_q, ik * block_k
+    run = True
+    if causal:
+        run = k_start <= q_start + causal_offset + block_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        mask = _block_mask(mask_ref[0, 0], k_start, q_start,
+                           (block_q, block_k), causal, causal_offset, kv_len)
+        _, ds = _bwd_p_ds(q, k, v, do, lse_ref[0, 0], delta_ref[0, 0],
+                          mask, sm_scale)
+        acc_scr[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                          causal, block_q, block_k, sm_scale, kv_len,
+                          causal_offset):
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q_start, k_start = iq * block_q, ik * block_k
+    run = True
+    if causal:
+        run = k_start <= q_start + causal_offset + block_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        mask = _block_mask(mask_ref[0, 0], k_start, q_start,
+                           (block_q, block_k), causal, causal_offset, kv_len)
+        p, ds = _bwd_p_ds(q, k, v, do, lse_ref[0, 0], delta_ref[0, 0],
+                          mask, sm_scale)
+        dv_scr[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
+               block_q: int = 128, block_k: int = 128,
+               interpret: bool = False):
+    """Pallas flash backward → (dq, dk, dv). Shapes as in _flash_fwd."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    block_q = min(block_q, lq)
+    block_k = min(block_k, lk)
+    nq = pl.cdiv(lq, block_q)
+    nk = pl.cdiv(lk, block_k)
+    sm_scale = 1.0 / (d ** 0.5)
+
+    qr = q.reshape(b * h, lq, d)
+    kr = k.reshape(b * h, lk, d)
+    vr = v.reshape(b * h, lk, d)
+    dor = do.reshape(b * h, lq, d)
+    maskr = jnp.broadcast_to(kv_valid.astype(jnp.int32)[:, None, :],
+                             (b, 8, lk))
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).reshape(b * h, lq)               # D rows
+    lser = jnp.broadcast_to(lse.reshape(b * h, lq)[:, None, :],
+                            (b * h, 8, lq))
+    deltar = jnp.broadcast_to(delta[:, None, :], (b * h, 8, lq))
+
+    num_heads = h
+    common = dict(causal=causal, block_q=block_q, block_k=block_k,
+                  sm_scale=sm_scale, kv_len=lk, causal_offset=lk - lq)
+    q_spec = pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0))
+    k_spec_q = pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0))
+    mask_spec_q = pl.BlockSpec(
+        (1, 8, block_k), lambda bh, iq, ik: (bh // num_heads, 0, ik))
+    row_spec_q = pl.BlockSpec((1, 8, block_q), lambda bh, iq, ik: (bh, 0, iq))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        grid=(b * h, nq, nk),
+        in_specs=[q_spec, k_spec_q, k_spec_q, mask_spec_q, q_spec,
+                  row_spec_q, row_spec_q],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qr, kr, vr, maskr, dor, lser, deltar)
+
+    # grid order (bh, k-blocks, q-blocks) for the k/v accumulation
+    q_spec2 = pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0))
+    k_spec2 = pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0))
+    mask_spec2 = pl.BlockSpec(
+        (1, 8, block_k), lambda bh, ik, iq: (bh // num_heads, 0, ik))
+    row_spec2 = pl.BlockSpec((1, 8, block_q), lambda bh, ik, iq: (bh, 0, iq))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        grid=(b * h, nk, nq),
+        in_specs=[q_spec2, k_spec2, k_spec2, mask_spec2, q_spec2,
+                  row_spec2, row_spec2],
+        out_specs=(k_spec2, k_spec2),
+        out_shape=(jax.ShapeDtypeStruct((b * h, lk, d), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, lk, d), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        interpret=interpret,
+    )(qr, kr, vr, maskr, dor, lser, deltar)
+    return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
+            dv.reshape(b, h, lk, d))
 
 
 def _interpret_mode() -> bool:
@@ -330,11 +529,24 @@ def _attention(q, k, v, kv_valid, causal):
 
 
 def _attention_fwd(q, k, v, kv_valid, causal):
-    return _attention(q, k, v, kv_valid, causal), (q, k, v, kv_valid)
+    # Single-device TPU (or interpret mode): Pallas forward that also
+    # emits the logsumexp → Pallas backward. Mesh / CPU paths keep the
+    # XLA-recompute backward.
+    mesh = _active_mesh()
+    if mesh is None and _on_tpu():
+        o, lse = _flash_fwd(q, k, v, kv_valid, causal,
+                            interpret=_interpret_mode(), return_lse=True)
+        return o, (q, k, v, kv_valid, o, lse)
+    out = _attention(q, k, v, kv_valid, causal)
+    return out, (q, k, v, kv_valid, None, None)
 
 
 def _attention_bwd(causal, res, g):
-    q, k, v, kv_valid = res
+    q, k, v, kv_valid, o, lse = res
+    if o is not None:
+        dq, dk, dv = _flash_bwd(q, k, v, kv_valid, causal, o, lse, g,
+                                interpret=_interpret_mode())
+        return dq, dk, dv, None
     _, vjp = jax.vjp(
         lambda q, k, v: xla_attention(q, k, v, kv_valid, causal), q, k, v
     )

@@ -147,3 +147,47 @@ class TestGradPath:
         grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         for g in grads:
             assert np.isfinite(np.asarray(g)).all()
+
+
+class TestFlashBackward:
+    """Pallas backward kernels (interpret mode) vs XLA-attention autodiff."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_xla(self, qkv, causal, monkeypatch):
+        monkeypatch.setenv("DEVQA_FLASH_INTERPRET", "1")
+        q, k, v = qkv
+        lengths = jnp.array([50, 64], jnp.int32)
+        kv = jnp.asarray((np.arange(k.shape[2])[None, :]
+                          < np.asarray(lengths)[:, None]).astype(np.int32))
+        # weighted loss so gradients differ across positions
+        w = jnp.asarray(np.random.default_rng(7).normal(
+            size=(2, 4, 64, 32)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(w * multihead_attention(q, k, v, kv,
+                                                   causal=causal))
+
+        def loss_xla(q, k, v):
+            return jnp.sum(w * xla_attention(q, k, v, kv_valid=kv,
+                                             causal=causal))
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gx, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3, err_msg=name)
+
+    def test_masked_keys_get_zero_grad(self, qkv, monkeypatch):
+        monkeypatch.setenv("DEVQA_FLASH_INTERPRET", "1")
+        q, k, v = qkv
+        lengths = jnp.array([10, 20], jnp.int32)
+        kv = jnp.asarray((np.arange(k.shape[2])[None, :]
+                          < np.asarray(lengths)[:, None]).astype(np.int32))
+
+        def loss(k, v):
+            return jnp.sum(multihead_attention(q, k, v, kv, causal=True))
+
+        dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
+        m = np.asarray(kv)
+        assert np.allclose(np.asarray(dk)[0, :, m[0] == 0], 0.0)
+        assert np.allclose(np.asarray(dv)[1, :, m[1] == 0], 0.0)
