@@ -63,13 +63,21 @@ class JaxVLLM:
         bucket_multiple: int = 32,
         min_len: int = 16,
         img_batch_pad: int = 4,
+        mesh=None,
     ):
+        """``mesh``: a (dp, tp) jax.sharding.Mesh for distributed
+        evaluation — query batches shard their rows over ``dp`` (pass
+        params already sharded via parallel.sharding.shard_params for
+        tensor parallelism); GSPMD inserts the collectives. Row counts
+        that don't divide dp stay replicated (pad chunks to a multiple —
+        the fused harness's pad_rows does)."""
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.image_provider = image_provider
         self.bucket_multiple = bucket_multiple
         self.min_len = min_len
+        self.mesh = mesh
         # Pad vision-encode batches up to a multiple of this so the number
         # of distinct compiled encode programs stays O(1) (remote-compile
         # TPU runtimes pay tens of seconds per new shape).
@@ -185,11 +193,28 @@ class JaxVLLM:
         full_labels[:, p + V:] = tb.label_ids[:, p:]
         full_masks[:, p + V:] = tb.label_masks[:, p:]
         prompt_lens = np.array([s.prompt_len for s in samples], np.int32)
-        return QueryBatch(
+        qb = QueryBatch(
             embeds=embeds, kv_valid=kv,
             label_ids=jnp.asarray(full_labels),
             label_masks=jnp.asarray(full_masks),
             prompt_lens=prompt_lens, has_image=has, input_ids=tb.input_ids)
+        return self._shard_query_batch(qb)
+
+    def _shard_query_batch(self, qb: QueryBatch) -> QueryBatch:
+        """Shard device leaves' rows over the mesh's dp axis (no-op
+        without a mesh or when B doesn't divide dp)."""
+        if self.mesh is None or qb.embeds.shape[0] % self.mesh.shape["dp"]:
+            return qb
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        def row_shard(x):
+            spec = Pspec(*(("dp",) + (None,) * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return dataclasses.replace(
+            qb, embeds=row_shard(qb.embeds), kv_valid=row_shard(qb.kv_valid),
+            label_ids=row_shard(qb.label_ids),
+            label_masks=row_shard(qb.label_masks))
 
     def encode_texts(self, texts: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Text-only inputs (no images, no targets) → (embeds, kv_valid)

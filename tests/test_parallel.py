@@ -53,3 +53,68 @@ class TestDryrun:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestDistributedEval:
+    def test_fused_eval_sharded_matches_unsharded(self, tmp_path):
+        """Full fused sequential-edit evaluation with query rows sharded
+        over dp and params over tp reproduces the unsharded results —
+        the SURVEY §5 'data-parallel eval sharding over ICI' path."""
+        import copy
+        import json
+        import os
+
+        from helpers import make_tiny_vllm, write_records
+
+        from devqa_tpu.core.wrapper import JaxVLLM
+        from devqa_tpu.data.schema import EVQA
+        from devqa_tpu.editors.liveedit import LiveEdit
+        from devqa_tpu.eval.harness import FusedEditorEvaluation
+        from devqa_tpu.retrieval.store import hash_encoder
+        from test_liveedit import tiny_liveedit_cfg
+
+        path, _ = write_records(str(tmp_path), 4)
+        data = EVQA(path, str(tmp_path), encoder=hash_encoder(8))
+
+        def run(tag, mesh):
+            vllm = make_tiny_vllm()
+            if mesh is not None:
+                vllm = JaxVLLM(vllm.cfg, shard_params(vllm.params, mesh),
+                               vllm.tokenizer, vllm.image_provider,
+                               bucket_multiple=8, mesh=mesh)
+            ed = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=0)
+            fe = FusedEditorEvaluation(
+                ed, data, tag, str(tmp_path / "res"), max_rows=16,
+                pad_rows=True)
+            ctx = mesh if mesh is not None else _nullcontext()
+            with ctx:
+                fe.evaluate_sequential_edit(edit_n=2)
+            mr = os.path.join(str(tmp_path / "res"), "liveedit", "tiny-opt",
+                              tag, "sequential_edit_2", "mean_results.json")
+            return json.load(open(mr))
+
+        base = run("plain", None)
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = run("mesh", mesh)
+
+        def close(a, b, path=""):
+            if path.endswith("edit_time"):  # wall clock, not a metric
+                return
+            if isinstance(a, dict):
+                assert set(a) == set(b), (path, a.keys(), b.keys())
+                for k in a:
+                    close(a[k], b[k], path + "/" + str(k))
+            elif isinstance(a, float):
+                assert abs(a - b) < 1e-3, (path, a, b)
+            else:
+                assert a == b, (path, a, b)
+
+        close(base["total_mean"], sharded["total_mean"])
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
