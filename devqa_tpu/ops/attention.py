@@ -447,6 +447,23 @@ def _on_tpu() -> bool:
         return False
 
 
+#: Sequence length from which the flash kernel beats XLA attention.
+#: Benchmarked on v5e (blip2-2.7b eval shapes, head dims 80/88): at
+#: L ≤ ~128 XLA's fused attention is FASTER (the L×L score tensor is
+#: tiny and the kernel pays lane padding on non-128 head dims) — the
+#: whole-pipeline bench runs 6.2 vs 5.1 cases/s with XLA at short L.
+#: Flash's O(L) memory advantage is the long-context regime.
+FLASH_MIN_KV_LEN = 512
+
+
+def _flash_worthwhile(q, k) -> bool:
+    import os
+
+    if os.environ.get("DEVQA_FORCE_FLASH") == "1" or _interpret_mode():
+        return True
+    return k.shape[2] >= FLASH_MIN_KV_LEN
+
+
 def _active_mesh():
     """The (dp, tp) mesh in whose context we're tracing, if any.
 
@@ -519,10 +536,10 @@ def _mesh_flash_ok(mesh, q) -> bool:
 def _attention(q, k, v, kv_valid, causal):
     mesh = _active_mesh()
     if mesh is not None:
-        if _mesh_flash_ok(mesh, q):
+        if _mesh_flash_ok(mesh, q) and _flash_worthwhile(q, k):
             return _sharded_flash(q, k, v, kv_valid, causal, mesh)
         return xla_attention(q, k, v, kv_valid, causal)
-    if _on_tpu():
+    if _on_tpu() and _flash_worthwhile(q, k):
         return _flash_fwd(q, k, v, kv_valid, causal,
                           interpret=_interpret_mode())
     return xla_attention(q, k, v, kv_valid, causal)
@@ -533,7 +550,7 @@ def _attention_fwd(q, k, v, kv_valid, causal):
     # emits the logsumexp → Pallas backward. Mesh / CPU paths keep the
     # XLA-recompute backward.
     mesh = _active_mesh()
-    if mesh is None and _on_tpu():
+    if mesh is None and _on_tpu() and _flash_worthwhile(q, k):
         o, lse = _flash_fwd(q, k, v, kv_valid, causal,
                             interpret=_interpret_mode(), return_lse=True)
         return o, (q, k, v, kv_valid, o, lse)
