@@ -84,23 +84,47 @@ class ModelWorker:
         li = int(qb.prompt_lens[0]) - 1  # last text-token index
         return li + V if li >= p else li
 
-    def _generate_cached(self, prompt, image, max_new_tokens: int) -> str:
+    def _cached_token_ids(self, prompt, image, max_new_tokens: int):
+        """Greedy token-id generator over the KV cache."""
         vllm = self.vllm
         qb = vllm.encode_queries([prompt], [image], [""])
         L = qb.embeds.shape[1]
         logits, cache = vllm.prefill(qb.embeds, qb.kv_valid,
                                      max_len=L + max_new_tokens)
         nxt = int(np.argmax(np.asarray(logits)[0, self._last_text_pos(qb)]))
-        out_ids: list = []
         stop = (vllm.tokenizer.pad_token_id,
                 getattr(vllm.tokenizer, "eos_token_id", -1))
         for _ in range(max_new_tokens):
             if nxt in stop:
-                break
-            out_ids.append(nxt)
+                return
+            yield nxt
             logits, cache = vllm.decode_step(cache, np.asarray([nxt]))
             nxt = int(np.argmax(np.asarray(logits)[0]))
-        return vllm.tokenizer.decode(out_ids)
+
+    def _generate_cached(self, prompt, image, max_new_tokens: int) -> str:
+        return self.vllm.tokenizer.decode(
+            list(self._cached_token_ids(prompt, image, max_new_tokens)))
+
+    def generate_stream(self, prompt, image=None, max_new_tokens: int = 10):
+        """Yield text deltas as tokens decode — the reference worker's
+        streaming mode (model_worker.py:44 generate_stream). Falls back
+        to one whole-text chunk for editor-intervened or non-cacheable
+        paths."""
+        vllm = self.vllm
+        if (self.editor is None
+                and vllm.cfg.decoder.arch in ("opt", "llama")):
+            with self._lock:
+                out_ids: list = []
+                sent = ""
+                for tok in self._cached_token_ids(prompt, image,
+                                                  max_new_tokens):
+                    out_ids.append(tok)
+                    text = vllm.tokenizer.decode(out_ids)
+                    if len(text) > len(sent):
+                        yield text[len(sent):]
+                        sent = text
+            return
+        yield self.generate(prompt, image, max_new_tokens)
 
     # ---------------- http ----------------
 
@@ -152,6 +176,21 @@ class ModelWorker:
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/generate_stream":
+                    # chunked text deltas (model_worker.py streaming role)
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; charset=utf-8")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for delta in worker.generate_stream(
+                            body["prompt"], body.get("image"),
+                            int(body.get("max_new_tokens", 10))):
+                        data = delta.encode()
+                        self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
+                        self.wfile.flush()
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
                 self._respond(worker.handle(self.path, body))
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)

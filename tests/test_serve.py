@@ -75,6 +75,34 @@ class TestServe:
         assert st["edits"] == 0
 
 
+class TestStreaming:
+    def test_stream_deltas_join_to_generate(self):
+        """Streamed deltas concatenate to exactly the non-streaming
+        output (cached decode underneath)."""
+        vllm = make_tiny_vllm()
+        from devqa_tpu.serve import ModelWorker
+
+        w = ModelWorker(vllm)
+        full = w.generate("what is in the image The answer is:",
+                          "imgS.jpg", max_new_tokens=4)
+        deltas = list(w.generate_stream(
+            "what is in the image The answer is:", "imgS.jpg",
+            max_new_tokens=4))
+        assert "".join(deltas) == full
+
+    def test_http_chunked_endpoint(self, served):
+        wport, cport, worker, ctl = served
+        req = urllib.request.Request(
+            "http://127.0.0.1:%d/generate_stream" % wport,
+            data=json.dumps({"prompt": "what is this The answer is:",
+                             "image": "imgZ.jpg",
+                             "max_new_tokens": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            text = r.read().decode()
+        assert isinstance(text, str)
+
+
 class TestWebServer:
     def test_page_models_and_chat(self, served):
         from devqa_tpu.serve.web import WebServer
