@@ -1,9 +1,33 @@
 """Shared test fixtures: tiny models, synthetic datasets."""
 import json
 import os
+import subprocess
+import sys
 
 import jax
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def isolate_in_subprocess(test_id: str) -> bool:
+    """Run ``test_id`` via a fresh pytest subprocess and return True —
+    unless we ARE that subprocess (returns False → caller runs inline).
+
+    Multi-device GSPMD programs on the virtual CPU mesh leave XLA's CPU
+    backend in a state where a LATER compile in the same long-lived
+    process can segfault (upstream bug; reproduced across 4 full-suite
+    runs, always after the mesh tests). Subprocess isolation contains
+    both the mesh state and any crash."""
+    if os.environ.get("DEVQA_IN_SUBPROC") == "1":
+        return False
+    env = {**os.environ, "DEVQA_IN_SUBPROC": "1"}
+    r = subprocess.run([sys.executable, "-m", "pytest", test_id, "-q",
+                        "--no-header", "-p", "no:cacheprovider"],
+                       env=env, cwd=REPO)
+    assert r.returncode == 0, "%s failed in subprocess (rc=%d)" % (
+        test_id, r.returncode)
+    return True
 
 from devqa_tpu.core import vllm as vllm_mod
 from devqa_tpu.core.tokenizer import ToyTokenizer

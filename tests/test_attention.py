@@ -102,9 +102,18 @@ class TestFlashKernel:
 
 class TestShardedFlash:
     """Multi-device flash: shard_map over the (dp, tp) mesh, kernel in
-    interpret mode on the virtual 8-CPU-device mesh."""
+    interpret mode on the virtual 8-CPU-device mesh. Both tests run in
+    subprocess isolation — multi-device programs in a long-lived process
+    correlate with sporadic XLA-CPU compile segfaults much later in the
+    session (see helpers.isolate_in_subprocess)."""
 
     def test_mesh_path_matches_xla(self, qkv, monkeypatch):
+        from helpers import isolate_in_subprocess
+
+        if isolate_in_subprocess(
+                "tests/test_attention.py::TestShardedFlash::"
+                "test_mesh_path_matches_xla"):
+            return
         from devqa_tpu.parallel.mesh import make_mesh
 
         monkeypatch.setenv("DEVQA_FLASH_INTERPRET", "1")
@@ -124,6 +133,12 @@ class TestShardedFlash:
     def test_mesh_indivisible_falls_back(self, qkv, monkeypatch):
         """Batch/head counts that don't divide the mesh use XLA attention
         (still correct, no crash)."""
+        from helpers import isolate_in_subprocess
+
+        if isolate_in_subprocess(
+                "tests/test_attention.py::TestShardedFlash::"
+                "test_mesh_indivisible_falls_back"):
+            return
         from devqa_tpu.parallel.mesh import make_mesh
 
         monkeypatch.setenv("DEVQA_FLASH_INTERPRET", "1")

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from helpers import make_tiny_vllm
+from helpers import isolate_in_subprocess, make_tiny_vllm
 
 from devqa_tpu.core import vllm as vllm_mod
 from devqa_tpu.parallel.mesh import make_mesh
@@ -27,6 +27,10 @@ class TestShardingRules:
         assert specs["vit"]["patch_embed"]["w"] == P()
 
     def test_sharded_forward_matches_replicated(self):
+        if isolate_in_subprocess(
+                "tests/test_parallel.py::TestShardingRules::"
+                "test_sharded_forward_matches_replicated"):
+            return
         vllm = make_tiny_vllm()
         cfg = vllm.cfg
         ids = (jnp.arange(8)[None, :].repeat(4, 0) * 3) % cfg.decoder.vocab_size
@@ -47,12 +51,16 @@ class TestShardingRules:
 
 class TestDryrun:
     def test_dryrun_multichip(self):
+        """Run the driver entry in a FRESH subprocess, exactly like the
+        driver does. (Also sidesteps a sporadic XLA-CPU segfault when
+        compiling late into a long-lived test process — an upstream bug
+        observed only after ~170 in-process compiles.)"""
         import sys
 
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as g
 
-        g.dryrun_multichip(8)
+        g._respawn_dryrun(8)
 
 
 class TestDistributedEval:
@@ -60,6 +68,10 @@ class TestDistributedEval:
         """Full fused sequential-edit evaluation with query rows sharded
         over dp and params over tp reproduces the unsharded results —
         the SURVEY §5 'data-parallel eval sharding over ICI' path."""
+        if isolate_in_subprocess(
+                "tests/test_parallel.py::TestDistributedEval::"
+                "test_fused_eval_sharded_matches_unsharded"):
+            return
         import copy
         import json
         import os
