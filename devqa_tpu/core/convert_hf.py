@@ -85,6 +85,39 @@ def convert_opt(sd: Mapping[str, Array], cfg: DecoderConfig, prefix: str = "mode
     }
 
 
+def convert_gpt2(sd: Mapping[str, Array], cfg: DecoderConfig,
+                 prefix: str = "transformer."):
+    """HF ``GPT2LMHeadModel`` → decoder params (arch="opt",
+    pos_offset=0). GPT-2's Conv1D stores weights [in, out] already — no
+    transpose — and c_attn fuses q|k|v as contiguous output thirds."""
+    d = cfg.d_model
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"{prefix}h.{i}."
+        cw = _a(sd, p + "attn.c_attn.weight")   # [d, 3d], [in, out]
+        cb = _a(sd, p + "attn.c_attn.bias")
+        qw, kw, vw = jnp.split(cw, 3, axis=1)
+        qb, kb, vb = jnp.split(cb, 3, axis=0)
+        layers.append({
+            "ln1": _ln(sd, p + "ln_1"),
+            "q": {"w": qw, "b": qb}, "k": {"w": kw, "b": kb},
+            "v": {"w": vw, "b": vb},
+            "o": {"w": _a(sd, p + "attn.c_proj.weight"),
+                  "b": _a(sd, p + "attn.c_proj.bias")},
+            "ln2": _ln(sd, p + "ln_2"),
+            "fc1": {"w": _a(sd, p + "mlp.c_fc.weight"),
+                    "b": _a(sd, p + "mlp.c_fc.bias")},
+            "fc2": {"w": _a(sd, p + "mlp.c_proj.weight"),
+                    "b": _a(sd, p + "mlp.c_proj.bias")},
+        })
+    return {
+        "embed_tokens": _a(sd, prefix + "wte.weight"),
+        "embed_positions": _a(sd, prefix + "wpe.weight"),
+        "final_norm": _ln(sd, prefix + "ln_f"),
+        "layers": _stack(layers),
+    }
+
+
 def convert_llama(sd: Mapping[str, Array], cfg: DecoderConfig, prefix: str = "model."):
     """HF ``LlamaForCausalLM`` → decoder params (Vicuna)."""
     layers = []

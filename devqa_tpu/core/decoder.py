@@ -59,6 +59,7 @@ def quick_gelu(x):
 ACTIVATIONS = {
     "relu": jax.nn.relu,
     "gelu": gelu_exact,
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),  # GPT-2 tanh gelu
     "silu": jax.nn.silu,
     "quick_gelu": quick_gelu,
 }
@@ -101,6 +102,20 @@ def vicuna_7b_config() -> DecoderConfig:
         arch="llama", vocab_size=32000, d_model=4096, n_layers=32, n_heads=32,
         d_ffn=11008, activation="silu", tie_word_embeddings=False,
         norm_eps=1e-6, max_positions=4096,
+    )
+
+
+def gpt2_config(size: str = "base") -> DecoderConfig:
+    """GPT-2 (EasyEdit BaseEditor's stock LLM backbone,
+    ``easyeditor/editors/editor.py``): structurally the OPT block with
+    zero position offset and tanh-gelu. base/medium/large/xl."""
+    dims = {"base": (768, 12, 12), "medium": (1024, 24, 16),
+            "large": (1280, 36, 20), "xl": (1600, 48, 25)}
+    d, n_layers, n_heads = dims[size]
+    return DecoderConfig(
+        arch="opt", vocab_size=50257, d_model=d, n_layers=n_layers,
+        n_heads=n_heads, d_ffn=4 * d, activation="gelu_new",
+        tie_word_embeddings=True, max_positions=1024, pos_offset=0,
     )
 
 

@@ -78,6 +78,29 @@ class TestDecoderParity:
         ours = dec.decoder_apply(params, cfg, h, jnp.ones_like(jnp.asarray(ids)))
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
 
+    def test_gpt2(self):
+        """GPT-2 (EasyEdit's stock LLM backbone) rides the OPT block with
+        pos_offset=0 + tanh-gelu; pins the Conv1D no-transpose layout and
+        the fused c_attn thirds."""
+        from transformers import GPT2Config, GPT2LMHeadModel
+
+        hf_cfg = GPT2Config(vocab_size=64, n_embd=16, n_layer=2, n_head=2,
+                            n_positions=64)
+        torch.manual_seed(2)
+        model = GPT2LMHeadModel(hf_cfg).eval()
+        cfg = dec.DecoderConfig(
+            arch="opt", vocab_size=64, d_model=16, n_layers=2, n_heads=2,
+            d_ffn=64, max_positions=64, activation="gelu_new",
+            tie_word_embeddings=True, pos_offset=0)
+        params = convert_hf.convert_gpt2(torch_sd(model), cfg)
+        ids = np.array([[2, 11, 33, 7, 40]])
+        with torch.no_grad():
+            ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+        h = dec.embed_tokens(params, cfg, jnp.asarray(ids))
+        ours = dec.decoder_apply(params, cfg, h,
+                                 jnp.ones_like(jnp.asarray(ids)))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
+
     def test_opt_right_padded(self, tiny_opt):
         """Right-padded batch rows must match their unpadded logits on the
         valid region (mask-derived positions)."""
