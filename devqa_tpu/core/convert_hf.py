@@ -118,6 +118,30 @@ def convert_gpt2(sd: Mapping[str, Array], cfg: DecoderConfig,
     }
 
 
+def convert_gptj(sd: Mapping[str, Array], cfg: DecoderConfig,
+                 prefix: str = "transformer."):
+    """HF ``GPTJForCausalLM`` → decoder params (arch="gptj")."""
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"{prefix}h.{i}."
+        layers.append({
+            "ln1": _ln(sd, p + "ln_1"),
+            "q": _dense(sd, p + "attn.q_proj", bias=False),
+            "k": _dense(sd, p + "attn.k_proj", bias=False),
+            "v": _dense(sd, p + "attn.v_proj", bias=False),
+            "o": _dense(sd, p + "attn.out_proj", bias=False),
+            "fc1": _dense(sd, p + "mlp.fc_in"),
+            "fc2": _dense(sd, p + "mlp.fc_out"),
+        })
+    return {
+        "embed_tokens": _a(sd, prefix + "wte.weight"),
+        "final_norm": _ln(sd, prefix + "ln_f"),
+        "lm_head": _t(sd, "lm_head.weight"),
+        "lm_head_b": _a(sd, "lm_head.bias"),
+        "layers": _stack(layers),
+    }
+
+
 def convert_llama(sd: Mapping[str, Array], cfg: DecoderConfig, prefix: str = "model."):
     """HF ``LlamaForCausalLM`` → decoder params (Vicuna)."""
     layers = []

@@ -80,6 +80,7 @@ class DecoderConfig(BaseConfig):
     tie_word_embeddings: bool = True
     pos_offset: int = 2  # OPT's learned-position offset
     attn_bias: bool = False  # llama-family q/k/v bias (Qwen's c_attn has one)
+    rotary_dim: Optional[int] = None  # GPT-J partial interleaved rotary
 
     @property
     def head_dim(self) -> int:
@@ -102,6 +103,17 @@ def vicuna_7b_config() -> DecoderConfig:
         arch="llama", vocab_size=32000, d_model=4096, n_layers=32, n_heads=32,
         d_ffn=11008, activation="silu", tie_word_embeddings=False,
         norm_eps=1e-6, max_positions=4096,
+    )
+
+
+def gptj_6b_config() -> DecoderConfig:
+    """GPT-J-6B (a stock ROME/MEMIT backbone in the reference's hparams):
+    parallel attention+MLP residual on one shared LN, partial interleaved
+    rotary (rotary_dim=64), untied biased lm_head."""
+    return DecoderConfig(
+        arch="gptj", vocab_size=50400, d_model=4096, n_layers=28,
+        n_heads=16, d_ffn=16384, activation="gelu_new",
+        tie_word_embeddings=False, max_positions=2048, rotary_dim=64,
     )
 
 
@@ -166,6 +178,31 @@ def init_decoder_params(cfg: DecoderConfig, key, dtype=jnp.float32):
             "final_norm": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
             "layers": layers,
         }
+    elif cfg.arch == "gptj":
+        def layer(k):
+            ks = jax.random.split(k, 8)
+            return {
+                "ln1": {"scale": jnp.ones((d,), dtype),
+                        "bias": jnp.zeros((d,), dtype)},
+                "q": _dense(ks[0], d, d, dtype, bias=False),
+                "k": _dense(ks[1], d, d, dtype, bias=False),
+                "v": _dense(ks[2], d, d, dtype, bias=False),
+                "o": _dense(ks[3], d, d, dtype, bias=False),
+                "fc1": _dense(ks[4], d, f, dtype),
+                "fc2": _dense(ks[5], f, d, dtype),
+            }
+        layer_keys = jax.random.split(keys[0], cfg.n_layers)
+        layers = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[layer(k) for k in layer_keys]
+        )
+        params = {
+            "embed_tokens": jax.random.normal(keys[1], (cfg.vocab_size, d), dtype) * 0.02,
+            "final_norm": {"scale": jnp.ones((d,), dtype),
+                           "bias": jnp.zeros((d,), dtype)},
+            "lm_head": jax.random.normal(keys[3], (d, cfg.vocab_size), dtype) * 0.02,
+            "lm_head_b": jnp.zeros((cfg.vocab_size,), dtype),
+            "layers": layers,
+        }
     elif cfg.arch == "llama":
         def layer(k):
             ks = jax.random.split(k, 8)
@@ -228,6 +265,24 @@ def _rope(q, k, positions, theta):
     return q2.astype(q.dtype), k2.astype(k.dtype)
 
 
+def _rope_interleaved(q, k, positions, theta, rotary_dim):
+    """GPT-J-style rotary: applied to the FIRST ``rotary_dim`` dims of
+    each head, rotating interleaved (even, odd) pairs."""
+    def rot(x):
+        xr, xp = x[..., :rotary_dim], x[..., rotary_dim:]
+        inv = 1.0 / (theta ** (jnp.arange(0, rotary_dim, 2,
+                                          dtype=jnp.float32) / rotary_dim))
+        ang = positions[:, None, :, None].astype(jnp.float32) * inv
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+        x1, x2 = xr[..., 0::2], xr[..., 1::2]
+        r1 = x1 * cos - x2 * sin
+        r2 = x1 * sin + x2 * cos
+        rr = jnp.stack([r1, r2], axis=-1).reshape(xr.shape)
+        return jnp.concatenate([rr.astype(x.dtype), xp], axis=-1)
+
+    return rot(q), rot(k)
+
+
 def _split_heads(x, n_heads):
     b, l, d = x.shape
     return x.reshape(b, l, n_heads, d // n_heads).transpose(0, 2, 1, 3)
@@ -244,6 +299,9 @@ def _attn_block(p, cfg: DecoderConfig, h_norm, kv_valid, positions):
     v = _split_heads(linear(h_norm, p["v"]["w"], p["v"].get("b")), cfg.n_heads)
     if cfg.arch == "llama":
         q, k = _rope(q, k, positions, cfg.rope_theta)
+    elif cfg.arch == "gptj":
+        q, k = _rope_interleaved(q, k, positions, cfg.rope_theta,
+                                 cfg.rotary_dim or cfg.head_dim)
     o = multihead_attention(q, k, v, kv_valid=kv_valid, causal=True)
     return linear(_merge_heads(o), p["o"]["w"], p["o"].get("b"))
 
@@ -258,6 +316,16 @@ def decoder_layer(
 ):
     """One pre-LN decoder layer. ``p`` holds a single layer's params."""
     act = ACTIVATIONS[cfg.activation]
+    if cfg.arch == "gptj":
+        # Parallel residual on one shared LN (modeling_gptj block):
+        # h' = h + attn(ln(h)) + mlp(ln(h))
+        x = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"], cfg.norm_eps)
+        attn = _attn_block(p, cfg, x, kv_valid, positions)
+        mlp = linear(act(linear(x, p["fc1"]["w"], p["fc1"]["b"])),
+                     p["fc2"]["w"], p["fc2"]["b"])
+        if mlp_residual_fn is not None:
+            mlp = mlp + mlp_residual_fn(x)
+        return h + attn + mlp
     if cfg.arch == "opt":
         h_norm = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"], cfg.norm_eps)
         h = h + _attn_block(p, cfg, h_norm, kv_valid, positions)
@@ -376,16 +444,19 @@ def _scan_mplug_layers(layers, cfg, h, kv_valid, positions, modality,
 
 def decoder_logits(params, cfg: DecoderConfig, hidden) -> jnp.ndarray:
     """Final norm + LM head → [B, L, V] f32 logits."""
-    if cfg.arch == "opt":
+    if cfg.arch in ("opt", "gptj"):  # LayerNorm-family final norm
         h = layer_norm(hidden, params["final_norm"]["scale"],
                        params["final_norm"]["bias"], cfg.norm_eps)
-    else:
+    else:  # llama-family RMSNorm
         h = rms_norm(hidden, params["final_norm"]["scale"], cfg.norm_eps)
     if cfg.tie_word_embeddings:
         w = params["embed_tokens"].T
     else:
         w = params["lm_head"]
-    return jnp.dot(h, w, preferred_element_type=jnp.float32)
+    logits = jnp.dot(h, w, preferred_element_type=jnp.float32)
+    if "lm_head_b" in params:  # GPT-J's biased head
+        logits = logits + params["lm_head_b"]
+    return logits
 
 
 def decoder_apply(

@@ -80,7 +80,8 @@ def generate_fast(model, prompts: Sequence[str], max_new_tokens: int = 10,
     ids = np.pad(tb.input_ids, ((0, 0), (0, pad)),
                  constant_values=model.tokenizer.pad_token_id)
     mask = np.pad(tb.attn_mask, ((0, 0), (0, pad)))
-    step = _greedy_cached if cached else _greedy_step_full
+    cacheable = model.cfg.arch in ("opt", "llama")
+    step = _greedy_cached if (cached and cacheable) else _greedy_step_full
     out_ids, out_mask = step(
         model.params, model.cfg, jnp.asarray(ids), jnp.asarray(mask),
         max_new_tokens)

@@ -101,6 +101,28 @@ class TestDecoderParity:
                                  jnp.ones_like(jnp.asarray(ids)))
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
 
+    def test_gptj(self):
+        """GPT-J (ROME/MEMIT's other stock backbone): parallel residual,
+        shared LN, partial interleaved rotary, biased untied head."""
+        from transformers import GPTJConfig, GPTJForCausalLM
+
+        hf_cfg = GPTJConfig(vocab_size=64, n_embd=16, n_layer=2, n_head=2,
+                            n_positions=64, rotary_dim=4)
+        torch.manual_seed(3)
+        model = GPTJForCausalLM(hf_cfg).eval()
+        cfg = dec.DecoderConfig(
+            arch="gptj", vocab_size=64, d_model=16, n_layers=2, n_heads=2,
+            d_ffn=64, max_positions=64, activation="gelu_new",
+            tie_word_embeddings=False, rotary_dim=4)
+        params = convert_hf.convert_gptj(torch_sd(model), cfg)
+        ids = np.array([[4, 22, 9, 51, 3, 17]])
+        with torch.no_grad():
+            ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+        h = dec.embed_tokens(params, cfg, jnp.asarray(ids))
+        ours = dec.decoder_apply(params, cfg, h,
+                                 jnp.ones_like(jnp.asarray(ids)))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
+
     def test_opt_right_padded(self, tiny_opt):
         """Right-padded batch rows must match their unpadded logits on the
         valid region (mask-derived positions)."""
