@@ -286,6 +286,74 @@ class TestLlavaParity:
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
 
 
+class TestT5Parity:
+    def test_t5(self):
+        """T5 (EasyEdit's seq2seq backbone): relative-position buckets,
+        unscaled attention, T5LayerNorm, tied head rescale."""
+        from transformers import T5Config, T5ForConditionalGeneration
+
+        from devqa_tpu.core import t5 as t5_mod
+
+        hf_cfg = T5Config(vocab_size=96, d_model=32, d_kv=8, d_ff=64,
+                          num_layers=2, num_heads=4, num_decoder_layers=2,
+                          decoder_start_token_id=0)
+        torch.manual_seed(4)
+        model = T5ForConditionalGeneration(hf_cfg).eval()
+        cfg = t5_mod.T5Config(vocab_size=96, d_model=32, d_kv=8, n_heads=4,
+                              d_ff=64, n_enc_layers=2, n_dec_layers=2)
+        params = t5_mod.convert_t5(torch_sd(model), cfg)
+        ids = np.array([[5, 17, 42, 9, 3], [8, 12, 0, 0, 0]])
+        mask = np.array([[1, 1, 1, 1, 1], [1, 1, 0, 0, 0]])
+        labels = np.array([[7, 21, 2], [19, 2, 0]])
+        with torch.no_grad():
+            ref = model(input_ids=torch.tensor(ids),
+                        attention_mask=torch.tensor(mask),
+                        labels=torch.tensor(labels)).logits.numpy()
+        dec_ids = t5_mod.shift_right(jnp.asarray(labels), cfg)
+        ours = t5_mod.t5_apply(params, cfg, jnp.asarray(ids),
+                               jnp.asarray(mask), dec_ids,
+                               jnp.ones_like(dec_ids))
+        np.testing.assert_allclose(np.asarray(ours), ref,
+                                   rtol=5e-4, atol=5e-4)
+
+    def test_t5_edit_improves_target(self):
+        """Param-surgery editing works on the seq2seq stack: a few FT
+        steps on one decoder FF weight push the edited answer."""
+        import optax
+
+        from devqa_tpu.core import t5 as t5_mod
+        from devqa_tpu.utils.surgery import (ParamTarget, add_to_target,
+                                             get_target)
+
+        cfg = t5_mod.T5Config(vocab_size=64, d_model=16, d_kv=4, n_heads=4,
+                              d_ff=32, n_enc_layers=2, n_dec_layers=2)
+        params = t5_mod.init_t5_params(cfg, __import__("jax").random.PRNGKey(0))
+        import jax
+
+        ids = jnp.asarray(np.array([[3, 9, 27, 4]]))
+        mask = jnp.ones_like(ids)
+        labels = jnp.asarray(np.array([[11, 2]]))
+        dec_ids = t5_mod.shift_right(labels, cfg)
+        t = ParamTarget(("decoder", "layers", "wo", "w"), 1)
+
+        def loss_fn(w):
+            p = add_to_target(params, t, w - get_target(params, t))
+            logits = t5_mod.t5_apply(p, cfg, ids, mask, dec_ids,
+                                     jnp.ones_like(dec_ids))
+            logp = jax.nn.log_softmax(logits, -1)
+            return -jnp.take_along_axis(logp, labels[..., None], -1).mean()
+
+        w = get_target(params, t)
+        l0 = float(loss_fn(w))
+        opt = optax.adam(1e-2)
+        st = opt.init(w)
+        for _ in range(10):
+            g = jax.grad(loss_fn)(w)
+            up, st = opt.update(g, st, w)
+            w = optax.apply_updates(w, up)
+        assert float(loss_fn(w)) < l0
+
+
 class TestBertParity:
     def test_bert(self):
         from transformers import BertConfig as HFBertConfig, BertModel
