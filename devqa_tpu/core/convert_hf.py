@@ -118,6 +118,24 @@ def convert_gpt2(sd: Mapping[str, Array], cfg: DecoderConfig,
     }
 
 
+def convert_baichuan(sd: Mapping[str, Array], cfg: DecoderConfig,
+                     prefix: str = "model."):
+    """Baichuan-7B → llama-arch params: identical to convert_llama except
+    qkv ship fused as ``self_attn.W_pack.weight`` [3d, d] (contiguous
+    q|k|v output thirds)."""
+    expanded: Dict[str, Array] = dict(sd)
+    import numpy as _np
+
+    for i in range(cfg.n_layers):
+        p = f"{prefix}layers.{i}.self_attn."
+        w = _np.asarray(sd[p + "W_pack.weight"])
+        qw, kw, vw = _np.split(w, 3, axis=0)
+        expanded[p + "q_proj.weight"] = qw
+        expanded[p + "k_proj.weight"] = kw
+        expanded[p + "v_proj.weight"] = vw
+    return convert_llama(expanded, cfg, prefix)
+
+
 def convert_gptj(sd: Mapping[str, Array], cfg: DecoderConfig,
                  prefix: str = "transformer."):
     """HF ``GPTJForCausalLM`` → decoder params (arch="gptj")."""
@@ -149,10 +167,10 @@ def convert_llama(sd: Mapping[str, Array], cfg: DecoderConfig, prefix: str = "mo
         p = f"{prefix}layers.{i}."
         layers.append({
             "ln1": {"scale": _a(sd, p + "input_layernorm.weight")},
-            "q": _dense(sd, p + "self_attn.q_proj", bias=False),
-            "k": _dense(sd, p + "self_attn.k_proj", bias=False),
-            "v": _dense(sd, p + "self_attn.v_proj", bias=False),
-            "o": _dense(sd, p + "self_attn.o_proj", bias=False),
+            "q": _dense(sd, p + "self_attn.q_proj", bias=cfg.attn_bias),
+            "k": _dense(sd, p + "self_attn.k_proj", bias=cfg.attn_bias),
+            "v": _dense(sd, p + "self_attn.v_proj", bias=cfg.attn_bias),
+            "o": _dense(sd, p + "self_attn.o_proj", bias=cfg.o_bias),
             "ln2": {"scale": _a(sd, p + "post_attention_layernorm.weight")},
             "gate": _dense(sd, p + "mlp.gate_proj", bias=False),
             "up": _dense(sd, p + "mlp.up_proj", bias=False),

@@ -80,6 +80,7 @@ class DecoderConfig(BaseConfig):
     tie_word_embeddings: bool = True
     pos_offset: int = 2  # OPT's learned-position offset
     attn_bias: bool = False  # llama-family q/k/v bias (Qwen's c_attn has one)
+    o_bias: bool = False     # llama-family o_proj bias (InternLM)
     rotary_dim: Optional[int] = None  # GPT-J partial interleaved rotary
 
     @property
@@ -128,6 +129,27 @@ def gpt2_config(size: str = "base") -> DecoderConfig:
         arch="opt", vocab_size=50257, d_model=d, n_layers=n_layers,
         n_heads=n_heads, d_ffn=4 * d, activation="gelu_new",
         tie_word_embeddings=True, max_positions=1024, pos_offset=0,
+    )
+
+
+def baichuan_7b_config() -> DecoderConfig:
+    """Baichuan-7B: exactly the llama block (13B switches to ALiBi — not
+    modeled); its checkpoint fuses qkv as ``W_pack`` (see
+    convert_baichuan)."""
+    return DecoderConfig(
+        arch="llama", vocab_size=64000, d_model=4096, n_layers=32,
+        n_heads=32, d_ffn=11008, activation="silu",
+        tie_word_embeddings=False, norm_eps=1e-6, max_positions=4096,
+    )
+
+
+def internlm_7b_config() -> DecoderConfig:
+    """InternLM-7B: the llama block with attention biases."""
+    return DecoderConfig(
+        arch="llama", vocab_size=103168, d_model=4096, n_layers=32,
+        n_heads=32, d_ffn=11008, activation="silu",
+        tie_word_embeddings=False, norm_eps=1e-6, max_positions=2048,
+        attn_bias=True, o_bias=True,
     )
 
 
@@ -212,7 +234,7 @@ def init_decoder_params(cfg: DecoderConfig, key, dtype=jnp.float32):
                 "q": _dense(ks[0], d, d, dtype, bias=ab),
                 "k": _dense(ks[1], d, d, dtype, bias=ab),
                 "v": _dense(ks[2], d, d, dtype, bias=ab),
-                "o": _dense(ks[3], d, d, dtype, bias=False),
+                "o": _dense(ks[3], d, d, dtype, bias=cfg.o_bias),
                 "ln2": {"scale": jnp.ones((d,), dtype)},
                 "gate": _dense(ks[4], d, f, dtype, bias=False),
                 "up": _dense(ks[5], d, f, dtype, bias=False),

@@ -157,6 +157,49 @@ class TestMiniGPT4Converter:
         assert not np.asarray(qb2.kv_valid)[0, lo:hi].any()
 
 
+class TestLlamaVariantConverters:
+    def test_baichuan_w_pack_round_trip(self):
+        """Baichuan fuses qkv as W_pack; converter splits the thirds."""
+        from devqa_tpu.core import decoder as dec
+
+        cfg = dec.DecoderConfig(
+            arch="llama", vocab_size=64, d_model=16, n_layers=2, n_heads=2,
+            d_ffn=32, activation="silu", tie_word_embeddings=False,
+            max_positions=32)
+        params = dec.init_decoder_params(cfg, jax.random.PRNGKey(5))
+        sd = {}
+        dp = jax.tree.map(np.asarray, params)
+        sd["model.embed_tokens.weight"] = dp["embed_tokens"]
+        sd["model.norm.weight"] = dp["final_norm"]["scale"]
+        sd["lm_head.weight"] = dp["lm_head"].T
+        for i in range(cfg.n_layers):
+            p = f"model.layers.{i}."
+            L = dp["layers"]
+            sd[p + "input_layernorm.weight"] = L["ln1"]["scale"][i]
+            sd[p + "post_attention_layernorm.weight"] = L["ln2"]["scale"][i]
+            sd[p + "self_attn.W_pack.weight"] = np.concatenate(
+                [L["q"]["w"][i].T, L["k"]["w"][i].T, L["v"]["w"][i].T])
+            sd[p + "self_attn.o_proj.weight"] = L["o"]["w"][i].T
+            sd[p + "mlp.gate_proj.weight"] = L["gate"]["w"][i].T
+            sd[p + "mlp.up_proj.weight"] = L["up"]["w"][i].T
+            sd[p + "mlp.down_proj.weight"] = L["down"]["w"][i].T
+        got = C.convert_baichuan(sd, cfg)
+        fa, ta = jax.tree_util.tree_flatten_with_path(params)
+        fb, tb = jax.tree_util.tree_flatten_with_path(got)
+        assert ta == tb
+        for (pa, a), (_, b) in zip(fa, fb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, err_msg=str(pa))
+
+    def test_internlm_biases_present(self):
+        from devqa_tpu.core import decoder as dec
+
+        cfg = dec.internlm_7b_config()
+        shapes = jax.eval_shape(
+            lambda k: dec.init_decoder_params(cfg, k), jax.random.PRNGKey(0))
+        assert "b" in shapes["layers"]["q"] and "b" in shapes["layers"]["o"]
+
+
 class TestFullSizeDry:
     """Converter × full-size checkpoint layout, zero weight memory."""
 
