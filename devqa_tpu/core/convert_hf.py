@@ -368,16 +368,38 @@ def convert_eva_vit(sd: Mapping[str, Array], cfg: ViTConfig,
             "fc2": _dense(sd, p + "mlp.fc2"),
         })
     patch_w = _a(sd, prefix + "patch_embed.proj.weight")  # [d, 3, P, P]
+    pos = _a(sd, prefix + "pos_embed").reshape(-1, d)
+    pos = interpolate_pos_embed(pos, cfg.n_tokens, has_cls=True)
     return {
         "patch_embed": {
             "w": patch_w.reshape(d, -1).T,
             "b": _a(sd, prefix + "patch_embed.proj.bias"),
         },
         "cls_token": _a(sd, prefix + "cls_token").reshape(-1),
-        "pos_embed": _a(sd, prefix + "pos_embed").reshape(-1, d),
+        "pos_embed": pos,
         "post_ln": _ln(sd, ln_vision_prefix),  # external ln_vision
         "layers": _stack(layers),
     }
+
+
+def interpolate_pos_embed(pos, n_tokens: int, has_cls: bool) -> "jnp.ndarray":
+    """Bicubic grid interpolation of absolute position embeddings when the
+    checkpoint's image size differs from the target (the reference's
+    ``interpolate_pos_embed`` applied on EVA-ViT load,
+    ``editor/vllms_for_edit/minigpt4/modules/eva_vit.py`` tail /
+    ``minigpt4.py:45-47`` init_vision_encoder img_size)."""
+    if pos.shape[0] == n_tokens:
+        return pos
+    import jax
+
+    d = pos.shape[1]
+    cls = pos[:1] if has_cls else pos[:0]
+    grid = pos[1:] if has_cls else pos
+    src = int(round(float(np.sqrt(grid.shape[0]))))
+    dst = int(round(float(np.sqrt(n_tokens - (1 if has_cls else 0)))))
+    grid = jnp.asarray(grid).reshape(src, src, d)
+    grid = jax.image.resize(grid, (dst, dst, d), method="cubic")
+    return jnp.concatenate([jnp.asarray(cls), grid.reshape(dst * dst, d)])
 
 
 def convert_lavis_qformer(sd: Mapping[str, Array], cfg: QFormerConfig,

@@ -157,6 +157,26 @@ class TestMiniGPT4Converter:
         assert not np.asarray(qb2.kv_valid)[0, lo:hi].any()
 
 
+class TestPosEmbedInterpolation:
+    def test_eva_pos_interpolated_to_target_grid(self):
+        """A checkpoint saved at a different image size converts with its
+        grid position embeddings bicubically resized (the reference's
+        interpolate_pos_embed on EVA load)."""
+        from devqa_tpu.core.convert_hf import interpolate_pos_embed
+
+        d = 8
+        src_grid = 4
+        rng = np.random.default_rng(0)
+        pos = jnp.asarray(rng.normal(size=(1 + src_grid ** 2, d)),
+                          jnp.float32)
+        out = interpolate_pos_embed(pos, 1 + 8 ** 2, has_cls=True)
+        assert out.shape == (65, d)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(pos[0]))
+        # identity when sizes already match
+        same = interpolate_pos_embed(pos, pos.shape[0], has_cls=True)
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(pos))
+
+
 class TestLlamaVariantConverters:
     def test_baichuan_w_pack_round_trip(self):
         """Baichuan fuses qkv as W_pack; converter splits the thirds."""
