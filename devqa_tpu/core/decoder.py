@@ -82,10 +82,15 @@ class DecoderConfig(BaseConfig):
     attn_bias: bool = False  # llama-family q/k/v bias (Qwen's c_attn has one)
     o_bias: bool = False     # llama-family o_proj bias (InternLM)
     rotary_dim: Optional[int] = None  # GPT-J partial interleaved rotary
+    n_kv_heads: Optional[int] = None  # grouped-query attention (Llama-2/3)
 
     @property
     def head_dim(self) -> int:
         return self.d_model // self.n_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
 
 
 def opt_2_7b_config() -> DecoderConfig:
@@ -229,11 +234,12 @@ def init_decoder_params(cfg: DecoderConfig, key, dtype=jnp.float32):
         def layer(k):
             ks = jax.random.split(k, 8)
             ab = cfg.attn_bias
+            d_kv = cfg.kv_heads * cfg.head_dim  # GQA: fewer k/v heads
             return {
                 "ln1": {"scale": jnp.ones((d,), dtype)},
                 "q": _dense(ks[0], d, d, dtype, bias=ab),
-                "k": _dense(ks[1], d, d, dtype, bias=ab),
-                "v": _dense(ks[2], d, d, dtype, bias=ab),
+                "k": _dense(ks[1], d, d_kv, dtype, bias=ab),
+                "v": _dense(ks[2], d, d_kv, dtype, bias=ab),
                 "o": _dense(ks[3], d, d, dtype, bias=cfg.o_bias),
                 "ln2": {"scale": jnp.ones((d,), dtype)},
                 "gate": _dense(ks[4], d, f, dtype, bias=False),
@@ -315,16 +321,30 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
 
 
+def _repeat_kv(x, n_rep: int):
+    """[B, Hkv, L, D] → [B, Hkv·n_rep, L, D] (GQA key/value broadcast)."""
+    if n_rep == 1:
+        return x
+    b, h, l, d = x.shape
+    return jnp.broadcast_to(x[:, :, None], (b, h, n_rep, l, d)).reshape(
+        b, h * n_rep, l, d)
+
+
 def _attn_block(p, cfg: DecoderConfig, h_norm, kv_valid, positions):
     q = _split_heads(linear(h_norm, p["q"]["w"], p["q"].get("b")), cfg.n_heads)
-    k = _split_heads(linear(h_norm, p["k"]["w"], p["k"].get("b")), cfg.n_heads)
-    v = _split_heads(linear(h_norm, p["v"]["w"], p["v"].get("b")), cfg.n_heads)
+    k = _split_heads(linear(h_norm, p["k"]["w"], p["k"].get("b")),
+                     cfg.kv_heads)
+    v = _split_heads(linear(h_norm, p["v"]["w"], p["v"].get("b")),
+                     cfg.kv_heads)
     if cfg.arch == "llama":
         q, k = _rope(q, k, positions, cfg.rope_theta)
     elif cfg.arch == "gptj":
         q, k = _rope_interleaved(q, k, positions, cfg.rope_theta,
                                  cfg.rotary_dim or cfg.head_dim)
-    o = multihead_attention(q, k, v, kv_valid=kv_valid, causal=True)
+    n_rep = cfg.n_heads // cfg.kv_heads
+    o = multihead_attention(_repeat_kv(q, 1), _repeat_kv(k, n_rep),
+                            _repeat_kv(v, n_rep), kv_valid=kv_valid,
+                            causal=True)
     return linear(_merge_heads(o), p["o"]["w"], p["o"].get("b"))
 
 
@@ -571,11 +591,16 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
 
 def _qkv_heads(p, cfg: DecoderConfig, h_norm, positions):
     q = _split_heads(linear(h_norm, p["q"]["w"], p["q"].get("b")), cfg.n_heads)
-    k = _split_heads(linear(h_norm, p["k"]["w"], p["k"].get("b")), cfg.n_heads)
-    v = _split_heads(linear(h_norm, p["v"]["w"], p["v"].get("b")), cfg.n_heads)
+    k = _split_heads(linear(h_norm, p["k"]["w"], p["k"].get("b")),
+                     cfg.kv_heads)
+    v = _split_heads(linear(h_norm, p["v"]["w"], p["v"].get("b")),
+                     cfg.kv_heads)
     if cfg.arch == "llama":
         q, k = _rope(q, k, positions, cfg.rope_theta)
-    return q, k, v
+    # The KV cache stores full-head k/v (GQA heads broadcast here — a
+    # memory/simplicity tradeoff at these short serving contexts).
+    n_rep = cfg.n_heads // cfg.kv_heads
+    return q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
 
 
 def _layer_with_kv(p, cfg: DecoderConfig, h, kv_valid, positions,

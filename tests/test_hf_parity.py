@@ -78,6 +78,31 @@ class TestDecoderParity:
         ours = dec.decoder_apply(params, cfg, h, jnp.ones_like(jnp.asarray(ids)))
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
 
+    def test_llama_gqa(self):
+        """Grouped-query attention (Llama-2/3 style): fewer k/v heads,
+        broadcast at attention time."""
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        hf_cfg = LlamaConfig(
+            vocab_size=64, hidden_size=16, intermediate_size=32,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            tie_word_embeddings=False)
+        torch.manual_seed(5)
+        model = LlamaForCausalLM(hf_cfg).eval()
+        cfg = dec.DecoderConfig(
+            arch="llama", vocab_size=64, d_model=16, n_layers=2, n_heads=4,
+            n_kv_heads=2, d_ffn=32, max_positions=64, activation="silu",
+            tie_word_embeddings=False, norm_eps=hf_cfg.rms_norm_eps)
+        params = convert_hf.convert_llama(torch_sd(model), cfg)
+        ids = np.array([[3, 8, 1, 62, 40, 7]])
+        with torch.no_grad():
+            ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+        h = dec.embed_tokens(params, cfg, jnp.asarray(ids))
+        ours = dec.decoder_apply(params, cfg, h,
+                                 jnp.ones_like(jnp.asarray(ids)))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
+
     def test_gpt2(self):
         """GPT-2 (EasyEdit's stock LLM backbone) rides the OPT block with
         pos_offset=0 + tanh-gelu; pins the Conv1D no-transpose layout and
