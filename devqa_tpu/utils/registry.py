@@ -69,6 +69,25 @@ def load_vllm_for_edit(
 
     cfg = model_config(get_full_model_name(model_name))
     tok_dir = weights_dir
+    from ..cli.convert import is_converted_dir, load_converted
+
+    if weights_dir is not None and is_converted_dir(weights_dir):
+        # Pre-converted orbax pytree (cli/convert.py): restore directly,
+        # no torch/transformers on the load path.
+        params, meta = load_converted(weights_dir)
+        assert meta["model"] == cfg.name, (meta, cfg.name)
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        tok_sub = os.path.join(weights_dir, "tokenizer")
+        if tokenizer is None and os.path.isdir(tok_sub):
+            import transformers
+
+            tokenizer = HFTokenizerAdapter(
+                transformers.AutoTokenizer.from_pretrained(tok_sub))
+        if tokenizer is None:
+            tokenizer = ToyTokenizer(vocab_size=cfg.decoder.vocab_size)
+        if image_provider is None:
+            image_provider = FileImageProvider(cfg.vit.image_size)
+        return JaxVLLM(cfg, params, tokenizer, image_provider)
     if weights_dir is not None:
         from ..core import convert_hf
 

@@ -157,6 +157,28 @@ class TestMiniGPT4Converter:
         assert not np.asarray(qb2.kv_valid)[0, lo:hi].any()
 
 
+class TestConvertedCheckpointRoundTrip:
+    def test_save_load_converted(self, tmp_path):
+        """cli/convert.py's orbax format round-trips the param pytree and
+        the registry's marker/loader recognize it."""
+        from devqa_tpu.cli.convert import (is_converted_dir, load_converted,
+                                           save_converted)
+
+        cfg = V.tiny_vllm_config("opt")
+        params = V.init_vllm_params(cfg, jax.random.PRNGKey(0))
+        out = str(tmp_path / "conv")
+        save_converted(params, cfg.name, out)
+        assert is_converted_dir(out) and not is_converted_dir(str(tmp_path))
+        got, meta = load_converted(out)
+        assert meta["model"] == cfg.name
+        fa, ta = jax.tree_util.tree_flatten_with_path(params)
+        fb, tb = jax.tree_util.tree_flatten_with_path(got)
+        assert ta == tb
+        for (pa, a), (_, b) in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(pa))
+
+
 class TestPosEmbedInterpolation:
     def test_eva_pos_interpolated_to_target_grid(self):
         """A checkpoint saved at a different image size converts with its
