@@ -26,12 +26,24 @@ import numpy as np
 
 
 class ModelWorker:
-    def __init__(self, vllm, editor=None, name: str = "worker"):
+    def __init__(self, vllm, editor=None, name: str = "worker",
+                 batching: bool = False, n_slots: int = 4,
+                 max_len: int = 160):
+        """``batching=True`` (editor-less, cacheable arch) serves
+        /generate through a continuous-batching engine (serve/engine.py):
+        concurrent requests share decode slots instead of serializing on
+        the model lock."""
         self.vllm = vllm
         self.editor = editor
         self.name = name
         self._lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
+        self._engine = None
+        if batching and editor is None:
+            from .engine import BatchingEngine
+
+            self._engine = BatchingEngine(vllm, n_slots=n_slots,
+                                          max_len=max_len).start()
 
     # ---------------- inference ----------------
 
@@ -57,6 +69,8 @@ class ModelWorker:
         are defined on whole-sequence forwards.
         """
         vllm = self.vllm
+        if self._engine is not None:
+            return self._engine.generate(prompt, image, max_new_tokens)
         with self._lock:
             if (self.editor is None
                     and vllm.cfg.decoder.arch in ("opt", "llama")):
@@ -203,3 +217,5 @@ class ModelWorker:
     def shutdown(self):
         if self._httpd is not None:
             self._httpd.shutdown()
+        if self._engine is not None:
+            self._engine.shutdown()

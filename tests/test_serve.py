@@ -149,3 +149,50 @@ class TestConversationTemplates:
 
         assert CONV_TEMPLATES["none"] is None
         assert CONV_TEMPLATES["minigpt4"] is CONV_TEMPLATES["v0"]
+
+
+class TestBatchingEngine:
+    def test_concurrent_matches_sequential(self):
+        """Three requests decoded concurrently through shared slots give
+        exactly the per-request cached-worker outputs."""
+        from devqa_tpu.serve.engine import BatchingEngine
+
+        vllm = make_tiny_vllm()
+        w = ModelWorker(vllm)
+        prompts = [("what is near the tree", "imgA.jpg"),
+                   ("who wrote the book The answer is:", None),
+                   ("what color is the sky", "imgB.jpg")]
+        want = [w.generate(p, img, max_new_tokens=5) for p, img in prompts]
+        eng = BatchingEngine(vllm, n_slots=2, max_len=96).start()
+        try:
+            reqs = [eng.submit(p, img, max_new_tokens=5)
+                    for p, img in prompts]
+            for r in reqs:
+                assert r.done.wait(300)
+            got = [r.text for r in reqs]
+        finally:
+            eng.shutdown()
+        assert got == want, (got, want)
+
+    def test_generate_blocking_api(self):
+        from devqa_tpu.serve.engine import BatchingEngine
+
+        vllm = make_tiny_vllm()
+        eng = BatchingEngine(vllm, n_slots=2, max_len=96).start()
+        try:
+            out = eng.generate("what is this", "imgC.jpg", max_new_tokens=3)
+        finally:
+            eng.shutdown()
+        assert isinstance(out, str)
+
+    def test_worker_with_batching_engine(self):
+        vllm = make_tiny_vllm()
+        w = ModelWorker(vllm, batching=True, n_slots=2, max_len=96)
+        try:
+            base = ModelWorker(vllm).generate("what is near the tree",
+                                              "imgA.jpg", max_new_tokens=4)
+            got = w.generate("what is near the tree", "imgA.jpg",
+                             max_new_tokens=4)
+            assert got == base
+        finally:
+            w.shutdown()
