@@ -133,3 +133,27 @@ class TestSession:
         data = load_zsre(str(p))
         assert data[0]["prompt"] == "q1"
         assert data[0]["locality"]["neighborhood"]["prompt"] == "lq"
+
+
+class TestT5Session:
+    def test_t5_ft_through_session(self):
+        """T5 edits through the same LLMEditSession protocol the
+        decoder-only backbones use (the reference's seq2seq BaseEditor
+        path)."""
+        from devqa_tpu.core import t5 as t5_mod
+        from devqa_tpu.editors.llm.t5_session import T5TextModel, apply_ft_t5
+
+        cfg = t5_mod.T5Config(vocab_size=256, d_model=16, d_kv=4, n_heads=4,
+                              d_ff=32, n_enc_layers=2, n_dec_layers=2)
+        params = t5_mod.init_t5_params(cfg, jax.random.PRNGKey(7))
+        model = T5TextModel(params, cfg, ToyTokenizer(vocab_size=256))
+        hp = FTHyperParams(layers=(1,), num_steps=25, lr=5e-2)
+        session = LLMEditSession(
+            model, lambda m, r: apply_ft_t5(m, r, hp), "FT-T5")
+        req = {"case_id": 0, "prompt": "the capital of france is",
+               "target_new": "lyon",
+               "locality": {"nb": {"prompt": "the capital of italy is",
+                                   "ground_truth": "rome"}}}
+        res = session.edit([req])
+        assert res[0]["post"]["rewrite_acc"] >= res[0]["pre"]["rewrite_acc"]
+        assert "nb" in res[0]["post"]["locality"]
