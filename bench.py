@@ -94,7 +94,11 @@ def main():
                    img_batch_pad=8)
     lcfg = LiveEditConfig(edit_model_name=cfg.name, llm_mid_dim=cfg.decoder.d_model,
                           edit_layer_i=21,
-                          max_edits=max(256, n_timed_cases + 8))
+                          max_edits=max(256, n_timed_cases + 8),
+                          # the paper's hard routing selects ~0-2 experts;
+                          # K=8 keeps the MoE mixture exact in practice and
+                          # cuts the residual einsums 4x vs the default 32
+                          retrieve_top_k=8)
     editor = LiveEdit(vllm, lcfg, seed=0)
 
     SPLIT = 10
@@ -106,9 +110,10 @@ def main():
         data = EVQA(path, tmp, encoder=hash_encoder(16))
         cases = data.data
 
-        # ---- fused split pipeline (public API, chunk=30 rows: the 9-loc /
-        # 12-probe grids divide evenly → zero pad waste, one compiled
-        # program per pass kind) ----
+        # ---- fused split pipeline (public API). 60-row chunks divide
+        # both the hoisted 9-per-case locality pass and the 12-per-case
+        # post pass with zero padding waste, and big rows keep the MXU
+        # busy (measured: 60 beats 30 by ~1.5x end to end) ----
         import copy
 
         def sliced(lo, hi):
@@ -126,7 +131,7 @@ def main():
             fe = FusedEditorEvaluation(
                 editor, eval_data, evaluation_name=name,
                 results_dir=os.path.join(tmp, "res"),
-                max_rows=30, pad_rows=True, hoist_pre=True)
+                max_rows=60, pad_rows=True, hoist_pre=True)
             # Keep stdout clean: the driver expects exactly one JSON line.
             with contextlib.redirect_stdout(sys.stderr):
                 fe.evaluate_sequential_edit(edit_n=edit_n_)
