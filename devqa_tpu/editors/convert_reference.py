@@ -1,0 +1,143 @@
+"""Reference-trained editor checkpoint interop.
+
+The reference persists trained editors as ``torch.save`` blobs named
+"Best" with ``{'train_modules': {name: state_dict}, 'i','epoch','loss',
+'ema_loss','opt',...}`` (editor/vllm_editors/base.py:237-255). These
+loaders map those state dicts onto this framework's editor param
+pytrees, so a user switching frameworks can reuse editors they already
+meta-trained on the reference:
+
+- LiveEdit (liveedit.py:235-239 registers edit_extractor /
+  inpt_extractor / moegen_c / moegen_r / instant_reps_norm);
+- MEND_VL (mend_vl.py:238-240 registers aux_models keyed by the
+  "(in, out)" shape string — the same keying this framework uses — and
+  the flat edit_lrs ParameterList in shape-grouped module order).
+
+Caveat: the reference's TRAINING path re-runs the edit layer
+(forward_from_mid_layer quirk); evaluate reference-trained LiveEdit
+checkpoints with ``LiveEditConfig.faithful_mid_layer_rerun`` in mind
+when comparing training losses (inference-time behavior matches).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _arr(sd, key):
+    v = sd[key]
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return jnp.asarray(np.asarray(v, np.float32))
+
+
+def _attention(sd, prefix):
+    """torch modules.Attention (q_mlp/k_mlp/v_mlp Linears) → our
+    init_attention layout ([in, out] weights)."""
+    return {name: {"w": _arr(sd, f"{prefix}.{t}_mlp.weight").T,
+                   "b": _arr(sd, f"{prefix}.{t}_mlp.bias")}
+            for name, t in (("q", "q"), ("k", "k"), ("v", "v"))}
+
+
+def _ln(sd, prefix):
+    return {"scale": _arr(sd, prefix + ".weight"),
+            "bias": _arr(sd, prefix + ".bias")}
+
+
+def _qv_extractor(sd, vis_prot: bool):
+    p = {
+        "ln1": _ln(sd, "layer_norm1"),
+        "eqe1": _arr(sd, "eqe1"),
+        "ca_query1": _attention(sd, "ca_query_info_ext1"),
+        "ca_vision": _attention(sd, "ca_vision_info_ext"),
+        "ln2": _ln(sd, "layer_norm2"),
+        "eqe2": _arr(sd, "eqe2"),
+        "ca_query2": _attention(sd, "ca_query_info_ext2"),
+    }
+    if vis_prot:
+        p["vis_rep_prot"] = _arr(sd, "vis_rep_prot")
+    return p
+
+
+def _lowrank(sd):
+    return {"phi": _arr(sd, "phi"),
+            "ca": _attention(sd, "ca_lora"),
+            "ln": _ln(sd, "layer_norm")}
+
+
+def convert_liveedit_train_modules(tm: Dict[str, Dict]) -> Dict:
+    """ckpt['train_modules'] → LiveEdit param pytree."""
+    return {
+        "edit_extractor": _qv_extractor(tm["edit_extractor"],
+                                        vis_prot=False),
+        "inpt_extractor": _qv_extractor(tm["inpt_extractor"], vis_prot=True),
+        "moegen_c": _lowrank(tm["moegen_c"]),
+        "moegen_r": _lowrank(tm["moegen_r"]),
+        # a bare nn.LayerNorm state_dict keys are "weight"/"bias"
+        "instant_reps_norm": {
+            "scale": _arr(tm["instant_reps_norm"], "weight"),
+            "bias": _arr(tm["instant_reps_norm"], "bias")},
+    }
+
+
+def convert_mend_train_modules(tm: Dict[str, Dict], targets, shape_of,
+                               n_hidden: int) -> Tuple[Dict, Dict]:
+    """ckpt['train_modules'] → (MEND params, norm_state).
+
+    ``targets``/``shape_of``: the editor's (layer, module) list and
+    module→(in, out) map (MENDvl attributes) — used to reproduce the
+    reference's shape-grouped flat edit_lrs order (mend_vl.py:200-223).
+    """
+    aux_sd = tm["aux_models"]
+    groups: Dict[tuple, list] = {}
+    for t in targets:
+        groups.setdefault(shape_of[t[1]], []).append(t)
+    params = {"aux": {}, "edit_lrs": {}}
+    norm_state = {}
+    for shape in groups:
+        key = str(shape)
+        layers = []
+        for i in range(n_hidden + 1):
+            p = f"{key}.mlp.layers.{i}."
+            layers.append({
+                "u": _arr(aux_sd, p + "u"),
+                "v": _arr(aux_sd, p + "v"),
+                "bias": _arr(aux_sd, p + "bias"),
+                "mode_scale": _arr(aux_sd, p + "mode_scale.weight"),
+                "mode_shift": _arr(aux_sd, p + "mode_shift.weight"),
+            })
+        params["aux"][key] = {"layers": layers}
+        norm_state[key] = {
+            "u_mean": _arr(aux_sd, key + ".u_mean"),
+            "u_s": _arr(aux_sd, key + ".u_s"),
+            "v_mean": _arr(aux_sd, key + ".v_mean"),
+            "v_s": _arr(aux_sd, key + ".v_s"),
+            "k": _arr(aux_sd, key + ".k").reshape(()),
+        }
+    lr_sd = tm["edit_lrs"]
+    flat = [t for shape in groups for t in groups[shape]]
+    for i, (l, m) in enumerate(flat):
+        params["edit_lrs"]["%d.%s" % (l, m)] = _arr(lr_sd, str(i)).reshape(())
+    return params, norm_state
+
+
+def load_reference_editor_ckpt(editor, path: str) -> None:
+    """torch-load a reference 'Best' checkpoint into ``editor``
+    (LiveEdit / MENDvl instances; base.py:257-268 load_ckpt role)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    tm = obj["train_modules"]
+    name = type(editor).__name__
+    if "LiveEdit" in name:
+        editor.params = convert_liveedit_train_modules(tm)
+    elif "MEND" in name:
+        params, norm_state = convert_mend_train_modules(
+            tm, editor.targets, editor.shape_of,
+            editor.cfg.aux_model.n_hidden)
+        editor.params = params
+        editor.norm_state = norm_state
+    else:
+        raise NotImplementedError(name)
