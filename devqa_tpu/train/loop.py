@@ -167,7 +167,16 @@ class EditorTrainer:
 
 
 def load_editor_ckpt(editor: TrainableEditor, path: str):
-    """Standalone checkpoint load for evaluation (test_vllm_edit.py -ckpt)."""
+    """Standalone checkpoint load for evaluation (test_vllm_edit.py -ckpt).
+
+    Accepts either this framework's orbax directories or the reference's
+    torch 'Best' blobs (a regular FILE → routed through
+    editors.convert_reference)."""
+    if os.path.isfile(path):
+        from ..editors.convert_reference import load_reference_editor_ckpt
+
+        load_reference_editor_ckpt(editor, path)
+        return {"source": "reference-torch"}
     import orbax.checkpoint as ocp
 
     state = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
