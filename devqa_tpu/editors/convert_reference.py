@@ -123,6 +123,46 @@ def convert_mend_train_modules(tm: Dict[str, Dict], targets, shape_of,
     return params, norm_state
 
 
+def _resblock_ref(sd, prefix):
+    """torch serac modules.ResBlock → our _init_resblock layout."""
+    return {
+        "ln": {"scale": _arr(sd, prefix + ".l_in_norm.weight"),
+               "bias": _arr(sd, prefix + ".l_in_norm.bias")},
+        "l_in": {"w": _arr(sd, prefix + ".l_in.weight").T,
+                 "b": _arr(sd, prefix + ".l_in.bias")},
+        "l_mid": {"w": _arr(sd, prefix + ".l_mid.weight").T,
+                  "b": _arr(sd, prefix + ".l_mid.bias")},
+        "l_out": {"w": _arr(sd, prefix + ".l_out.weight").T,
+                  "b": _arr(sd, prefix + ".l_out.bias")},
+    }
+
+
+def convert_serac_train_modules(tm: Dict[str, Dict], cfg) -> Dict:
+    """ckpt['train_modules'] → SERAC param pytree (serac_vl.py:114-115
+    registers counterfact_model + classifier; their sub-state-dicts embed
+    full HF BertModel / OPTForCausalLM trees)."""
+    from ..core import bert as bert_mod
+    from ..core import convert_hf as C
+
+    cl = tm["classifier"]
+    cf = tm["counterfact_model"]
+    return {
+        "classifier": {
+            "bert": bert_mod.convert_hf_bert(cl, cfg.classifier,
+                                             prefix="classifier."),
+            "proj": _resblock_ref(cl, "classifier_proj"),
+            "ln": {"scale": _arr(cl, "ln.weight"),
+                   "bias": _arr(cl, "ln.bias")},
+        },
+        "counterfact": {
+            "lm": C.convert_opt(cf, cfg.counterfact,
+                                "counterfact_model.model.decoder."),
+            "proj_in": _resblock_ref(cf, "counterfact_model_proj_in"),
+            "proj_out": _resblock_ref(cf, "counterfact_model_proj_out"),
+        },
+    }
+
+
 def load_reference_editor_ckpt(editor, path: str) -> None:
     """torch-load a reference 'Best' checkpoint into ``editor``
     (LiveEdit / MENDvl instances; base.py:257-268 load_ckpt role)."""
@@ -139,5 +179,7 @@ def load_reference_editor_ckpt(editor, path: str) -> None:
             editor.cfg.aux_model.n_hidden)
         editor.params = params
         editor.norm_state = norm_state
+    elif "SERAC" in name:
+        editor.params = convert_serac_train_modules(tm, editor.cfg)
     else:
         raise NotImplementedError(name)

@@ -136,3 +136,105 @@ class TestMENDCkpt:
             for (pa, a), (_, b) in zip(fa, fb):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=1e-6, err_msg=str(pa))
+
+
+class TestSERACCkpt:
+    def test_classifier_and_counterfact_parity(self, tmp_path):
+        """Convert REAL torch modules (HF BertModel / OPTForCausalLM +
+        spec-built ResBlocks) through the reference ckpt layout and pin
+        the classifier reps + counterfactual hidden path numerically."""
+        import transformers
+        from torch import nn
+
+        from devqa_tpu.core import bert as bert_mod
+        from devqa_tpu.core import decoder as dec
+        from devqa_tpu.editors import serac_vl as S
+        from devqa_tpu.editors.convert_reference import \
+            convert_serac_train_modules
+
+        class ResBlock(nn.Module):  # from the documented equation
+            def __init__(self, i, o):
+                super().__init__()
+                self.l_in_norm = nn.LayerNorm(i)
+                self.l_in = nn.Linear(i, o)
+                self.l_mid = nn.Linear(o, o)
+                self.l_out = nn.Linear(o, o)
+
+            def forward(self, x):
+                x = self.l_in(self.l_in_norm(x))
+                return self.l_out(torch.relu(self.l_mid(x))) + x
+
+        torch.manual_seed(9)
+        D, R = 24, 16  # llm hidden, rep dim
+        bert_cfg = transformers.BertConfig(
+            vocab_size=64, hidden_size=R, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=64)
+        hf_bert = transformers.BertModel(bert_cfg).eval()
+        cl_proj = ResBlock(D, R).eval()
+        cl_ln = nn.LayerNorm(R).eval()
+        opt_cfg = transformers.OPTConfig(
+            vocab_size=64, hidden_size=R, ffn_dim=32, num_hidden_layers=2,
+            num_attention_heads=2, max_position_embeddings=64,
+            do_layer_norm_before=True, word_embed_proj_dim=R)
+        hf_opt = transformers.OPTForCausalLM(opt_cfg).eval()
+        cf_in = ResBlock(D, R).eval()
+        cf_out = ResBlock(R, D).eval()
+
+        cl_sd = {"classifier." + k: v for k, v in hf_bert.state_dict().items()}
+        cl_sd.update({"classifier_proj." + k: v
+                      for k, v in cl_proj.state_dict().items()})
+        cl_sd.update({"ln." + k: v for k, v in cl_ln.state_dict().items()})
+        cf_sd = {"counterfact_model." + k: v
+                 for k, v in hf_opt.state_dict().items()}
+        cf_sd.update({"counterfact_model_proj_in." + k: v
+                      for k, v in cf_in.state_dict().items()})
+        cf_sd.update({"counterfact_model_proj_out." + k: v
+                      for k, v in cf_out.state_dict().items()})
+
+        cfg = S.SERACvlConfig(
+            llm_hidden_size=D, classifier_rep_dim=R,
+            counterfact_model_rep_dim=R,
+            classifier=bert_mod.BertConfig(
+                vocab_size=64, d_model=R, n_layers=2, n_heads=2, d_ffn=32,
+                max_positions=64),
+            counterfact=dec.DecoderConfig(
+                arch="opt", vocab_size=64, d_model=R, n_layers=2, n_heads=2,
+                d_ffn=32, max_positions=64, activation="relu",
+                tie_word_embeddings=True))
+        params = convert_serac_train_modules(
+            {"classifier": cl_sd, "counterfact_model": cf_sd}, cfg)
+
+        rng = np.random.default_rng(0)
+        embeds = rng.normal(size=(1, 10, D)).astype(np.float32)
+        mask = np.ones((1, 10), np.int32)
+        with torch.no_grad():
+            x = cl_proj(torch.tensor(embeds))
+            x = cl_ln(x) / 32
+            h = hf_bert(inputs_embeds=x,
+                        attention_mask=torch.tensor(mask)).last_hidden_state
+            ref = torch.cat([h.mean(1), h.max(1).values, h.min(1).values],
+                            1).numpy()
+        ours = S.classifier_reps(params, cfg, jnp.asarray(embeds),
+                                 jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4,
+                                   atol=2e-4)
+
+        # counterfactual hidden path: proj_in -> OPT decoder -> proj_out
+        with torch.no_grad():
+            y = cf_in(torch.tensor(embeds))
+            hh = hf_opt.model.decoder(
+                inputs_embeds=y,
+                attention_mask=torch.tensor(mask)).last_hidden_state
+            ref_out = cf_out(hh).numpy()
+        from devqa_tpu.editors.serac_vl import _resblock
+        yj = _resblock(params["counterfact"]["proj_in"], jnp.asarray(embeds))
+        hj = dec.decoder_forward(params["counterfact"]["lm"],
+                                 cfg.counterfact, yj, jnp.asarray(mask))
+        # HF's OPTDecoder applies the final layer norm to its last_hidden
+        from devqa_tpu.ops.layers import layer_norm as _lnorm
+        hj = _lnorm(hj, params["counterfact"]["lm"]["final_norm"]["scale"],
+                    params["counterfact"]["lm"]["final_norm"]["bias"])
+        out = _resblock(params["counterfact"]["proj_out"], hj)
+        np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4,
+                                   atol=2e-4)
