@@ -136,6 +136,23 @@ def convert_baichuan(sd: Mapping[str, Array], cfg: DecoderConfig,
     return convert_llama(expanded, cfg, prefix)
 
 
+def convert_glm(sd: Mapping[str, Array], cfg: DecoderConfig,
+                prefix: str = "model."):
+    """HF ``GlmForCausalLM`` (the ChatGLM/GLM-4 lineage) → llama-arch
+    params: identical to convert_llama except the MLP ships fused as
+    ``mlp.gate_up_proj.weight`` [2f, d] — first half gate, second half
+    up (GlmMLP chunks dim=-1 after the matmul, i.e. output rows). Uses
+    jnp slicing so the converter stays eval_shape-traceable for the
+    full-size dry test."""
+    expanded: Dict[str, Array] = dict(sd)
+    for i in range(cfg.n_layers):
+        p = f"{prefix}layers.{i}.mlp."
+        w = jnp.asarray(sd[p + "gate_up_proj.weight"])
+        expanded[p + "gate_proj.weight"] = w[: cfg.d_ffn]
+        expanded[p + "up_proj.weight"] = w[cfg.d_ffn:]
+    return convert_llama(expanded, cfg, prefix)
+
+
 def convert_gptj(sd: Mapping[str, Array], cfg: DecoderConfig,
                  prefix: str = "transformer."):
     """HF ``GPTJForCausalLM`` → decoder params (arch="gptj")."""

@@ -83,6 +83,9 @@ class DecoderConfig(BaseConfig):
     o_bias: bool = False     # llama-family o_proj bias (InternLM)
     rotary_dim: Optional[int] = None  # GPT-J partial interleaved rotary
     n_kv_heads: Optional[int] = None  # grouped-query attention (Llama-2/3)
+    # llama-family RoPE pairing: GLM rotates interleaved (even, odd) pairs
+    # over the first rotary_dim dims instead of the NeoX half-split.
+    rope_interleaved: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -155,6 +158,22 @@ def internlm_7b_config() -> DecoderConfig:
         n_heads=32, d_ffn=11008, activation="silu",
         tie_word_embeddings=False, norm_eps=1e-6, max_positions=2048,
         attn_bias=True, o_bias=True,
+    )
+
+
+def glm_4_9b_config() -> DecoderConfig:
+    """GLM-4-9b — the ChatGLM lineage the reference edits via
+    trust_remote_code (``easyeditor/editors/editor.py`` chatglm branches;
+    THUDM checkpoints). Modeled on the official HF port
+    (``GlmForCausalLM``): llama block with biased q/k/v, unbiased o,
+    2-head GQA, SwiGLU via fused gate_up (split at conversion), and
+    *partial interleaved* rotary over the first head_dim/2 dims."""
+    return DecoderConfig(
+        arch="llama", vocab_size=151552, d_model=4096, n_layers=40,
+        n_heads=32, n_kv_heads=2, d_ffn=13696, activation="silu",
+        tie_word_embeddings=False, norm_eps=1.5625e-07,
+        max_positions=8192, attn_bias=True, rope_interleaved=True,
+        rotary_dim=64,
     )
 
 
@@ -337,7 +356,11 @@ def _attn_block(p, cfg: DecoderConfig, h_norm, kv_valid, positions):
     v = _split_heads(linear(h_norm, p["v"]["w"], p["v"].get("b")),
                      cfg.kv_heads)
     if cfg.arch == "llama":
-        q, k = _rope(q, k, positions, cfg.rope_theta)
+        if cfg.rope_interleaved:  # GLM partial interleaved pairing
+            q, k = _rope_interleaved(q, k, positions, cfg.rope_theta,
+                                     cfg.rotary_dim or cfg.head_dim)
+        else:
+            q, k = _rope(q, k, positions, cfg.rope_theta)
     elif cfg.arch == "gptj":
         q, k = _rope_interleaved(q, k, positions, cfg.rope_theta,
                                  cfg.rotary_dim or cfg.head_dim)
@@ -596,7 +619,11 @@ def _qkv_heads(p, cfg: DecoderConfig, h_norm, positions):
     v = _split_heads(linear(h_norm, p["v"]["w"], p["v"].get("b")),
                      cfg.kv_heads)
     if cfg.arch == "llama":
-        q, k = _rope(q, k, positions, cfg.rope_theta)
+        if cfg.rope_interleaved:
+            q, k = _rope_interleaved(q, k, positions, cfg.rope_theta,
+                                     cfg.rotary_dim or cfg.head_dim)
+        else:
+            q, k = _rope(q, k, positions, cfg.rope_theta)
     # The KV cache stores full-head k/v (GQA heads broadcast here — a
     # memory/simplicity tradeoff at these short serving contexts).
     n_rep = cfg.n_heads // cfg.kv_heads

@@ -472,7 +472,12 @@ def _active_mesh():
     sharded flash path activates automatically under it.
     """
     try:
-        m = jax.interpreters.pxla.thread_resources.env.physical_mesh
+        from jax._src import mesh as _mesh_lib  # jax>=0.8 home of the
+        thread_resources = _mesh_lib.thread_resources  # context-mesh state
+    except Exception:  # older jax: public (since-deprecated) alias
+        thread_resources = jax.interpreters.pxla.thread_resources
+    try:
+        m = thread_resources.env.physical_mesh
         if m is not None and not m.empty:
             return m
     except Exception:

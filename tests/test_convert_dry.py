@@ -296,3 +296,29 @@ class TestFullSizeDry:
     def test_minigpt4_full(self):
         cfg = V.minigpt4_vicuna_7b_config()
         self._check(C.minigpt4_manifest(cfg), C.convert_minigpt4, cfg)
+
+    def test_glm_full(self):
+        """GLM-4-9b decoder layout (ChatGLM lineage, official HF port):
+        fused gate_up split + biased GQA projections at full size."""
+        import transformers
+        from accelerate import init_empty_weights
+
+        from devqa_tpu.core import decoder as dec
+
+        cfg = dec.glm_4_9b_config()
+        hf_cfg = transformers.GlmConfig(
+            vocab_size=151552, hidden_size=4096, intermediate_size=13696,
+            num_hidden_layers=40, num_attention_heads=32,
+            num_key_value_heads=2, head_dim=128, attention_bias=True,
+            partial_rotary_factor=0.5, tie_word_embeddings=False)
+        with init_empty_weights():
+            hf = transformers.GlmForCausalLM(hf_cfg)
+        manifest = self._hf_manifest(hf)
+        got = jax.eval_shape(lambda sd: C.convert_glm(sd, cfg), manifest)
+        want = jax.eval_shape(
+            lambda k: dec.init_decoder_params(cfg, k), jax.random.PRNGKey(0))
+        ga, ta = jax.tree_util.tree_flatten_with_path(tree_shapes(got))
+        wa, tb = jax.tree_util.tree_flatten_with_path(tree_shapes(want))
+        assert ta == tb
+        for (pa, a), (_, b) in zip(ga, wa):
+            assert a == b, (pa, a, b)

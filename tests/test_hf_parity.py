@@ -148,6 +148,35 @@ class TestDecoderParity:
                                  jnp.ones_like(jnp.asarray(ids)))
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
 
+    def test_glm(self):
+        """GLM-4 (the ChatGLM lineage; reference edits chatglm via
+        trust_remote_code) rides the llama block: pins biased-qkv GQA,
+        the fused gate_up split, and partial *interleaved* rotary."""
+        from transformers import GlmConfig, GlmForCausalLM
+
+        hf_cfg = GlmConfig(
+            vocab_size=64, hidden_size=16, intermediate_size=32,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=1, max_position_embeddings=64,
+            partial_rotary_factor=0.5, attention_bias=True, head_dim=8,
+            pad_token_id=0, tie_word_embeddings=False)
+        torch.manual_seed(6)
+        model = GlmForCausalLM(hf_cfg).eval()
+        cfg = dec.DecoderConfig(
+            arch="llama", vocab_size=64, d_model=16, n_layers=2, n_heads=2,
+            n_kv_heads=1, d_ffn=32, max_positions=64, activation="silu",
+            tie_word_embeddings=False, norm_eps=hf_cfg.rms_norm_eps,
+            attn_bias=True, rope_interleaved=True,
+            rotary_dim=hf_cfg.head_dim // 2)
+        params = convert_hf.convert_glm(torch_sd(model), cfg)
+        ids = np.array([[4, 22, 9, 51, 3, 17], [1, 2, 3, 4, 5, 6]])
+        with torch.no_grad():
+            ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+        h = dec.embed_tokens(params, cfg, jnp.asarray(ids))
+        ours = dec.decoder_apply(params, cfg, h,
+                                 jnp.ones_like(jnp.asarray(ids)))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
+
     def test_opt_right_padded(self, tiny_opt):
         """Right-padded batch rows must match their unpadded logits on the
         valid region (mask-derived positions)."""
