@@ -70,7 +70,9 @@ class LLMEditSession:
         self.algo_name = algo_name
 
     def _metrics(self, request: EditRequestText, params=None,
-                 loc_refs: Optional[Dict] = None) -> Dict:
+                 loc_refs: Optional[Dict] = None,
+                 test_generation: bool = False,
+                 max_out_len: int = 100) -> Dict:
         m: Dict = {}
         acc, _, _ = self.model.accuracy([request["prompt"]],
                                         [request["target_new"]], params)
@@ -101,24 +103,45 @@ class LLMEditSession:
                 acc, _, _ = self.model.accuracy(
                     [port["prompt"]], [port["ground_truth"]], params)
                 m["portability"][name + "_acc"] = float(acc[0])
+        if test_generation:
+            # the reference's test_generation flag (evaluate.py
+            # compute_edit_quality → test_generation_quality): greedy-
+            # extend the edit prompt and report n-gram-entropy fluency.
+            from ...eval.metrics import generation_quality
+
+            saved = self.model.params
+            if params is not None:
+                self.model.params = params
+            try:
+                m["fluency"] = generation_quality(
+                    self.model, [request["prompt"]], max_out_len=max_out_len)
+            finally:
+                self.model.params = saved
         return m
 
     def edit(self, requests: List[EditRequestText],
-             sequential: bool = False) -> List[Dict]:
+             sequential: bool = False,
+             test_generation: bool = False,
+             max_out_len: int = 100) -> List[Dict]:
         """→ per-request {'pre': metrics, 'post': metrics, 'edit_time'}.
 
         ``sequential=False`` restores the model between requests (the
-        EasyEdit ``keep_original_weight`` single-edit protocol)."""
+        EasyEdit ``keep_original_weight`` single-edit protocol).
+        ``test_generation`` adds the reference's n-gram-entropy fluency
+        block to both metric dicts."""
         results = []
         original = self.model.params
         for req in requests:
-            pre_raw = self._metrics(req)
+            pre_raw = self._metrics(req, test_generation=test_generation,
+                                    max_out_len=max_out_len)
             loc_refs = pre_raw.pop("locality", None)
             start = time.time()
             out = self.apply_algo(self.model, req)
             new_params, restore = out if isinstance(out, tuple) else (out, None)
             edit_time = time.time() - start
-            post = self._metrics(req, params=new_params, loc_refs=loc_refs)
+            post = self._metrics(req, params=new_params, loc_refs=loc_refs,
+                                 test_generation=test_generation,
+                                 max_out_len=max_out_len)
             pre = dict(pre_raw)
             results.append({"case": req.get("case_id"),
                             "pre": pre, "post": post,

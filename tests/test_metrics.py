@@ -199,6 +199,19 @@ class TestOrchestrators:
         assert 0 <= out["es"] <= 1
 
 
+class TestSessionFluency:
+    def test_edit_with_test_generation(self, model):
+        """BaseEditor's test_generation flag: fluency block in pre/post."""
+        from devqa_tpu.editors.llm import LLMEditSession
+
+        sess = LLMEditSession(model, lambda m, r: m.params, "null")
+        res = sess.edit([{"prompt": "the cat sat", "target_new": "down"}],
+                        test_generation=True, max_out_len=8)
+        for phase in ("pre", "post"):
+            assert "ngram_entropy" in res[0][phase]["fluency"]
+            assert np.isfinite(res[0][phase]["fluency"]["ngram_entropy"])
+
+
 class TestCKnowEdit:
     def test_bleu_identity_and_miss(self):
         assert abs(M.bleu("abcdef", "abcdef") - 1.0) < 1e-9
