@@ -7,3 +7,4 @@ from .grace import GRACEHyperParams, GraceEditor  # noqa: F401
 from .lora import LoRAHyperParams, apply_lora  # noqa: F401
 from .ft import FTHyperParams, apply_ft  # noqa: F401
 from .ft_api import FTApiHyperParams, apply_ft_api  # noqa: F401
+from .oracle import OracleHyperParams, oracle_rank1_ttt  # noqa: F401

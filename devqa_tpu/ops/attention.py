@@ -499,9 +499,9 @@ def _sharded_flash(q, k, v, kv_valid, causal, mesh):
     from jax.sharding import PartitionSpec as P
 
     try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
         from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     spec = P("dp", "tp", None, None)
     kw = dict(mesh=mesh, in_specs=(spec, spec, spec, P("dp", None)),
               out_specs=spec)

@@ -169,3 +169,48 @@ class TestKN:
         l, j = neurons[0]
         # at least one selected row zeroed
         assert (np.abs(w[l, j]).sum() == 0) or True
+
+
+class TestOracle:
+    def test_rank1_ttt(self, model):
+        """oracle.py:9-110 rank-1 TTT: jitted while-loop optimization,
+        early exit on acc==1, held-out retention bookkeeping."""
+        from devqa_tpu.editors.llm.oracle import (OracleHyperParams,
+                                                  oracle_history,
+                                                  oracle_rank1_ttt)
+
+        hp = OracleHyperParams(layers=(4,), module="fc2", lr=2.0,
+                               max_it=40, n_train_loc=3)
+        req = {"prompt": "the sky today is", "target_new": "green"}
+        locp = ["cats chase %s" % w for w in
+                ("mice", "birds", "yarn", "dots", "ants")]
+        loca = ["yes"] * len(locp)
+        new, info = oracle_rank1_ttt(model, req, locp, loca, hp, seed=0)
+        assert set(info) == {"success", "iters", "acc", "retention"}
+        assert 0 < info["iters"] <= hp.max_it
+        assert 0.0 <= info["acc"] <= 1.0
+        assert info["success"] == (info["acc"] >= 1.0)
+        # rank-1 residual landed on the target weight only
+        w0 = np.asarray(get_target(model.params,
+                                   ParamTarget(("layers", "fc2", "w"), 4)))
+        w1 = np.asarray(get_target(new, ParamTarget(("layers", "fc2", "w"), 4)))
+        assert not np.allclose(w0, w1)
+        other0 = np.asarray(get_target(model.params,
+                                       ParamTarget(("layers", "fc2", "w"), 2)))
+        other1 = np.asarray(get_target(new, ParamTarget(("layers", "fc2", "w"), 2)))
+        assert np.array_equal(other0, other1)
+        # held-out rows exist (5 loc - 3 train) → retention is a real agreement
+        assert 0.0 <= info["retention"] <= 1.0
+
+    def test_history_driver(self, model):
+        from devqa_tpu.editors.llm.oracle import (OracleHyperParams,
+                                                  oracle_history)
+
+        hp = OracleHyperParams(layers=(4,), module="fc2", lr=2.0,
+                               max_it=5, n_train_loc=2)
+        reqs = [{"prompt": "a b c", "target_new": "d"},
+                {"prompt": "e f g", "target_new": "h"}]
+        rate, hist = oracle_history(model, reqs, ["x y z"], ["w"], hp)
+        assert len(hist) == 2 and 0.0 <= rate <= 1.0
+        # no held-out rows (1 loc prompt <= n_train_loc) → retention NaN
+        assert np.isnan(hist[0]["retention"])
