@@ -110,6 +110,14 @@ class EditorTrainer:
         self.logger = ScalarLogger(os.path.join(self.records_dir, "logs"))
         self.log_per_i = log_per_i
         self.ema_alpha = ema_alpha
+        # Snapshot the editor config into the run dir (the reference
+        # writes records/<...>/config.yaml at train_init, base.py:161-175)
+        ecfg = getattr(editor, "cfg", None)
+        if ecfg is not None and hasattr(ecfg, "to_dict"):
+            import yaml
+
+            with open(os.path.join(self.records_dir, "config.yaml"), "w") as f:
+                yaml.safe_dump(ecfg.to_dict(), f, sort_keys=False)
 
         if load_ckpt_path:
             self.load_ckpt(load_ckpt_path)

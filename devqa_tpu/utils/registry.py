@@ -22,6 +22,11 @@ MODEL_NAME_MAP = {
     "mplug-owl2-llama2-7b": "mplug-owl2-llama2-7b",
     "qwen-vl": "qwen-vl",
     "qwenvl": "qwen-vl",
+    # CPU-sized backbones for smoke tests and CLI dry runs (-mn tiny
+    # exercises the full evaluate/train path in seconds, no checkpoint)
+    "tiny": "tiny-opt",
+    "tiny-opt": "tiny-opt",
+    "tiny-llama": "tiny-llama",
 }
 
 EDITOR_NAMES = ("null", "ike", "ft_vl", "liveedit", "mend_vl", "serac_vl",
@@ -45,6 +50,8 @@ def model_config(full_name: str):
         "minigpt-4-vicuna-7b": V.minigpt4_vicuna_7b_config,
         "mplug-owl2-llama2-7b": V.mplug_owl2_llama2_7b_config,
         "qwen-vl": V.qwen_vl_7b_config,
+        "tiny-opt": lambda: V.tiny_vllm_config("opt"),
+        "tiny-llama": lambda: V.tiny_vllm_config("llama"),
     }[full_name]()
 
 
