@@ -43,6 +43,46 @@ class TrainableEditor(Protocol):
 
     def set_train_state(self, state: Dict) -> None: ...
 
+    def val_step(self, batch) -> Tuple[float, Dict[str, float]]:
+        """Loss on a batch WITHOUT changing trainable state. Editors get
+        this for free from functional updates: snapshot the state pytree
+        (reference sharing — no copy), run ``train_step``, restore."""
+
+
+def default_val_step(editor: TrainableEditor, batch):
+    state = editor.get_train_state()
+    try:
+        return editor.train_step(batch)
+    finally:
+        editor.set_train_state(state)
+
+
+class EarlyStopper:
+    """Patience-gated best tracking (``easyeditor/trainer/utils.py:192-217``
+    EarlyStopper): keys containing 'acc' are higher-better, everything
+    else lower-better; stops after ``patience`` steps without a best."""
+
+    def __init__(self, patience: int, key: str = "loss"):
+        self.key = key
+        self.patience = patience
+        self.higher_better = "acc" in key
+        self.best_value = -float("inf") if self.higher_better else float("inf")
+        self.best_iter = 0
+        self.current_iter = 0
+
+    def update(self, idx: int, stats: Dict[str, float]) -> bool:
+        assert self.key in stats, (self.key, sorted(stats))
+        v = stats[self.key]
+        new_best = v > self.best_value if self.higher_better \
+            else v < self.best_value
+        if new_best:
+            self.best_value, self.best_iter = v, idx
+        self.current_iter = idx
+        return new_best
+
+    def should_stop(self) -> bool:
+        return self.current_iter - self.best_iter >= self.patience
+
 
 class ScalarLogger:
     """JSONL scalar logs + optional TensorBoard (matching the reference's
@@ -87,7 +127,19 @@ class EditorTrainer:
         ema_alpha: float = 0.1,
         random_seed: Optional[int] = None,
         data_buffer_size: int = 8,
+        val_data: Optional[BaseVLLMEditData] = None,
+        val_interval: int = 100,
+        val_steps: Optional[int] = None,
+        early_stop_patience: Optional[int] = None,
+        early_stop_key: str = "loss",
     ):
+        """``val_data`` switches best-checkpoint selection from EMA train
+        loss (the LiveEdit-stack rule, base.py:207-220) to validation-
+        metric early stopping (the EasyEdit BaseTrainer rule,
+        BaseTrainer.py:148-193): every ``val_interval`` steps run up to
+        ``val_steps`` validation batches; a new best ``early_stop_key``
+        saves "Best"; no best for ``early_stop_patience`` steps stops
+        training."""
         self.editor = editor
         self.batch_size = batch_size
         if random_seed is None:
@@ -119,11 +171,40 @@ class EditorTrainer:
             with open(os.path.join(self.records_dir, "config.yaml"), "w") as f:
                 yaml.safe_dump(ecfg.to_dict(), f, sort_keys=False)
 
+        self.val_cases = list(val_data.data) if val_data is not None else None
+        self.val_interval = val_interval
+        self.val_steps = val_steps
+        # With val data but no patience, the stopper still tracks the
+        # best-val checkpoint (it just never fires the stop).
+        self.stopper = (EarlyStopper(early_stop_patience
+                                     if early_stop_patience is not None
+                                     else (1 << 62), early_stop_key)
+                        if val_data is not None else None)
+
         if load_ckpt_path:
             self.load_ckpt(load_ckpt_path)
         else:
             editor.train_init_editor(random_seed)
             self.train_i, self.train_epoch, self.ema_loss = 1, 1, None
+
+    def validate(self, steps: Optional[int] = None) -> Dict[str, float]:
+        """Mean loss/logs over up to ``steps`` validation batches
+        (BaseTrainer.validate role) — trainable state unchanged."""
+        vs = getattr(self.editor, "val_step", None) or \
+            (lambda b: default_val_step(self.editor, b))
+        sums: Dict[str, float] = {}
+        n = 0
+        for lo in range(0, len(self.val_cases), self.batch_size):
+            if steps is not None and n >= steps:
+                break
+            batch = self.editor.organize_batch_data(
+                self.val_cases[lo:lo + self.batch_size])
+            loss, logs = vs(batch)
+            sums["loss"] = sums.get("loss", 0.0) + float(loss)
+            for k, v in logs.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
 
     def train(self, total_epochs: int, max_steps: Optional[int] = None):
         best_ema = float("inf")
@@ -140,7 +221,18 @@ class EditorTrainer:
                 logs["Epoch"] = self.train_epoch
                 if self.train_i % self.log_per_i == 0:
                     self.logger.log(self.train_i, logs)
-                if self.ema_loss < best_ema:
+                if self.val_cases is not None \
+                        and self.train_i % self.val_interval == 0:
+                    val_info = self.validate(self.val_steps)
+                    self.logger.log(self.train_i,
+                                    {"val_" + k: v
+                                     for k, v in val_info.items()})
+                    if self.stopper is not None:
+                        if self.stopper.update(self.train_i, val_info):
+                            self.save_ckpt()
+                        if self.stopper.should_stop():
+                            return
+                elif self.val_cases is None and self.ema_loss < best_ema:
                     best_ema = self.ema_loss
                     self.save_ckpt()
                 self.train_i += 1

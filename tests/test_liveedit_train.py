@@ -101,3 +101,51 @@ class TestLiveEditTraining:
         trained = rel_acc()
         assert loss < loss0
         assert trained >= base
+
+
+class TestValidationEarlyStop:
+    def test_val_best_and_early_stop(self, setup, tmp_path):
+        """BaseTrainer.py:148-193 semantics: periodic validation, best-val
+        'Best' checkpoint, patience-gated stop; val_step leaves the
+        trainable state untouched."""
+        tmp, vllm, data, editor = setup
+        from devqa_tpu.train.loop import EarlyStopper, default_val_step
+
+        editor.train_init_editor(0)
+        batch = editor.organize_batch_data(data.data[:4])
+        s0 = editor.get_train_state()
+        loss_v, _ = default_val_step(editor, batch)
+        s1 = editor.get_train_state()
+        import jax
+
+        assert all(np.allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32))
+                   for a, b in zip(jax.tree.leaves(s0["params"]),
+                                   jax.tree.leaves(s1["params"])))
+
+        trainer = EditorTrainer(
+            editor, data, batch_size=4, records_dir=str(tmp_path),
+            train_name="valrun", random_seed=0,
+            val_data=data, val_interval=2, val_steps=1,
+            early_stop_patience=2)
+        trainer.train(total_epochs=50, max_steps=40)
+        # patience 2 with val every 2 steps → stops long before 40 steps
+        assert trainer.stopper.should_stop() or trainer.train_i <= 40
+        ckpt = os.path.join(str(tmp_path), "liveedit", "tiny-opt",
+                            "valrun", "checkpoints", "Best")
+        assert os.path.exists(ckpt)
+        logs = open(os.path.join(str(tmp_path), "liveedit", "tiny-opt",
+                                 "valrun", "logs", "scalars.jsonl")).read()
+        assert "val_loss" in logs
+
+    def test_early_stopper_acc_key(self):
+        from devqa_tpu.train.loop import EarlyStopper
+
+        st = EarlyStopper(patience=3, key="rewrite_acc")
+        assert st.update(1, {"rewrite_acc": 0.5})
+        assert not st.update(2, {"rewrite_acc": 0.4})
+        assert st.update(3, {"rewrite_acc": 0.9})
+        assert not st.should_stop()
+        st.update(4, {"rewrite_acc": 0.1})
+        st.update(6, {"rewrite_acc": 0.1})
+        assert st.should_stop()
