@@ -27,6 +27,13 @@ def get_args():
     p.add_argument("-wd", "--weights_dir", type=str, default=None)
     p.add_argument("-cfgs", "--configs_dir", type=str, default="configs")
     p.add_argument("-rec", "--records_dir", type=str, default="records")
+    p.add_argument("-vdp", "--val_data_path", type=str, default=None,
+                   help="validation dataset JSON -> periodic validation "
+                        "with best-val checkpointing (BaseTrainer.py:148)")
+    p.add_argument("-vi", "--val_interval", type=int, default=100)
+    p.add_argument("-vs", "--val_steps", type=int, default=None)
+    p.add_argument("-esp", "--early_stop_patience", type=int, default=None)
+    p.add_argument("-esk", "--early_stop_key", type=str, default="loss")
     p.add_argument("-rt", "--retrieval", type=str, default="hash",
                    choices=["hash", "minilm"])
     p.add_argument("-red", "--retrieval_encoder_dir", type=str, default=None)
@@ -55,13 +62,21 @@ def main():
         "eval", "train")
     data = data_cls(data_path, args.img_root_dir, retriever=retriever,
                     data_n=args.data_sample_n, encoder=encoder)
+    val_data = None
+    if args.val_data_path:
+        val_data = data_cls(args.val_data_path, args.img_root_dir,
+                            retriever=retriever, encoder=encoder)
     name = (args.train_name_prefix + "-" if args.train_name_prefix else "") \
         + args.data_name + "-" + time.strftime("%Y.%m.%d-%H.%M.%S")
     trainer = EditorTrainer(
         editor, data, args.batch_size, records_dir=args.records_dir,
         train_name=name, load_ckpt_path=args.load_ckpt_path,
         ema_alpha=args.ema_alpha, random_seed=args.seed,
-        data_buffer_size=args.data_buffer_size)
+        data_buffer_size=args.data_buffer_size,
+        val_data=val_data, val_interval=args.val_interval,
+        val_steps=args.val_steps,
+        early_stop_patience=args.early_stop_patience,
+        early_stop_key=args.early_stop_key)
     trainer.train(args.epochs)
 
 
