@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core import decoder as dec
-from ...core.losses import label_loss, token_accuracy
+from ...core.losses import label_loss, logit_kl_loss, token_accuracy
 from ...utils.config import BaseConfig
 from ...utils.surgery import ParamTarget, add_to_target, get_target
 from .session import TextModel
@@ -39,16 +39,6 @@ class OracleHyperParams(BaseConfig):
     max_it: int = 1000         # oracle.py:44 iteration cap
     init_std: float = 0.01     # oracle.py:22 u/v init scale
     n_train_loc: int = 10      # oracle.py:36-37 held-in/held-out split
-
-
-def _kl_full(p_logits, q_logits, mask):
-    """KL(P‖Q) per position, masked mean (evaluate_utils.py kl_loc_loss
-    role: full-vocab distribution drift on locality rows)."""
-    p = jax.nn.log_softmax(p_logits.astype(jnp.float32), -1)
-    q = jax.nn.log_softmax(q_logits.astype(jnp.float32), -1)
-    kl = (jnp.exp(p) * (p - q)).sum(-1)
-    m = mask.astype(jnp.float32)
-    return (kl * m).sum() / jnp.maximum(m.sum(), 1.0)
 
 
 def oracle_rank1_ttt(model: TextModel, request: Dict,
@@ -100,7 +90,9 @@ def oracle_rank1_ttt(model: TextModel, request: Dict,
 
         def loss_fn(uv):
             p = edited(params, uv)
-            loc_kl = _kl_full(orig_tr, fwd(p, t_ids, t_mask), t_mask)
+            # kl_loc_loss role (evaluate_utils.py:474): full-vocab drift
+            # on every valid locality position, so the mask is attn_mask
+            loc_kl = logit_kl_loss(orig_tr, fwd(p, t_ids, t_mask), t_mask)
             e_logits = fwd(p, e_ids, e_mask)
             nll = label_loss(e_logits, e_lab, e_lm)
             accs, _ = token_accuracy(e_logits, e_lab, e_lm)
@@ -111,22 +103,26 @@ def oracle_rank1_ttt(model: TextModel, request: Dict,
             return (acc < 1.0) & (it < hparams.max_it)
 
         def body(carry):
+            # One fused fwd+bwd per iteration: acc is measured at the
+            # CURRENT uv (the reference's measure-then-step order,
+            # oracle.py:44-100) and carried into the next cond check; the
+            # returned uv is thus stepped once past the converged point,
+            # exactly like the reference's post-measure res_opt.step().
             uv, it, _ = carry
             (_, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(uv)
-            # the reference checks acc BEFORE the step (oracle.py:44) —
-            # stepping after measuring keeps that order: a converged uv
-            # is returned unstepped on the next cond check only if acc
-            # was already 1 at entry, so measure on the stepped uv too.
             uv = jax.tree_util.tree_map(
                 lambda x, gx: x - hparams.lr * gx, uv, g)
-            _, acc = loss_fn(uv)
             return uv, it + 1, acc
 
-        _, acc0 = loss_fn(uv0)
-        uv, iters, acc = jax.lax.while_loop(cond, body, (uv0, 0, acc0))
-        return uv, iters, acc
+        uv, iters, fit_acc = jax.lax.while_loop(
+            cond, body, (uv0, 0, jnp.float32(0.0)))
+        # fit_acc drives success (the reference's loop-exit bookkeeping,
+        # oracle.py:104-107); acc re-measures the RETURNED uv so info
+        # also matches edited_params.
+        _, acc = loss_fn(uv)
+        return uv, iters, fit_acc, acc
 
-    uv, iters, acc = run(model.params, uv0)
+    uv, iters, fit_acc, acc = run(model.params, uv0)
     edited_params = edited(model.params, uv)
 
     retention = float("nan")
@@ -140,9 +136,8 @@ def oracle_rank1_ttt(model: TextModel, request: Dict,
         m = np.asarray(tb_val.attn_mask, np.float32)
         retention = float(((orig == post) * m).sum() / max(m.sum(), 1.0))
 
-    acc = float(acc)
-    info = {"success": acc >= 1.0, "iters": int(iters), "acc": acc,
-            "retention": retention}
+    info = {"success": float(fit_acc) >= 1.0, "iters": int(iters),
+            "acc": float(acc), "retention": retention}
     return edited_params, info
 
 

@@ -219,9 +219,10 @@ def ood_ppl(model, prompt: Union[str, Sequence[str]],
     # Documented divergence: the reference zero-fills padded positions and
     # then counts them as "below threshold" in BOTH numerator and
     # denominator (:301-312, 0.0 < -log(0.8)) — a padding artifact. We
-    # count real tokens in the numerator; identical for unpadded batches
-    # (the reference's actual call shape is a single prompt).
-    return float(((nll < thr) & valid).sum() / nll.size)
+    # score real tokens only, in both numerator and denominator (this
+    # stack always bucket-pads, so dividing by nll.size would deflate
+    # the fraction by the padding ratio).
+    return float(((nll < thr) & valid).sum() / max(valid.sum(), 1))
 
 
 # --------------------------------------------------------------------
@@ -326,8 +327,11 @@ def compute_concept_edit_quality(model, record: Dict, P: Optional[str] = None,
                                    [loc["ground_truth"]])
         ret["locality"][key + "_acc"] = float(acc[0])
     ret["instance"] = {}
+    # Documented divergence: the reference writes every probe to the one
+    # key 'instance_change' (concept_evaluate.py:77-80), so multi-probe
+    # records silently keep only the last; keying per probe preserves all.
     for key, inst in (record.get("instance") or {}).items():
-        ret["instance"]["instance_change"] = instance_change(
+        ret["instance"][key + "_change"] = instance_change(
             model, inst["prompt"], P=P)
     return ret
 

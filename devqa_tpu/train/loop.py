@@ -51,10 +51,18 @@ class TrainableEditor(Protocol):
 
 def default_val_step(editor: TrainableEditor, batch):
     state = editor.get_train_state()
+    # Also pin any host RNG streams the step consumes (get_train_state
+    # captures device pytrees only): validation must not perturb the
+    # seeded training trajectory.
+    rngs = {n: getattr(editor, n).bit_generator.state
+            for n in ("_rng_data", "_rng_train")
+            if isinstance(getattr(editor, n, None), np.random.Generator)}
     try:
         return editor.train_step(batch)
     finally:
         editor.set_train_state(state)
+        for n, s in rngs.items():
+            getattr(editor, n).bit_generator.state = s
 
 
 class EarlyStopper:
@@ -192,13 +200,21 @@ class EditorTrainer:
         (BaseTrainer.validate role) — trainable state unchanged."""
         vs = getattr(self.editor, "val_step", None) or \
             (lambda b: default_val_step(self.editor, b))
+        # Full batches only — a ragged tail would compile a second
+        # train-step program shape (30-90s on remote-compile runtimes);
+        # fewer cases than batch_size cycle to fill one batch.
+        cases = self.val_cases
+        if len(cases) < self.batch_size:
+            cases = (cases * self.batch_size)[:self.batch_size]
+        n_full = len(cases) // self.batch_size
         sums: Dict[str, float] = {}
         n = 0
-        for lo in range(0, len(self.val_cases), self.batch_size):
+        for bi in range(n_full):
             if steps is not None and n >= steps:
                 break
+            lo = bi * self.batch_size
             batch = self.editor.organize_batch_data(
-                self.val_cases[lo:lo + self.batch_size])
+                cases[lo:lo + self.batch_size])
             loss, logs = vs(batch)
             sums["loss"] = sums.get("loss", 0.0) + float(loss)
             for k, v in logs.items():
@@ -237,7 +253,19 @@ class EditorTrainer:
                     self.save_ckpt()
                 self.train_i += 1
                 if max_steps is not None and self.train_i > max_steps:
+                    self._final_val_save()
                     return
+        self._final_val_save()
+
+    def _final_val_save(self):
+        """Runs shorter than val_interval would otherwise end with no
+        validation and no 'Best' checkpoint at all."""
+        if self.stopper is not None and self.stopper.best_iter == 0:
+            val_info = self.validate(self.val_steps)
+            self.logger.log(self.train_i,
+                            {"val_" + k: v for k, v in val_info.items()})
+            if self.stopper.update(self.train_i, val_info):
+                self.save_ckpt()
 
     # ------------------------------------------------------------------
 
