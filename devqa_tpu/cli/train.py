@@ -27,6 +27,10 @@ def get_args():
     p.add_argument("-wd", "--weights_dir", type=str, default=None)
     p.add_argument("-cfgs", "--configs_dir", type=str, default="configs")
     p.add_argument("-rec", "--records_dir", type=str, default="records")
+    p.add_argument("-aug", "--augment", action="store_true",
+                   help="BLIP train-processor augmentation (RandomResized"
+                        "Crop + flip + RandAugment N=2 M=5), refreshed "
+                        "per epoch")
     p.add_argument("-vdp", "--val_data_path", type=str, default=None,
                    help="validation dataset JSON -> periodic validation "
                         "with best-val checkpointing (BaseTrainer.py:148)")
@@ -56,6 +60,13 @@ def main():
         args.editor_name.lower(), full, weights_dir=args.weights_dir,
         configs_dir=args.configs_dir, for_train=True,
         sentence_encoder=encoder)
+    if args.augment:
+        from ..data.augment import AugmentingImageProvider
+
+        vllm = editor.vllm
+        vllm.image_provider = AugmentingImageProvider(
+            vllm.image_provider, vllm.cfg.vit.image_size,
+            seed=args.seed or 0)
     data_cls = {"EVQA": schema.EVQA, "EIC": schema.EIC,
                 "VLKEB": schema.VLKEB}[args.data_name]
     data_path = args.data_path or DEFAULT_DATA[args.data_name].replace(

@@ -226,6 +226,14 @@ class EditorTrainer:
         best_ema = float("inf")
         start_epoch = self.train_epoch
         for self.train_epoch in range(start_epoch, total_epochs + 1):
+            # Per-epoch augmentation refresh (the torch DataLoader
+            # re-processes every image each epoch): reseed the augmenting
+            # provider and drop the now-stale vision cache.
+            vllm = getattr(self.editor, "vllm", None)
+            prov = getattr(vllm, "image_provider", None)
+            if prov is not None and hasattr(prov, "reseed"):
+                prov.reseed(self.train_epoch)
+                vllm.clear_image_cache()
             for batch, samp_n in self.data_generator:
                 loss, logs = self.editor.train_step(batch)
                 self.ema_loss = (loss if self.ema_loss is None else
