@@ -37,7 +37,7 @@ class _Request:
 
 class BatchingEngine:
     def __init__(self, vllm, n_slots: int = 4, max_len: int = 160,
-                 poll_s: float = 0.002):
+                 poll_s: float = 0.002, steps_per_dispatch: int = 1):
         if vllm.cfg.decoder.arch not in ("opt", "llama"):
             raise NotImplementedError(
                 "continuous batching needs the KV-cache decode path")
@@ -45,6 +45,14 @@ class BatchingEngine:
         self.n_slots = n_slots
         self.max_len = max_len
         self.poll_s = poll_s
+        # K decode steps per device dispatch (lax.scan): on remote-
+        # dispatch runtimes (~20ms/call over the tunnel) this amortizes
+        # dispatch latency K-fold. Token streams are identical to K=1 —
+        # tokens a row generates past its EOS/budget inside a scan are
+        # discarded on the host, and a retired slot's cache is fully
+        # overwritten at the next admit. Tradeoff: admission latency for
+        # queued requests grows by up to K-1 tokens.
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
         dcfg = vllm.cfg.decoder
         dtype = vllm.params["decoder"]["embed_tokens"].dtype
         self._cache = dec.init_kv_cache(dcfg, n_slots, max_len, dtype)
@@ -60,38 +68,54 @@ class BatchingEngine:
     # ---------------- device programs ----------------
 
     def _decode_fn(self, params, cache, tokens, active):
-        """One batched decode step; inactive rows keep their cache."""
-        temb = params["decoder"]["embed_tokens"][tokens]
-        logits, new_cache = dec.decoder_decode_step(
-            params["decoder"], self.vllm.cfg.decoder, cache, temb)
-        keep = active[:, None].astype(jnp.int32)
-        cache = {
-            "k": jnp.where(active[None, :, None, None, None],
-                           new_cache["k"], cache["k"]),
-            "v": jnp.where(active[None, :, None, None, None],
-                           new_cache["v"], cache["v"]),
-            "valid": new_cache["valid"] * keep + cache["valid"] * (1 - keep),
-        }
-        return jnp.argmax(logits, -1), cache
+        """K batched decode steps in ONE program (lax.scan); inactive
+        rows keep their cache. Returns [K, n_slots] greedy tokens."""
 
-    def _scatter_fn(self, cache, row_cache, slot):
-        """Install a prefilled [*, 1, ...] row cache into slot ``slot``."""
+        def step(carry, _):
+            toks, cache = carry
+            temb = params["decoder"]["embed_tokens"][toks]
+            logits, new_cache = dec.decoder_decode_step(
+                params["decoder"], self.vllm.cfg.decoder, cache, temb)
+            keep = active[:, None].astype(jnp.int32)
+            cache = {
+                "k": jnp.where(active[None, :, None, None, None],
+                               new_cache["k"], cache["k"]),
+                "v": jnp.where(active[None, :, None, None, None],
+                               new_cache["v"], cache["v"]),
+                "valid": new_cache["valid"] * keep
+                + cache["valid"] * (1 - keep),
+            }
+            nt = jnp.argmax(logits, -1)
+            return (nt, cache), nt
+
+        (_, cache), outs = jax.lax.scan(
+            step, (tokens, cache), None, length=self.steps_per_dispatch)
+        return outs, cache
+
+    def _scatter_fn(self, cache, row_cache, sel):
+        """Install prefilled row caches into slots in ONE cache rewrite.
+
+        ``row_cache`` is a [*, B, ...] prefill batch; ``sel`` is
+        [n_slots] int32 mapping each slot to its source row (−1 = keep
+        the slot's existing cache). A gather + one full-size ``where``
+        per tensor installs any number of admitted rows at the cost of a
+        single rewrite (the per-request dynamic_update_slice chain paid
+        one full rewrite per admission)."""
         L = row_cache["valid"].shape[1]
-        k = jax.lax.dynamic_update_slice(
-            cache["k"],
-            jnp.pad(row_cache["k"].astype(cache["k"].dtype),
-                    ((0, 0), (0, 0), (0, 0), (0, self.max_len - L), (0, 0))),
-            (0, slot, 0, 0, 0))
-        v = jax.lax.dynamic_update_slice(
-            cache["v"],
-            jnp.pad(row_cache["v"].astype(cache["v"].dtype),
-                    ((0, 0), (0, 0), (0, 0), (0, self.max_len - L), (0, 0))),
-            (0, slot, 0, 0, 0))
-        valid = jax.lax.dynamic_update_slice(
-            cache["valid"],
-            jnp.pad(row_cache["valid"], ((0, 0), (0, self.max_len - L))),
-            (slot, 0))
-        return {"k": k, "v": v, "valid": valid}
+        kk = jnp.pad(row_cache["k"].astype(cache["k"].dtype),
+                     ((0, 0), (0, 0), (0, 0), (0, self.max_len - L), (0, 0)))
+        vv = jnp.pad(row_cache["v"].astype(cache["v"].dtype),
+                     ((0, 0), (0, 0), (0, 0), (0, self.max_len - L), (0, 0)))
+        val = jnp.pad(row_cache["valid"], ((0, 0), (0, self.max_len - L)))
+        selc = jnp.clip(sel, 0, None)
+        m = sel >= 0
+        return {
+            "k": jnp.where(m[None, :, None, None, None],
+                           kk[:, selc], cache["k"]),
+            "v": jnp.where(m[None, :, None, None, None],
+                           vv[:, selc], cache["v"]),
+            "valid": jnp.where(m[:, None], val[selc], cache["valid"]),
+        }
 
     # ---------------- host loop ----------------
 
@@ -109,34 +133,57 @@ class BatchingEngine:
         return req.text
 
     def _admit(self, tokens):
+        """Admit queued requests into free slots — BATCHED: one padded
+        encode + one prefill + one multi-row scatter for the whole wave
+        (per-request admission pays a device round-trip each; on remote-
+        dispatch runtimes admission dominated serving cost)."""
         vllm = self.vllm
-        while True:
+        free = [i for i, r in enumerate(self._slots) if r is None]
+        if not free:
+            return tokens
+        reqs = []
+        while len(reqs) < len(free):
             try:
-                free = self._slots.index(None)
-            except ValueError:
-                return tokens
-            try:
-                req = self._queue.get_nowait()
+                reqs.append(self._queue.get_nowait())
             except queue.Empty:
-                return tokens
-            qb = vllm.encode_queries([req.prompt], [req.image], [""])
-            L = qb.embeds.shape[1]
-            if L > self.max_len - req.max_new_tokens:
+                break
+        if not reqs:
+            return tokens
+        # Two fixed batch widths (1 for the steady-state dribble of
+        # single admissions, n_slots for bursts, padded by repeating row
+        # 0): one dispatch per admission wave either way, and the
+        # dribble path doesn't pay n_slots× prefill compute. O(1)
+        # compiled programs per sequence-length bucket (2).
+        width = 1 if len(reqs) == 1 else self.n_slots
+        pad = width - len(reqs)
+        qb = vllm.encode_queries(
+            [r.prompt for r in reqs] + [reqs[0].prompt] * pad,
+            [r.image for r in reqs] + [reqs[0].image] * pad,
+            [""] * width)
+        L = qb.embeds.shape[1]
+        logits, row_cache = vllm.prefill(qb.embeds, qb.kv_valid, max_len=L)
+        logits = np.asarray(logits)
+        kv_rows = np.asarray(qb.kv_valid)
+        V, p = vllm.cfg.n_img_tokens, vllm.cfg.img_slot_pos
+        sel = np.full(self.n_slots, -1, np.int32)
+        for j, req in enumerate(reqs):
+            real_len = int(kv_rows[j].sum())
+            if L > self.max_len or \
+                    real_len > self.max_len - req.max_new_tokens:
                 req.text = ""
                 req.done.set()
                 continue
-            logits, row_cache = vllm.prefill(qb.embeds, qb.kv_valid,
-                                             max_len=L)
-            V, p = vllm.cfg.n_img_tokens, vllm.cfg.img_slot_pos
-            li = int(qb.prompt_lens[0]) - 1
+            li = int(qb.prompt_lens[j]) - 1
             pos = li + V if li >= p else li
-            first = int(np.argmax(np.asarray(logits)[0, pos]))
+            slot = free.pop(0)
+            sel[slot] = j
+            self._slots[slot] = req
+            self._out_ids[slot] = []
+            self._budget[slot] = req.max_new_tokens
+            tokens[slot] = int(np.argmax(logits[j, pos]))
+        if (sel >= 0).any():
             self._cache = self._scatter(self._cache, row_cache,
-                                        jnp.int32(free))
-            self._slots[free] = req
-            self._out_ids[free] = []
-            self._budget[free] = req.max_new_tokens
-            tokens[free] = first
+                                        jnp.asarray(sel))
         return tokens
 
     def _finish(self, slot):
@@ -172,13 +219,27 @@ class BatchingEngine:
             active = np.array([r is not None for r in self._slots], bool)
             if not active.any():
                 continue
-            new_tokens, self._cache = self._decode(
+            outs, self._cache = self._decode(
                 self.vllm.params, self._cache, jnp.asarray(tokens),
                 jnp.asarray(active))
-            nt = np.asarray(new_tokens)
+            outs = np.asarray(outs)  # [K, n_slots]
+            # Commit the first K-1 tokens inline (stop/budget checked per
+            # token; rows finishing mid-scan stop committing — their
+            # later scan tokens are overrun and discarded). The last
+            # token stays pending for the loop-top commit, so K=1
+            # reproduces the original single-step behavior exactly.
+            for k in range(outs.shape[0] - 1):
+                for i in range(self.n_slots):
+                    if active[i] and self._slots[i] is not None:
+                        t = int(outs[k, i])
+                        if t in stop_ids or self._budget[i] <= 0:
+                            self._finish(i)
+                        else:
+                            self._out_ids[i].append(t)
+                            self._budget[i] -= 1
             for i in range(self.n_slots):
-                if active[i]:
-                    tokens[i] = nt[i]
+                if active[i] and self._slots[i] is not None:
+                    tokens[i] = outs[-1, i]
 
     def start(self):
         self._thread = threading.Thread(target=self._loop, daemon=True)

@@ -28,7 +28,7 @@ import numpy as np
 class ModelWorker:
     def __init__(self, vllm, editor=None, name: str = "worker",
                  batching: bool = False, n_slots: int = 4,
-                 max_len: int = 160):
+                 max_len: int = 160, steps_per_dispatch: int = 1):
         """``batching=True`` (editor-less, cacheable arch) serves
         /generate through a continuous-batching engine (serve/engine.py):
         concurrent requests share decode slots instead of serializing on
@@ -42,8 +42,9 @@ class ModelWorker:
         if batching and editor is None:
             from .engine import BatchingEngine
 
-            self._engine = BatchingEngine(vllm, n_slots=n_slots,
-                                          max_len=max_len).start()
+            self._engine = BatchingEngine(
+                vllm, n_slots=n_slots, max_len=max_len,
+                steps_per_dispatch=steps_per_dispatch).start()
 
     # ---------------- inference ----------------
 

@@ -196,3 +196,27 @@ class TestBatchingEngine:
             assert got == base
         finally:
             w.shutdown()
+
+    def test_multi_step_dispatch_token_identical(self):
+        """steps_per_dispatch=4 (lax.scan of 4 decode steps per device
+        call) produces exactly the K=1 token streams — overrun tokens
+        past EOS/budget are discarded host-side."""
+        from devqa_tpu.serve.engine import BatchingEngine
+
+        vllm = make_tiny_vllm()
+        prompts = [("what is near the tree", "imgA.jpg"),
+                   ("who wrote the book The answer is:", None),
+                   ("what color is the sky", "imgB.jpg")]
+        w = ModelWorker(vllm)
+        want = [w.generate(p, img, max_new_tokens=6) for p, img in prompts]
+        eng = BatchingEngine(vllm, n_slots=2, max_len=96,
+                             steps_per_dispatch=4).start()
+        try:
+            reqs = [eng.submit(p, img, max_new_tokens=6)
+                    for p, img in prompts]
+            for r in reqs:
+                assert r.done.wait(300)
+            got = [r.text for r in reqs]
+        finally:
+            eng.shutdown()
+        assert got == want, (got, want)
