@@ -59,6 +59,12 @@ def build_cases(n, tmp):
 
 
 def main():
+    t_start = time.time()
+    # Soft wall-clock budget: remote-compile latency varies wildly
+    # run-to-run (30s-8min per program on bad days); once past the
+    # budget, later best-of-N repeats are dropped so the driver always
+    # gets its JSON line instead of a timeout.
+    soft_budget = float(os.environ.get("BENCH_SOFT_BUDGET_S", "420"))
     import jax
     import jax.numpy as jnp
 
@@ -158,6 +164,9 @@ def main():
         reps = int(os.environ.get("BENCH_REPEATS", "3"))
         fused_cps = 0.0
         for r in range(reps):
+            if r > 0 and time.time() - t_start > soft_budget:
+                log("soft budget hit — skipping fused repeat %d" % r)
+                break
             vllm.clear_image_cache()
             editor.restore_to_original_model()
             t0 = time.time()
@@ -206,6 +215,9 @@ def main():
         # inflate vs_baseline by tunnel-jitter asymmetry.
         base_cps = 0.0
         for r in range(reps):
+            if r > 0 and time.time() - t_start > soft_budget + 60:
+                log("soft budget hit — skipping base repeat %d" % r)
+                break
             editor_base.restore_to_original_model()
             t0 = time.time()
             for c in base_cases[2:2 + n_base]:
