@@ -8,3 +8,4 @@ from .lora import LoRAHyperParams, apply_lora  # noqa: F401
 from .ft import FTHyperParams, apply_ft  # noqa: F401
 from .ft_api import FTApiHyperParams, apply_ft_api  # noqa: F401
 from .oracle import OracleHyperParams, oracle_rank1_ttt  # noqa: F401
+from .mend import MENDText, MENDTextTrainable  # noqa: F401

@@ -109,3 +109,72 @@ class TestMENDTraining:
         acc1, _ = token_accuracy(editor.query_logits(qb), qb.label_ids,
                                  qb.label_masks)
         assert float(acc1[0]) >= float(acc0[0])
+
+
+class TestMENDText:
+    """Text-LLM MEND through TextDecoderShim (the EasyEdit
+    MendRewriteExecutor / EditTrainer role)."""
+
+    def _model(self, seed=0):
+        from devqa_tpu.core import decoder as dec
+        from devqa_tpu.core.tokenizer import ToyTokenizer
+        from devqa_tpu.editors.llm.session import TextModel
+
+        cfg = dec.DecoderConfig(arch="opt", vocab_size=256, d_model=32,
+                                n_layers=4, n_heads=2, d_ffn=64,
+                                max_positions=96)
+        params = dec.init_decoder_params(cfg, jax.random.PRNGKey(seed))
+        return TextModel(params, cfg, ToyTokenizer(vocab_size=256),
+                         bucket_multiple=8)
+
+    def _cfg(self):
+        return MENDvlConfig(
+            edit_model_name="text-opt",
+            edit_layers=(2,), edit_modules=("fc1", "fc2"),
+            init_edit_lr=1e-2, edit_lr_lr=1e-3,
+            relia_lambda=0.1, gen_lambda=0.1, loc_lambda=0.1,
+            aux_model=MENDvlConfig.AuxModelConfig(n_hidden=1, rank=24,
+                                                  lr=1e-3))
+
+    def test_edit_session_integration(self):
+        from devqa_tpu.editors.llm import LLMEditSession
+        from devqa_tpu.editors.llm.mend import MENDText
+
+        model = self._model()
+        mend = MENDText(model, self._cfg(), seed=0)
+        req = {"prompt": "the capital of france is", "target_new": "lyon",
+               "locality": {"nb": {"prompt": "the capital of italy is",
+                                   "ground_truth": "rome"}}}
+        # apply() returns edited decoder params, untouched original
+        orig = model.params
+        new = mend.apply(req)
+        assert new is not orig
+        w0 = np.asarray(orig["layers"]["fc2"]["w"][2])
+        w1 = np.asarray(new["layers"]["fc2"]["w"][2])
+        assert not np.allclose(w0, w1)
+
+        mend.restore_to_original_model()
+        sess = LLMEditSession(model, lambda m, r: mend.apply(r), "mend")
+        res = sess.edit([req])
+        assert "rewrite_acc" in res[0]["post"]
+        assert "nb" in res[0]["post"]["locality"]
+        assert model.params is orig  # session restored
+
+    def test_text_meta_training_runs(self):
+        from devqa_tpu.data.text_datasets import BaseLLMEditData
+        from devqa_tpu.editors.llm.mend import (MENDTextTrainable,
+                                                as_test_cases)
+
+        model = self._model(seed=3)
+        ed = MENDTextTrainable(model, self._cfg(), seed=0)
+        reqs = [{"prompt": f"fact number {i} is", "target_new": "blue",
+                 "rephrase_prompt": f"the {i}th fact reads",
+                 "locality": {"nb": {"prompt": "paris is in",
+                                     "ground_truth": "france"}}}
+                for i in range(4)]
+        cases = as_test_cases(BaseLLMEditData(reqs).data)
+        batch = ed.organize_batch_data(cases)
+        l0, logs = ed.train_step(batch)
+        l1, _ = ed.train_step(batch)
+        assert np.isfinite(l0) and np.isfinite(l1)
+        assert {"rel_loss", "gen_loss", "loc_loss"} <= set(logs)
