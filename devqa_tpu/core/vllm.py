@@ -41,6 +41,10 @@ from .preprocess import preprocess_images
 class VLLMConfig(BaseConfig):
     name: str = "blip2-opt-2.7b"
     bridge: str = "qformer"  # "qformer" | "mlp" | "abstractor" | "resampler"
+    #                          | "none" (text-only: no vision tower, V=0 —
+    #                          the whole editor zoo / harness / serving
+    #                          stack then operates on a bare decoder, the
+    #                          EasyEdit BaseEditor setting)
     img_slot_pos: int = 0    # where the vision block sits in the text stream
     n_img_tokens: int = 32
     vit: vit_mod.ViTConfig = dataclasses.field(default_factory=vit_mod.blip2_vit_config)
@@ -116,6 +120,18 @@ def mplug_owl2_llama2_7b_config() -> VLLMConfig:
 
 # --- tiny configs for CPU tests -------------------------------------------
 
+def text_only_vllm_config(dcfg: dec.DecoderConfig,
+                          name: Optional[str] = None) -> VLLMConfig:
+    """Wrap a bare decoder as a V=0 VLLM: every editor, the evaluation
+    harness, and the serving stack then run on a pure text LLM (the
+    EasyEdit BaseEditor setting, ``easyeditor/editors/editor.py:39``).
+    The vision slot block is empty — no vision params exist and the
+    image pipeline is never invoked."""
+    return VLLMConfig(name=name or "text-" + dcfg.arch, bridge="none",
+                      img_slot_pos=0, n_img_tokens=0,
+                      vit=vit_mod.ViTConfig(), qformer=None, decoder=dcfg)
+
+
 def tiny_vllm_config(arch: str = "opt", img_slot_pos: int = 0) -> VLLMConfig:
     vit_cfg = vit_mod.ViTConfig(
         image_size=16, patch_size=4, d_model=32, n_layers=2, n_heads=2, d_ffn=64,
@@ -182,6 +198,8 @@ def init_vllm_params(cfg: VLLMConfig, key, dtype=jnp.float32):
                                                             dtype)
     else:
         decoder_params = dec.init_decoder_params(cfg.decoder, k2, dtype)
+    if cfg.bridge == "none":
+        return {"decoder": decoder_params}
     params = {
         "vit": vit_mod.init_vit_params(cfg.vit, k1, dtype),
         "decoder": decoder_params,

@@ -4,64 +4,34 @@
 meta-training over a pure decoder, with no vision tower.
 
 Implementation: the SAME editor as :mod:`devqa_tpu.editors.mend_vl` run
-through :class:`TextDecoderShim`, a minimal vision-less stand-in for
-``JaxVLLM`` (token embeds only; the VL layout's maskable vision slots
-degenerate to nothing). Everything — probe-based (x, δ) capture, IDMLP
-transform, Welford normalization, running-mean deltas, meta-training on
-rel/gen/loc λ-losses — is inherited, so text and multimodal MEND cannot
-drift apart.
+over :func:`make_text_vllm` — a real :class:`JaxVLLM` wrapping the bare
+decoder via ``core.vllm.text_only_vllm_config`` (bridge "none", V=0; the
+maskable vision-slot block degenerates to nothing, so EVERY editor and
+the evaluation harness also work on text this way). Everything —
+probe-based (x, δ) capture, IDMLP transform, Welford normalization,
+running-mean deltas, meta-training on rel/gen/loc λ-losses — is
+inherited, so text and multimodal MEND cannot drift apart.
 """
 from __future__ import annotations
 
-from types import SimpleNamespace
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
-import jax.numpy as jnp
-import numpy as np
-
-from ...core import decoder as dec
-from ...core.wrapper import QueryBatch
+from ...core import vllm as V
+from ...core.wrapper import JaxVLLM
+from ...data.images import SyntheticImageProvider
 from ...data.schema import TestCase
 from ..mend_vl import MENDvl, MENDvlConfig, MENDvlTrainable
 from .session import TextModel
 
 
-class TextDecoderShim:
-    """Duck-typed ``JaxVLLM`` surface over a :class:`TextModel` — exactly
-    the slice MENDvl consumes: ``cfg.decoder``/``cfg.name``, ``params``
-    (live view of the model's), and batched ``encode_queries``."""
-
-    def __init__(self, model: TextModel):
-        self.model = model
-        self.cfg = SimpleNamespace(
-            decoder=model.cfg, name="text-" + model.cfg.arch,
-            n_img_tokens=0, img_slot_pos=0, img_special_token=None)
-        self.tokenizer = model.tokenizer
-        self.image_provider = None
-
-    @property
-    def params(self):
-        return {"decoder": self.model.params}
-
-    def encode_queries(self, prompts: Sequence[str],
-                       image_paths: Sequence[Optional[str]],
-                       targets: Sequence[str]) -> QueryBatch:
-        tb = self.model.batch(prompts, targets)
-        ids = jnp.asarray(tb.input_ids)
-        mask = jnp.asarray(tb.attn_mask)
-        embeds = dec.embed_tokens(self.model.params, self.model.cfg, ids)
-        plens = np.asarray(
-            [len(self.model.tokenizer.encode(p)) for p in prompts], np.int32)
-        return QueryBatch(
-            embeds=embeds, kv_valid=mask,
-            label_ids=jnp.asarray(tb.label_ids),
-            label_masks=jnp.asarray(tb.label_masks),
-            prompt_lens=plens,
-            has_image=np.zeros(len(prompts), np.int32),
-            input_ids=np.asarray(tb.input_ids))
-
-    def clear_image_cache(self):
-        pass
+def make_text_vllm(model: TextModel) -> JaxVLLM:
+    """Bare decoder → V=0 JaxVLLM: the full editor zoo, harness, and
+    serving stack then operate on the text LLM (the image pipeline is
+    never invoked — the provider is an unused placeholder)."""
+    cfg = V.text_only_vllm_config(model.cfg)
+    return JaxVLLM(cfg, {"decoder": model.params}, model.tokenizer,
+                   SyntheticImageProvider(cfg.vit.image_size),
+                   bucket_multiple=model.bucket_multiple)
 
 
 class MENDText(MENDvl):
@@ -72,7 +42,7 @@ class MENDText(MENDvl):
 
     def __init__(self, model: TextModel, config: MENDvlConfig, params=None,
                  seed: int = 0):
-        super().__init__(TextDecoderShim(model), config, params=params,
+        super().__init__(make_text_vllm(model), config, params=params,
                          seed=seed)
         self.model = model
 
@@ -97,7 +67,7 @@ class MENDTextTrainable(MENDvlTrainable):
 
     def __init__(self, model: TextModel, config: MENDvlConfig, params=None,
                  seed: int = 0):
-        MENDvlTrainable.__init__(self, TextDecoderShim(model), config,
+        MENDvlTrainable.__init__(self, make_text_vllm(model), config,
                                  params=params, seed=seed)
         self.model = model
 
