@@ -364,10 +364,9 @@ def _attn_block(p, cfg: DecoderConfig, h_norm, kv_valid, positions):
     elif cfg.arch == "gptj":
         q, k = _rope_interleaved(q, k, positions, cfg.rope_theta,
                                  cfg.rotary_dim or cfg.head_dim)
-    n_rep = cfg.n_heads // cfg.kv_heads
-    o = multihead_attention(_repeat_kv(q, 1), _repeat_kv(k, n_rep),
-                            _repeat_kv(v, n_rep), kv_valid=kv_valid,
-                            causal=True)
+    n_rep = cfg.n_heads // cfg.kv_heads  # GQA: only k/v broadcast
+    o = multihead_attention(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep),
+                            kv_valid=kv_valid, causal=True)
     return linear(_merge_heads(o), p["o"]["w"], p["o"].get("b"))
 
 
@@ -630,10 +629,10 @@ def _qkv_heads(p, cfg: DecoderConfig, h_norm, positions):
     return q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
 
 
-def _layer_with_kv(p, cfg: DecoderConfig, h, kv_valid, positions,
-                   attend_fn):
+def _layer_with_kv(p, cfg: DecoderConfig, h, positions, attend_fn):
     """One decoder layer where attention K/V flow through ``attend_fn``
-    (so prefill can emit them and decode can splice the cache)."""
+    (so prefill can emit them and decode can splice the cache). Validity
+    masking is entirely ``attend_fn``'s responsibility."""
     act = ACTIVATIONS[cfg.activation]
     if cfg.arch == "opt":
         h_norm = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"], cfg.norm_eps)
@@ -676,7 +675,7 @@ def decoder_prefill(params, cfg: DecoderConfig, inputs_embeds, kv_valid,
         return o, (k, v)
 
     def body(carry, p):
-        h, (k, v) = _layer_with_kv(p, cfg, carry, kv_valid, positions, attend)
+        h, (k, v) = _layer_with_kv(p, cfg, carry, positions, attend)
         return h, (k, v)
 
     h, (ks, vs) = jax.lax.scan(body, h, params["layers"])
@@ -724,7 +723,7 @@ def decoder_decode_step(params, cfg: DecoderConfig, cache, token_embeds):
                                     causal=False)
             return o, (wk, wv)
 
-        h, (wk, wv) = _layer_with_kv(p, cfg, h, new_valid, pos, attend)
+        h, (wk, wv) = _layer_with_kv(p, cfg, h, pos, attend)
         return h, (wk, wv)
 
     h, (ks, vs) = jax.lax.scan(

@@ -182,22 +182,7 @@ class EditorEvaluation:
               "with sequential editing %s."
               % (*editor.name_of_editor_and_model(), edit_n))
 
-        def split_data(data):
-            splits, counts, cur, cur_n = [], [], [], 0
-            for d in data:
-                cur.append(d)
-                cur_n += len(d.requests)
-                if cur_n >= edit_n:
-                    splits.append(cur)
-                    counts.append(cur_n)
-                    cur, cur_n = [], 0
-            return splits, counts
-
-        cases = list(self.eval_data.data)
-        if random:
-            seed = seed if seed is not None else int(np.random.randint(1, 999999))
-            np.random.default_rng(seed).shuffle(cases)
-        splits, split_ns = split_data(cases)
+        splits, split_ns, seed = self._split_and_shuffle(edit_n, random, seed)
         editor.restore_to_original_model()
         results = []
         for split in splits:
@@ -221,18 +206,46 @@ class EditorEvaluation:
                 split_res.append(rd)
             editor.restore_to_original_model()
             results.append(split_res)
+        self._save_sequential(results, split_ns, edit_n, random, seed)
+        return results
+
+    # ------------------------------------------------------------------
+
+    def _split_and_shuffle(self, edit_n: int, random: bool,
+                           seed: Optional[int]):
+        """Shared split/seed semantics (vllm_editor_eval.py:74-87) for
+        both the reference-shaped and the fused sequential loops."""
+        cases = list(self.eval_data.data)
+        if random:
+            seed = seed if seed is not None \
+                else int(np.random.randint(1, 999999))
+            np.random.default_rng(seed).shuffle(cases)
+        splits, counts, cur, cur_n = [], [], [], 0
+        for d in cases:
+            cur.append(d)
+            cur_n += len(d.requests)
+            if cur_n >= edit_n:
+                splits.append(cur)
+                counts.append(cur_n)
+                cur, cur_n = [], 0
+        return splits, counts, seed
+
+    def _save_sequential(self, results, split_ns, edit_n: int, random: bool,
+                         seed) -> None:
+        """Shared results/mean_results persistence (reference JSON
+        schema, vllm_editor_eval.py:125-133,231-247)."""
         save_dir = os.path.join(self.result_dir, "sequential_edit_%s" % edit_n)
         prefix = "seed_%s_" % seed if random else ""
-        self.save_results(os.path.join(save_dir, prefix + "results.json"), results)
+        self.save_results(os.path.join(save_dir, prefix + "results.json"),
+                          results)
         split_mean = [self.get_mean_results(sr) for sr in results]
         for mr, n in zip(split_mean, split_ns):
             mr["sequential_edit_n"] = n
         total_mean = self.get_mean_results([r for sr in results for r in sr])
         total_mean["total_edit_n"] = sum(split_ns)
-        mean_results = {"total_mean": total_mean, "split_mean": split_mean}
-        self.save_results(os.path.join(save_dir, prefix + "mean_results.json"),
-                          mean_results)
-        return results
+        self.save_results(
+            os.path.join(save_dir, prefix + "mean_results.json"),
+            {"total_mean": total_mean, "split_mean": split_mean})
 
     # ------------------------------------------------------------------
     def get_mean_results(self, results: List[Dict]) -> Dict:
@@ -313,6 +326,9 @@ class FusedEditorEvaluation(EditorEvaluation):
         async dispatch pipelines device work across chunks, hiding
         per-call latency (significant on tunneled runtimes).
         """
+        if not specs:  # e.g. cases with no locality probes at all
+            return (np.zeros((0,), np.float32),
+                    np.zeros((0, 1), np.int64), np.zeros((0, 1), np.int64))
         vllm = self.editor.vllm
         pending = []
         for i in range(0, len(specs), self.max_rows):
@@ -350,22 +366,7 @@ class FusedEditorEvaluation(EditorEvaluation):
         print("Evaluating (fused) %s on %s with sequential editing %s."
               % (*editor.name_of_editor_and_model(), edit_n))
 
-        def split_data(data):
-            splits, counts, cur, cur_n = [], [], [], 0
-            for d in data:
-                cur.append(d)
-                cur_n += len(d.requests)
-                if cur_n >= edit_n:
-                    splits.append(cur)
-                    counts.append(cur_n)
-                    cur, cur_n = [], 0
-            return splits, counts
-
-        cases = list(self.eval_data.data)
-        if random:
-            seed = seed if seed is not None else int(np.random.randint(1, 999999))
-            np.random.default_rng(seed).shuffle(cases)
-        splits, split_ns = split_data(cases)
+        splits, split_ns, seed = self._split_and_shuffle(edit_n, random, seed)
         editor.restore_to_original_model()
 
         def split_befores(split):
@@ -439,16 +440,5 @@ class FusedEditorEvaluation(EditorEvaluation):
                 split_res.append(rd)
             editor.restore_to_original_model()
             results.append(split_res)
-        save_dir = os.path.join(self.result_dir, "sequential_edit_%s" % edit_n)
-        prefix = "seed_%s_" % seed if random else ""
-        self.save_results(os.path.join(save_dir, prefix + "results.json"),
-                          results)
-        split_mean = [self.get_mean_results(sr) for sr in results]
-        for mr, n in zip(split_mean, split_ns):
-            mr["sequential_edit_n"] = n
-        total_mean = self.get_mean_results([r for sr in results for r in sr])
-        total_mean["total_edit_n"] = sum(split_ns)
-        self.save_results(
-            os.path.join(save_dir, prefix + "mean_results.json"),
-            {"total_mean": total_mean, "split_mean": split_mean})
+        self._save_sequential(results, split_ns, edit_n, random, seed)
         return results

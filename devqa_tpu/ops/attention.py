@@ -144,8 +144,11 @@ def _flash_kernel(
         p = jnp.where(mask, p, 0.0)
         corr = jnp.exp(m_prev - m_new)              # [block_q, 1]
         l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+        # SELECT-zero ragged v tail rows: their p is 0 but 0·NaN = NaN
+        # inside the dot if the undefined padding decodes as NaN.
+        v = _zero_oob_rows(v_ref[0].astype(jnp.float32), k_start, kv_len)
         acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -253,24 +256,37 @@ def _flash_fwd(
 
 
 def _bwd_p_ds(q, k, v, do, lse_row, delta_row, mask, sm_scale):
-    """Shared block math → (p, ds), both [block_q, block_k] f32."""
+    """Shared block math → (p, ds), both [block_q, block_k] f32.
+
+    Everything outside ``mask`` is produced by SELECT (jnp.where), never
+    by multiplying a zero into it: out-of-bounds tail-block reads have
+    undefined contents that may decode as NaN, and 0·NaN = NaN."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale
-    row_valid = lse_row > NEG_INF / 2            # [block_q]
-    p = jnp.exp(s - lse_row[:, None])
-    p = jnp.where(mask & row_valid[:, None], p, 0.0)
+    # Minor-dim expansion happens on the f32 lse column, never on a bool
+    # vector: Mosaic only supports minor-dim insertion for 32-bit types
+    # (an i1 [:, None] here fails to compile on real TPU).
+    lse_col = lse_row[:, None]                   # [block_q, 1] f32
+    m = mask & (lse_col > NEG_INF / 2)
+    p = jnp.where(m, jnp.exp(s - lse_col), 0.0)
     dpv = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dpv - delta_row[:, None]) * sm_scale
+    ds = jnp.where(m, p * (dpv - delta_row[:, None]) * sm_scale, 0.0)
     return p, ds
 
 
 def _block_mask(mask_row, k_start, q_start, shape, causal, causal_offset,
-                kv_len):
+                kv_len, q_len):
     ki = k_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     mask = jnp.broadcast_to(mask_row[None, :] > 0, shape)
     mask = jnp.logical_and(mask, ki < kv_len)
+    # Ragged q tail: rows past the true q length read undefined padding
+    # (lse/delta included) — without this bound the dkv grid, which
+    # accumulates ACROSS q-blocks, would sum tail garbage into real
+    # keys' gradients.
+    qrow = q_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    mask = jnp.logical_and(mask, qrow < q_len)
     if causal:
         qi = (q_start + causal_offset
               + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
@@ -278,9 +294,17 @@ def _block_mask(mask_row, k_start, q_start, shape, causal, causal_offset,
     return mask
 
 
+def _zero_oob_rows(x, start, limit):
+    """SELECT-zero rows at absolute index ≥ limit (see _bwd_p_ds note:
+    multiplying garbage by 0 is not a sanitizer). Full-shape iota —
+    Mosaic can't insert a minor dim when broadcasting an [N, 1] mask."""
+    rows = start + jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows < limit, x, jnp.zeros_like(x))
+
+
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                          delta_ref, dq_ref, acc_scr, *, causal, block_q,
-                         block_k, sm_scale, kv_len, causal_offset):
+                         block_k, sm_scale, kv_len, causal_offset, q_len):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -297,11 +321,13 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
     @pl.when(run)
     def _compute():
         q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        # SELECT-zero ragged k/v tails (ds is 0 there, but 0·NaN = NaN)
+        k = _zero_oob_rows(k_ref[0].astype(jnp.float32), k_start, kv_len)
+        v = _zero_oob_rows(v_ref[0].astype(jnp.float32), k_start, kv_len)
         do = do_ref[0].astype(jnp.float32)
         mask = _block_mask(mask_ref[0, 0], k_start, q_start,
-                           (block_q, block_k), causal, causal_offset, kv_len)
+                           (block_q, block_k), causal, causal_offset,
+                           kv_len, q_len)
         _, ds = _bwd_p_ds(q, k, v, do, lse_ref[0, 0], delta_ref[0, 0],
                           mask, sm_scale)
         acc_scr[...] += jax.lax.dot_general(
@@ -316,7 +342,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                           delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
                           causal, block_q, block_k, sm_scale, kv_len,
-                          causal_offset):
+                          causal_offset, q_len):
     ik = pl.program_id(1)
     iq = pl.program_id(2)
     nq = pl.num_programs(2)
@@ -333,12 +359,17 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
+        # SELECT-zero ragged q/do tails: the q-row bound in _block_mask
+        # zeroes their p/ds, but the dots below still multiply the raw
+        # operands (0·NaN = NaN), and this grid accumulates ACROSS
+        # q-blocks into real keys' gradients.
+        q = _zero_oob_rows(q_ref[0].astype(jnp.float32), q_start, q_len)
         k = k_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        do = _zero_oob_rows(do_ref[0].astype(jnp.float32), q_start, q_len)
         mask = _block_mask(mask_ref[0, 0], k_start, q_start,
-                           (block_q, block_k), causal, causal_offset, kv_len)
+                           (block_q, block_k), causal, causal_offset,
+                           kv_len, q_len)
         p, ds = _bwd_p_ds(q, k, v, do, lse_ref[0, 0], delta_ref[0, 0],
                           mask, sm_scale)
         dv_scr[...] += jax.lax.dot_general(
@@ -380,7 +411,8 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
 
     num_heads = h
     common = dict(causal=causal, block_q=block_q, block_k=block_k,
-                  sm_scale=sm_scale, kv_len=lk, causal_offset=lk - lq)
+                  sm_scale=sm_scale, kv_len=lk, causal_offset=lk - lq,
+                  q_len=lq)
     q_spec = pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0))
     k_spec_q = pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0))
     mask_spec_q = pl.BlockSpec(
@@ -459,6 +491,12 @@ FLASH_MIN_KV_LEN = 512
 def _flash_worthwhile(q, k) -> bool:
     import os
 
+    # TPU block specs need the 2nd-to-last block dim divisible by 8;
+    # block_q = min(128, lq) would violate that for short q (notably the
+    # single-token KV-cached decode step, lq=1) — those shapes gain
+    # nothing from flash anyway, so route them to XLA attention.
+    if q.shape[2] % 8 != 0 and q.shape[2] < 128 and not _interpret_mode():
+        return False
     if os.environ.get("DEVQA_FORCE_FLASH") == "1" or _interpret_mode():
         return True
     return k.shape[2] >= FLASH_MIN_KV_LEN

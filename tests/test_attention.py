@@ -206,3 +206,67 @@ class TestFlashBackward:
         m = np.asarray(kv)
         assert np.allclose(np.asarray(dk)[0, :, m[0] == 0], 0.0)
         assert np.allclose(np.asarray(dv)[1, :, m[1] == 0], 0.0)
+
+
+class TestRaggedBlocks:
+    """Ragged q/k tails (length not a multiple of the block size): the
+    dkv grid accumulates across q-blocks, so unmasked tail garbage would
+    corrupt real keys' gradients; forward acc dots touch OOB v rows.
+    Exercised with small explicit block sizes so 64-length inputs span
+    multiple blocks with a ragged tail."""
+
+    def _qkv(self, lq, lk, seed=3):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(2, 2, lq, 32)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(2, 2, lk, 32)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(2, 2, lk, 32)), jnp.float32)
+        kv = jnp.asarray((np.arange(lk)[None, :]
+                          < np.asarray([lk - 3, lk])[:, None]).astype(np.int32))
+        return q, k, v, kv
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_ragged_forward_matches_xla(self, causal, monkeypatch):
+        from devqa_tpu.ops.attention import _flash_fwd, xla_attention
+
+        lq = lk = 56  # blocks of 32 -> ragged 24-tail in q AND k
+        q, k, v, kv = self._qkv(lq, lk)
+        out = _flash_fwd(q, k, v, kv, causal, block_q=32, block_k=32,
+                         interpret=True)
+        ref = xla_attention(q, k, v, kv_valid=kv, causal=causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_ragged_backward_matches_xla(self, causal):
+        from devqa_tpu.ops.attention import (_flash_bwd, _flash_fwd,
+                                             xla_attention)
+
+        lq = lk = 56
+        q, k, v, kv = self._qkv(lq, lk)
+        out, lse = _flash_fwd(q, k, v, kv, causal, block_q=32, block_k=32,
+                              interpret=True, return_lse=True)  # lse [b,h,lq]
+        w = jnp.asarray(np.random.default_rng(9).normal(
+            size=(2, 2, lq, 32)), jnp.float32)
+        dq, dk, dv = _flash_bwd(q, k, v, kv, causal, out, lse, w,
+                                block_q=32, block_k=32, interpret=True)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(w * xla_attention(q, k, v, kv_valid=kv,
+                                             causal=causal))
+
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip((dq, dk, dv), gx, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3, err_msg=name)
+
+    def test_short_q_routes_to_xla(self, monkeypatch):
+        """lq=1 (KV-cached decode) must not take the flash path — its
+        (1,1,d) q block would violate TPU sublane tiling."""
+        from devqa_tpu.ops import attention as A
+
+        q = jnp.ones((1, 2, 1, 32), jnp.float32)
+        k = jnp.ones((1, 2, 600, 32), jnp.float32)
+        assert not A._flash_worthwhile(q, k)
+        # full-block lengths still qualify by kv threshold
+        q2 = jnp.ones((1, 2, 128, 32), jnp.float32)
+        assert A._flash_worthwhile(q2, k)
