@@ -30,6 +30,17 @@ def get_args():
                    help="local HF checkpoint dir (random init if absent)")
     p.add_argument("-cfgs", "--configs_dir", type=str, default="configs")
     p.add_argument("-res", "--results_dir", type=str, default="eval_results")
+    p.add_argument("-fused", "--fused", action="store_true",
+                   help="fused TPU measurement pipeline (metric-identical "
+                        "to the reference protocol; batches all probes + "
+                        "hoists pre-edit passes — the bench.py fast path)")
+    p.add_argument("-mr", "--max_rows", type=int, default=60,
+                   help="probe rows per fused device batch")
+    p.add_argument("-tp", "--tensor_parallel", type=int, default=1,
+                   help="shard the backbone Megatron-style over tp devices")
+    p.add_argument("-dpx", "--data_parallel", type=int, default=None,
+                   help="shard probe rows over dp devices "
+                        "(default: n_devices // tp when -tp given)")
     p.add_argument("-rt", "--retrieval", type=str, default="hash",
                    choices=["hash", "minilm"],
                    help="probe-retrieval sentence encoder (the reference "
@@ -100,7 +111,22 @@ def main():
     data_path = args.data_path or DEFAULT_DATA[args.data_name]
     data = data_cls(data_path, args.img_root_dir, retriever=retriever,
                     data_n=args.data_sample_n, encoder=encoder)
-    ev = EditorEvaluation(editor, data, eval_name, args.results_dir)
+    if args.tensor_parallel > 1 or args.data_parallel:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharding import shard_params
+
+        mesh = make_mesh(dp=args.data_parallel, tp=args.tensor_parallel)
+        editor.vllm.params = shard_params(editor.vllm.params, mesh)
+        editor.vllm.mesh = mesh
+        print("mesh:", dict(mesh.shape))
+    if args.fused:
+        from ..eval.harness import FusedEditorEvaluation
+
+        ev = FusedEditorEvaluation(editor, data, eval_name, args.results_dir,
+                                   max_rows=args.max_rows, pad_rows=True,
+                                   hoist_pre=True)
+    else:
+        ev = EditorEvaluation(editor, data, eval_name, args.results_dir)
     ev.evaluate_sequential_edit(args.sequential_edit_n, False, None)
 
 
