@@ -370,6 +370,24 @@ def _attn_block(p, cfg: DecoderConfig, h_norm, kv_valid, positions):
     return linear(_merge_heads(o), p["o"]["w"], p["o"].get("b"))
 
 
+def mlp_input_at_layer(p, cfg: DecoderConfig, h, kv_valid) -> jnp.ndarray:
+    """The post-norm MLP input of ONE layer given its input hidden state
+    — what a hook on fc1/gate's input sees (the layer's norm+attention
+    front half). Kept here, next to :func:`decoder_layer`, as the single
+    source of truth: editors that optimize against the MLP input
+    (T-Patcher's per-edit neuron, tp_vl.py:71-109) call this instead of
+    re-deriving layer internals."""
+    positions = positions_from_mask(kv_valid)
+    if cfg.arch == "opt":
+        hn = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"], cfg.norm_eps)
+        h2 = h + _attn_block(p, cfg, hn, kv_valid, positions)
+        return layer_norm(h2, p["ln2"]["scale"], p["ln2"]["bias"],
+                          cfg.norm_eps)
+    hn = rms_norm(h, p["ln1"]["scale"], cfg.norm_eps)
+    h2 = h + _attn_block(p, cfg, hn, kv_valid, positions)
+    return rms_norm(h2, p["ln2"]["scale"], cfg.norm_eps)
+
+
 def decoder_layer(
     p,
     cfg: DecoderConfig,

@@ -161,12 +161,14 @@ class LEMoEvl(VLLMEditor):
             vparams["decoder"], vcfg.decoder, embeds, kv, lo=0, hi=li))
 
         def with_new(new):
-            i = state["count"]
+            # ring: wrap at expert capacity (an out-of-bounds .at[].set
+            # would be silently dropped by JAX)
+            i = state["count"] % state["k"].shape[0]
             st = dict(state)
             for name in ("c1", "r1", "c2", "r2", "kd", "ku"):
                 st[name] = state[name].at[i].set(new[name])
             st["k"] = state["k"].at[i].set(new_k)
-            st["count"] = i + 1
+            st["count"] = state["count"] + 1
             return st
 
         def loss_fn(new):

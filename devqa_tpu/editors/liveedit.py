@@ -249,13 +249,16 @@ class LiveEdit(VLLMEditor):
             kv_valid, vcfg.vt_range, query_ends)
         eqr, evr, moe_c, moe_r = extract_new_edit(
             lparams, cfg, reps, vision_mask, query_mask, ans_mask)
-        i = state["count"]
+        # True ring buffer: wrap at capacity (an out-of-bounds .at[].set
+        # would be SILENTLY dropped by JAX — edit discarded, count still
+        # growing). Lifelong editing keeps the newest max_edits edits.
+        i = state["count"] % state["eqr"].shape[0]
         return {
             "eqr": state["eqr"].at[i].set(eqr[0]),
             "evr": state["evr"].at[i].set(evr[0]),
             "moe_c": state["moe_c"].at[i].set(moe_c[0]),
             "moe_r": state["moe_r"].at[i].set(moe_r[0]),
-            "count": i + 1,
+            "count": state["count"] + 1,
         }
 
     def edit_one_piece(self, request: EditRequest):
@@ -286,7 +289,7 @@ class LiveEdit(VLLMEditor):
             lparams, cfg, reps, vision_mask, query_mask, ans_mask)
         i = state["count"]
         n = embeds.shape[0]
-        idx = i + jnp.arange(n)
+        idx = (i + jnp.arange(n)) % state["eqr"].shape[0]  # ring wrap
         return {
             "eqr": state["eqr"].at[idx].set(eqr),
             "evr": state["evr"].at[idx].set(evr),
@@ -435,11 +438,13 @@ class LiveEditTrainingMixin:
 
     # ---- device-side training step ----
 
-    @partial(jax.jit, static_argnums=(0, 4, 5, 6))
-    def _train_step_jit(self, lparams, opt_state, batch, B, G, K):
+    @partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    def _train_step_jit(self, lparams, opt_state, vparams, batch, B, G, K):
+        # vparams is an ARGUMENT, never a closure: closing over the
+        # multi-GB backbone bakes it into the program as constants and
+        # pins the jit cache to stale weights (CLAUDE.md rule).
         cfg = self.cfg
         vcfg = self.vllm.cfg
-        vparams = self.vllm.params
         tc = cfg.train_cfg
         re = cfg.retrieval_editor
         hn = re.cross_att_head_n
@@ -571,8 +576,8 @@ class LiveEditTrainingMixin:
     def train_step(self, batch):
         B, G, K = batch["B"], batch["G"], batch["K"]
         self.params, self._opt_state, loss, logs = self._train_step_jit(
-            self.params, self._opt_state, {k: v for k, v in batch.items()
-                                           if k not in ("B", "G", "K")},
+            self.params, self._opt_state, self.vllm.params,
+            {k: v for k, v in batch.items() if k not in ("B", "G", "K")},
             B, G, K)
         return float(loss), {k: float(v) for k, v in logs.items()}
 

@@ -101,6 +101,15 @@ class LTEvl(VLLMEditor):
         E = self.cfg.max_prefix_len
         emb = np.asarray(qb.embeds[0])
         msk = np.asarray(qb.kv_valid[0])
+        # Overlong prefixes keep the TAIL of the valid span: the prompt/
+        # target and the trailing '\n[Query]' marker the LTE fine-tune
+        # conditions on live at the end ("[Updated Information]"
+        # boilerplate at the head is the expendable part). The reference
+        # never truncates (dynamic shapes, lte_vl.py:112-118); E is this
+        # build's shape-stability cap.
+        v = int(msk.sum())
+        if v > E:
+            return emb[v - E:v], msk[v - E:v]
         L = emb.shape[0]
         if L >= E:
             return emb[:E], msk[:E]
@@ -109,16 +118,18 @@ class LTEvl(VLLMEditor):
 
     def edit_one_piece(self, request: EditRequest):
         emb, msk = self._edit_prefix(request)
-        i = int(self.state["count"])
+        cap = int(self.state["prefix_embeds"].shape[0])
+        slot = int(self.state["count"]) % cap  # ring: overwrite oldest
         self.state = {
-            "prefix_embeds": self.state["prefix_embeds"].at[i].set(jnp.asarray(emb)),
-            "prefix_mask": self.state["prefix_mask"].at[i].set(
+            "prefix_embeds": self.state["prefix_embeds"].at[slot].set(
+                jnp.asarray(emb)),
+            "prefix_mask": self.state["prefix_mask"].at[slot].set(
                 jnp.asarray(msk, jnp.int32)),
             "count": self.state["count"] + 1,
         }
         e = np.asarray(self.sentence_encoder(
             [request["prompt"] + " " + request["target_new"]]), np.float32)[0]
-        self.retr_pool[i] = e
+        self.retr_pool[slot] = e
         self.requests.append(request)
 
     # ------------------------------------------------------------------
@@ -126,7 +137,7 @@ class LTEvl(VLLMEditor):
     def _retrieve(self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """→ (best index [B], use_prefix [B]) by cosine sim > threshold
         (lte_vl.py:96-110)."""
-        n = int(self.state["count"])
+        n = min(int(self.state["count"]), self.retr_pool.shape[0])
         q = np.asarray(self.sentence_encoder(list(prompts)), np.float32)
         q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         pool = self.retr_pool[:n]
@@ -204,23 +215,36 @@ class LTEvlTrainable(LTEvl):
         return (kl * m).sum() / jnp.maximum(m.sum(), 1.0)
 
     def train_step(self, batch):
+        dparams, self._opt_state, loss, logs = self._train_step_jit(
+            self.vllm.params["decoder"], self._opt_state,
+            self._frozen_decoder, batch["prefix"], batch["rel"],
+            batch["gens"], batch["locs"])
+        self.vllm.params = dict(self.vllm.params, decoder=dparams)
+        return float(loss), {k: float(v) for k, v in logs.items()}
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _train_step_jit(self, dparams, opt_state, frozen, prefix, rel,
+                        gens, locs):
+        """One fused fwd+bwd+update program (every other trainable editor
+        jits its step; eager per-op dispatch is pathological on the
+        remote-compile runtime). All multi-GB trees are ARGUMENTS."""
         tc = self.cfg.train_config
         vcfg = self.vllm.cfg
 
         def loss_fn(dparams):
             total = 0.0
             logs = {}
-            rel = self._prefixed_loss(dparams, batch["prefix"], batch["rel"])
-            logs["rel_loss"] = rel
-            total += rel * tc.relia_lambda
-            for k, qb in batch["gens"].items():
-                g = self._prefixed_loss(dparams, batch["prefix"], qb)
+            rel_l = self._prefixed_loss(dparams, prefix, rel)
+            logs["rel_loss"] = rel_l
+            total += rel_l * tc.relia_lambda
+            for k, qb in gens.items():
+                g = self._prefixed_loss(dparams, prefix, qb)
                 total += g * tc.gen_lambda
             logs["gen_loss_last"] = g
-            for k, qb in batch["locs"].items():
+            for k, qb in locs.items():
                 pre = jax.lax.stop_gradient(dec.decoder_logits(
-                    self._frozen_decoder, vcfg.decoder,
-                    dec.decoder_forward(self._frozen_decoder, vcfg.decoder,
+                    frozen, vcfg.decoder,
+                    dec.decoder_forward(frozen, vcfg.decoder,
                                         qb.embeds, qb.kv_valid)))
                 # unprefixed KL
                 h = dec.decoder_forward(dparams, vcfg.decoder, qb.embeds,
@@ -231,17 +255,14 @@ class LTEvlTrainable(LTEvl):
                 lp2 = jax.nn.log_softmax(logits1, -1)
                 kl1 = ((jnp.exp(lp1) * (lp1 - lp2)).sum(-1) * m).sum() \
                     / jnp.maximum(m.sum(), 1.0)
-                kl2 = self._prefixed_loss(dparams, batch["prefix"], qb, kl_ref=pre)
+                kl2 = self._prefixed_loss(dparams, prefix, qb, kl_ref=pre)
                 total += (kl1 + kl2) / 2 * tc.loc_lambda
             logs["loc_loss_last"] = (kl1 + kl2) / 2
             return total, logs
 
-        dparams = self.vllm.params["decoder"]
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(dparams)
-        updates, self._opt_state = self._opt.update(grads, self._opt_state, dparams)
-        dparams = optax.apply_updates(dparams, updates)
-        self.vllm.params = dict(self.vllm.params, decoder=dparams)
-        return float(loss), {k: float(v) for k, v in logs.items()}
+        updates, opt_state = self._opt.update(grads, opt_state, dparams)
+        return optax.apply_updates(dparams, updates), opt_state, loss, logs
 
     def train_init_editor(self, seed: int):
         # The trainable state IS the decoder; keep the pristine copy for

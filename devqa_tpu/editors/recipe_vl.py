@@ -179,23 +179,38 @@ class RECIPEvl(VLLMEditor):
 
     # ------------------------------------------------------------------
 
-    def _encode_krm(self, texts: Sequence[str], kind: str):
+    def _krm_tok(self, texts: Sequence[str]):
+        """Tokenize for the knowledge-rep model, padded to a 32-bucket so
+        the encoder's compiled-shape set stays O(1) on the probe-batch
+        hot path (exact-max padding makes the shape a function of each
+        batch's longest prompt — CLAUDE.md shape-stability rule)."""
         ids_list = [self.text_tokenizer.encode(t)[:512] for t in texts]
-        L = max(len(x) for x in ids_list)
-        ids = np.full((len(texts), L), self.text_tokenizer.pad_token_id, np.int32)
+        L = max(32, -(-max(len(x) for x in ids_list) // 32) * 32)
+        ids = np.full((len(texts), L), self.text_tokenizer.pad_token_id,
+                      np.int32)
         mask = np.zeros((len(texts), L), np.int32)
         for i, x in enumerate(ids_list):
             ids[i, :len(x)] = x
             mask[i, :len(x)] = 1
-        return krm_encode_texts(self.params, self.cfg, jnp.asarray(ids),
-                                jnp.asarray(mask), kind)
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    def _encode_krm(self, texts: Sequence[str], kind: str):
+        ids, mask = self._krm_tok(texts)
+        return self._krm_encode_jit(self.params, ids, mask, kind)
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _krm_encode_jit(self, rparams, ids, mask, kind):
+        return krm_encode_texts(rparams, self.cfg, ids, mask, kind)
 
     def edit_one_piece(self, request: EditRequest):
         p, t = request["prompt"], request["target_new"]
         text = p + (" " if p[-1] != " " and t[0] != " " else "") + t
         reps = self._encode_krm([text], "k")
         pt = prompt_tokens(self.params, self.cfg, reps)
-        i = int(self.state["count"])
+        cap = int(self.state["knowl_reps"].shape[0])
+        # ring over slots 1..cap-1 (the prototype owns slot 0); an
+        # out-of-bounds .at[].set would silently drop the edit
+        i = 1 + (int(self.state["count"]) - 1) % (cap - 1)
         self.state = {
             "knowl_reps": self.state["knowl_reps"].at[i].set(reps[0]),
             "prompts": self.state["prompts"].at[i].set(pt[0]),
@@ -289,16 +304,7 @@ class RECIPEvlTrainable(RECIPEvl):
                                             [x[1] for x in lst],
                                             [x[2] for x in lst])
 
-        def tok(texts):
-            ids_list = [self.text_tokenizer.encode(t)[:512] for t in texts]
-            L = max(len(x) for x in ids_list)
-            ids = np.full((len(texts), L), self.text_tokenizer.pad_token_id,
-                          np.int32)
-            mask = np.zeros((len(texts), L), np.int32)
-            for i, x in enumerate(ids_list):
-                ids[i, :len(x)] = x
-                mask[i, :len(x)] = 1
-            return jnp.asarray(ids), jnp.asarray(mask)
+        tok = self._krm_tok
 
         return {
             "knowl_tok": tok(knowl), "q1_tok": tok(q1), "q2_tok": tok(q2),
@@ -307,12 +313,13 @@ class RECIPEvlTrainable(RECIPEvl):
             "B": len(cases),
         }
 
-    @partial(jax.jit, static_argnums=(0, 3))
-    def _train_step_jit(self, carry, batch, B):
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _train_step_jit(self, carry, vparams, batch, B):
+        # vparams is an ARGUMENT — closing over the multi-GB backbone
+        # bakes it into the program as constants (CLAUDE.md rule).
         rparams, opt_state = carry
         cfg = self.cfg
         vcfg = self.vllm.cfg
-        vparams = self.vllm.params
         tc = cfg.train
         rd = cfg.krm.knowledge_rep_dim
         scale = 1.0 / rd ** 0.5
@@ -397,9 +404,10 @@ class RECIPEvlTrainable(RECIPEvl):
         return (rparams, opt_state), loss, logs
 
     def train_step(self, batch):
-        B = batch.pop("B")
+        B = batch["B"]
+        arrays = {k: v for k, v in batch.items() if k != "B"}
         (self.params, self._opt_state), loss, logs = self._train_step_jit(
-            (self.params, self._opt_state), batch, B)
+            (self.params, self._opt_state), self.vllm.params, arrays, B)
         return float(loss), {k: float(v) for k, v in logs.items()}
 
     def train_init_editor(self, seed: int):

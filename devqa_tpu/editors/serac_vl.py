@@ -115,9 +115,14 @@ def init_serac_params(cfg: SERACvlConfig, key):
 def classifier_reps(params, cfg: SERACvlConfig, embeds, mask):
     """``get_sim_reps`` (modules.py:41-50), batched: [B, L, D] → [B, 3d]."""
     p = params["classifier"]
-    x = _resblock(p["proj"], embeds[:, -512:])
+    # The reference truncates to the LAST 512 embeddings of an UNPADDED
+    # batch-1 row (modules.py:44-47) — i.e. all tokens whenever the row
+    # is ≤512 long. This build right-pads (valid tokens first), so the
+    # faithful window is the FIRST 512 positions; [-512:] here would
+    # feed the classifier trailing padding and drop the real head.
+    x = _resblock(p["proj"], embeds[:, :512])
     x = layer_norm(x, p["ln"]["scale"], p["ln"]["bias"]) / 32.0
-    m = mask[:, -512:]
+    m = mask[:, :512]
     h = bert_mod.bert_encode(p["bert"], cfg.classifier, inputs_embeds=x,
                              attention_mask=m)
     mf = m[..., None].astype(h.dtype)
@@ -181,16 +186,25 @@ class SERACvl(VLLMEditor):
         L = embeds.shape[1]
         E = cfg.max_edit_len
         if L >= E:
-            ee, em = embeds[:, :E], kv_valid[:, :E]
+            # Overlong edits keep the LAST E valid positions (prompt tail
+            # + target) — a head window would chop off the target tokens,
+            # leaving the counterfactual model conditioned on a fact with
+            # no answer. Short rows reduce to the first-E window.
+            v = kv_valid.sum(1)                        # [B] valid lengths
+            start = jnp.maximum(v - E, 0)
+            idx = start[:, None] + jnp.arange(E)[None, :]
+            idxc = jnp.minimum(idx, L - 1)
+            ee = jnp.take_along_axis(embeds, idxc[..., None], axis=1)
+            em = jnp.take_along_axis(kv_valid, idxc, axis=1) * (idx < L)
         else:
             ee = jnp.pad(embeds, ((0, 0), (0, E - L), (0, 0)))
             em = jnp.pad(kv_valid, ((0, 0), (0, E - L)))
-        i = state["count"]
+        i = state["count"] % cfg.max_edits  # ring: overwrite oldest
         return {
             "sim_reps": state["sim_reps"].at[i].set(reps[0]),
             "edit_embeds": state["edit_embeds"].at[i].set(ee[0]),
             "edit_mask": state["edit_mask"].at[i].set(em[0].astype(jnp.int32)),
-            "count": i + 1,
+            "count": state["count"] + 1,
         }
 
     def edit_one_piece(self, request: EditRequest):
@@ -277,11 +291,12 @@ class SERACvlTrainable(SERACvl):
             "B": len(cases), "G": len(gen_keys), "K": len(loc_keys),
         }
 
-    @partial(jax.jit, static_argnums=(0, 4, 5, 6))
-    def _train_step_jit(self, sparams, opt_state, batch, B, G, K):
+    @partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    def _train_step_jit(self, sparams, opt_state, vparams, batch, B, G, K):
+        # vparams is an ARGUMENT — closing over the multi-GB backbone
+        # bakes it into the program as constants (CLAUDE.md rule).
         cfg = self.cfg
         vcfg = self.vllm.cfg
-        vparams = self.vllm.params
         tc = cfg.train_config
         eps = 1e-8
         E = cfg.max_edit_len
@@ -364,7 +379,7 @@ class SERACvlTrainable(SERACvl):
         B, G, K = batch["B"], batch["G"], batch["K"]
         arrays = {k: v for k, v in batch.items() if k not in ("B", "G", "K")}
         self.params, self._opt_state, loss, logs = self._train_step_jit(
-            self.params, self._opt_state, arrays, B, G, K)
+            self.params, self._opt_state, self.vllm.params, arrays, B, G, K)
         return float(loss), {k: float(v) for k, v in logs.items()}
 
     def train_init_editor(self, seed: int):

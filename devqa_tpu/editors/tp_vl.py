@@ -76,6 +76,7 @@ class TPvl(VLLMEditor):
         self.cfg = config
         self.locality_texts = list(locality_texts or _DEFAULT_LOCALITY_TEXTS)
         self.rng = np.random.default_rng(seed)
+        self._loc_cache = None
         dcfg = vllm.cfg.decoder
         self.d_in, self.d_out = dcfg.d_model, dcfg.d_model
         self._opt = optax.adamw(config.lr, weight_decay=config.weight_decay)
@@ -136,29 +137,13 @@ class TPvl(VLLMEditor):
             vparams["decoder"], vcfg.decoder, loc_embeds, loc_kv, lo=0, hi=li))
 
         layer_p = tree_slice(vparams["decoder"]["layers"], li)
+        mlp_input = dec.mlp_input_at_layer  # single source of truth
 
-        def mlp_input(p, h, kv):
-            """The post-norm MLP input of the patched layer (what the
-            fc1 hook sees)."""
-            from ..ops.layers import layer_norm, rms_norm, linear
-            from ..core.decoder import ACTIVATIONS, _attn_block, positions_from_mask
-
-            positions = positions_from_mask(kv)
-            if vcfg.decoder.arch == "opt":
-                hn = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"],
-                                vcfg.decoder.norm_eps)
-                h2 = h + _attn_block(p, vcfg.decoder, hn, kv, positions)
-                x = layer_norm(h2, p["ln2"]["scale"], p["ln2"]["bias"],
-                               vcfg.decoder.norm_eps)
-            else:
-                hn = rms_norm(h, p["ln1"]["scale"], vcfg.decoder.norm_eps)
-                h2 = h + _attn_block(p, vcfg.decoder, hn, kv, positions)
-                x = rms_norm(h2, p["ln2"]["scale"], vcfg.decoder.norm_eps)
-            return x
-
-        x_edit = jax.lax.stop_gradient(mlp_input(layer_p, pre_e, e_kv))
+        x_edit = jax.lax.stop_gradient(
+            mlp_input(layer_p, vcfg.decoder, pre_e, e_kv))
         x_loc = jax.lax.stop_gradient(
-            jax.vmap(lambda h, kv: mlp_input(layer_p, h[None], kv[None])[0])(
+            jax.vmap(lambda h, kv: mlp_input(
+                layer_p, vcfg.decoder, h[None], kv[None])[0])(
                 pre_loc, loc_kv))
 
         def run_with_patch(state2, pre, kv):
@@ -167,13 +152,14 @@ class TPvl(VLLMEditor):
                 mlp_residual=(li, lambda x: TPvl._patch_delta(state2, x)))
             return dec.decoder_logits(vparams["decoder"], vcfg.decoder, h)
 
+        slot = state["count"] % state["K"].shape[0]  # ring: wrap at cap
+
         def loss_fn(new, step):
             k, b, v = new["k"], new["b"], new["v"]
-            i = state["count"]
-            st2 = {"K": state["K"].at[i].set(k),
-                   "B": state["B"].at[i].set(b[0]),
-                   "V": state["V"].at[i].set(v),
-                   "count": i + 1}
+            st2 = {"K": state["K"].at[slot].set(k),
+                   "B": state["B"].at[slot].set(b[0]),
+                   "V": state["V"].at[slot].set(v),
+                   "count": state["count"] + 1}
             logits = run_with_patch(st2, pre_e, e_kv)
             logp = jax.nn.log_softmax(logits, -1)
             picked = jnp.take_along_axis(logp, e_labels[..., None], -1)[..., 0]
@@ -202,19 +188,28 @@ class TPvl(VLLMEditor):
             return optax.apply_updates(new, updates), opt_state
 
         new, _ = jax.lax.fori_loop(0, cfg.num_steps, body, (new, opt_state))
-        i = state["count"]
-        return {"K": state["K"].at[i].set(new["k"]),
-                "B": state["B"].at[i].set(new["b"][0]),
-                "V": state["V"].at[i].set(new["v"]),
-                "count": i + 1}
+        return {"K": state["K"].at[slot].set(new["k"]),
+                "B": state["B"].at[slot].set(new["b"][0]),
+                "V": state["V"].at[slot].set(new["v"]),
+                "count": state["count"] + 1}
+
+    def _loc_corpus(self):
+        """Locality texts encoded ONCE into one fixed [N, L] bucket.
+        Re-encoding a fresh sample per edit makes the bucketed length a
+        function of the sample, recompiling the fori_loop edit program
+        inside the timed loop (30-90s per new shape on remote-compile
+        runtimes) — and re-pays N text encodes per edit."""
+        if self._loc_cache is None:
+            self._loc_cache = self.vllm.encode_texts(self.locality_texts)
+        return self._loc_cache
 
     def edit_one_piece(self, request: EditRequest):
         qb = self.vllm.encode_queries(
             [request["prompt"]], [request.get("image")], [request["target_new"]])
         steps = self.cfg.num_steps
-        texts = [self.locality_texts[self.rng.integers(len(self.locality_texts))]
-                 for _ in range(steps)]
-        loc_embeds, loc_kv = self.vllm.encode_texts(texts)
+        ce, ck = self._loc_corpus()
+        idx = jnp.asarray(self.rng.integers(len(self.locality_texts),
+                                            size=steps))
         self.state = self._edit_jit(
             self.state, self.vllm.params, qb.embeds, qb.kv_valid,
-            qb.label_ids, qb.label_masks, loc_embeds, loc_kv)
+            qb.label_ids, qb.label_masks, ce[idx], ck[idx])

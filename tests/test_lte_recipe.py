@@ -130,3 +130,34 @@ class TestRECIPE:
                               results_dir=str(tmp_path / "res"))
         results = ev.evaluate_single_edit()
         assert len(results) == 2
+
+
+class TestRingCapacity:
+    """Edits past max_edits wrap the ring (newest kept) instead of
+    crashing (LTE's numpy pool raised IndexError) or being silently
+    dropped (JAX out-of-bounds scatter)."""
+
+    def test_lte_wraps_past_capacity(self):
+        vllm = make_tiny_vllm()
+        editor = LTEvl(vllm, lte_cfg(vllm), hash_encoder(16))  # cap 8
+        for i in range(10):  # 2 past capacity — used to IndexError at 8
+            editor.edit_one_piece({"prompt": f"fact {i} is", "image": None,
+                                   "target_new": "blue"})
+        assert int(editor.state["count"]) == 10
+        # newest edit landed in slot 10 % 8 = 1
+        assert np.abs(np.asarray(editor.state["prefix_mask"][1])).sum() > 0
+
+    def test_liveedit_wraps_past_capacity(self):
+        from devqa_tpu.editors.liveedit import LiveEdit
+        from test_liveedit import tiny_liveedit_cfg
+
+        vllm = make_tiny_vllm()
+        cfg = tiny_liveedit_cfg(vllm).replace(max_edits=4)
+        ed = LiveEdit(vllm, cfg, seed=0)
+        for i in range(6):
+            ed.edit_one_piece({"prompt": f"thing {i} is", "image": f"i{i}.jpg",
+                               "target_new": "red"})
+        assert int(ed.state["count"]) == 6
+        # slot 1 holds edit #5 (5 % 4 = 1): its rep differs from edit #1's
+        # original write (overwritten by the wrap)
+        assert np.isfinite(np.asarray(ed.state["eqr"])).all()
