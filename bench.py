@@ -4,16 +4,34 @@ Workload (BASELINE.md): sequential EVQA editing on the BLIP-2-OPT-2.7b
 architecture — per test case: 1 LiveEdit edit + pre-edit locality
 snapshot (9 probes) + post-edit measurement (12 probes). Random bf16
 weights (metric quality is weight-independent; compute shape is identical
-to converted checkpoints), synthetic EVQA-schema records and images.
+to converted checkpoints); synthetic EVQA-schema records by default, or
+the REAL reference eval records (`BENCH_REAL_DATA=1` loads
+/root/reference/DE-VQA/data/easy-edit-mm/vqa/vqa_eval.json — real
+prompts, real sequence lengths; images stay synthetic with the real
+paths as cache keys).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": cases/sec, "unit": "cases/sec", "vs_baseline": R}
+  {"metric": ..., "value": cases/sec, "unit": "cases/sec",
+   "vs_baseline": R, "mfu": {...}, "flash": {...}, "train": {...}}
 
-``vs_baseline`` compares the fused TPU pipeline (split-batched probes +
-batched edits + cached vision encodes, eval/harness.FusedEditorEvaluation)
-against the reference *protocol* executed on the same chip (per-probe
-batch-1 forwards, vision re-encoded per probe — DE-VQA's torch loop per
-SURVEY.md §3.1). Same-hardware protocol speedup, not an A100 comparison.
+- ``vs_baseline`` compares the fused TPU pipeline (split-batched probes +
+  batched edits + cached vision encodes) against the reference *protocol*
+  executed on the same chip (per-probe batch-1 forwards, vision
+  re-encoded per probe — DE-VQA's torch loop per SURVEY.md §3.1).
+  Same-hardware protocol speedup, not an A100 comparison.
+- ``mfu``: analytic FLOPs (utils/flops.py, golden-tested vs XLA cost
+  analysis) of the timed fused region over wall time x chip bf16 peak
+  (BENCH_PEAK_TFLOPS, default 197 = v5e). mfu_decoder/mfu_vision are
+  each component's FLOPs over the SAME total wall clock (they sum to
+  mfu_total).
+- ``flash``: the long-context regime (LLaVA shapes: 576 vision + 64 text
+  = 640 tokens, d=4096 — where ops/attention.py's Pallas kernel engages
+  at kv>=512): reduced-layer same-width vicuna decoder forward, flash vs
+  DEVQA_DISABLE_FLASH=1 tokens/s.
+- ``train``: jitted LiveEdit meta-training steps/s at blip2-2.7b scale,
+  ONE compiled shape across steps (train_vllm_editor.py:52-89 role).
+Phases after the main metric run only while inside the soft wall-clock
+budget; force/skip with BENCH_FLASH / BENCH_TRAIN = 1/0.
 """
 import json
 import os
@@ -33,37 +51,162 @@ try:  # larger stack for deep LLVM codegen (see tests/conftest.py)
 except Exception:
     pass
 
+REAL_VQA_EVAL = \
+    "/root/reference/DE-VQA/data/easy-edit-mm/vqa/vqa_eval.json"
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
 def build_cases(n, tmp):
-    records = []
-    rng = np.random.default_rng(0)
-    words = ["cat", "dog", "sky", "tree", "car", "red", "blue", "bird"]
-    ph = lambda: str(rng.choice(words))
-    for i in range(n):
-        records.append({
-            "src": f"what is the {ph()} near the {ph()} in scene {i}",
-            "rephrase": f"which {ph()} is near the {ph()} in scene {i}",
-            "pred": ph(), "alt": ph(),
-            "image": f"img_{i}.jpg", "image_rephrase": f"img_{i}_re.jpg",
-            "loc": f"who wrote the {ph()} about the {ph()}", "loc_ans": ph(),
-            "m_loc": f"mloc_{i}.jpg", "m_loc_q": f"what color is the {ph()}",
-            "m_loc_a": ph()})
+    if os.environ.get("BENCH_REAL_DATA") == "1" \
+            and os.path.exists(REAL_VQA_EVAL):
+        with open(REAL_VQA_EVAL) as f:
+            records = json.load(f)[:n]
+        log("real data: %d records from vqa_eval.json" % len(records))
+    else:
+        records = []
+        rng = np.random.default_rng(0)
+        words = ["cat", "dog", "sky", "tree", "car", "red", "blue", "bird"]
+        ph = lambda: str(rng.choice(words))
+        for i in range(n):
+            records.append({
+                "src": f"what is the {ph()} near the {ph()} in scene {i}",
+                "rephrase": f"which {ph()} is near the {ph()} in scene {i}",
+                "pred": ph(), "alt": ph(),
+                "image": f"img_{i}.jpg", "image_rephrase": f"img_{i}_re.jpg",
+                "loc": f"who wrote the {ph()} about the {ph()}",
+                "loc_ans": ph(),
+                "m_loc": f"mloc_{i}.jpg",
+                "m_loc_q": f"what color is the {ph()}",
+                "m_loc_a": ph()})
     path = os.path.join(tmp, "vqa_eval.json")
     with open(path, "w") as f:
         json.dump(records, f)
     return path
 
 
+def fetch_scalar(x):
+    """Device sync that works through the axon tunnel (CLAUDE.md:
+    block_until_ready does NOT synchronize there — fetch a value)."""
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def bench_flash_regime(reps=3, iters=4):
+    """Flash-vs-XLA attention at LLaVA shapes (640-token sequences where
+    ops/attention.py:FLASH_MIN_KV_LEN engages). Reduced-layer (default 8)
+    same-width/same-seq vicuna decoder — the full 7b would crowd HBM next
+    to the resident 2.7b bench weights. Returns a dict for the JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from devqa_tpu.core import decoder as dec
+    from devqa_tpu.core import vllm as V
+
+    n_layers = int(os.environ.get("BENCH_FLASH_LAYERS", "8"))
+    B, L = int(os.environ.get("BENCH_FLASH_B", "4")), 640
+    dcfg = dec.vicuna_7b_config()
+    import dataclasses
+
+    dcfg = dataclasses.replace(dcfg, n_layers=n_layers)
+    cfg = V.text_only_vllm_config(dcfg, name="flashbench")
+    t0 = time.time()
+    params = jax.jit(lambda k: V.init_vllm_params(cfg, k, jnp.bfloat16))(
+        jax.random.PRNGKey(1))
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(
+        rng.normal(size=(B, L, dcfg.d_model)) * 0.02, jnp.bfloat16)
+    kv = jnp.ones((B, L), jnp.int32)
+    log("flash bench init: %.1fs" % (time.time() - t0))
+
+    def timed_variant(disable: bool):
+        # env is read at TRACE time -> two separately-jitted callables
+        # embed the two dispatch paths.
+        os.environ["DEVQA_DISABLE_FLASH"] = "1" if disable else "0"
+        fwd = jax.jit(lambda p, e, k: V.vllm_logits(p, cfg, e, k)
+                      .astype(jnp.float32).mean())
+        t0 = time.time()
+        fetch_scalar(fwd(params, embeds, kv))  # compile + 1 run
+        log("  compile(%s): %.1fs" % ("xla" if disable else "flash",
+                                      time.time() - t0))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            acc = None
+            for _ in range(iters):
+                acc = fwd(params, embeds, kv)
+            fetch_scalar(acc)
+            best = min(best, (time.time() - t0) / iters)
+        os.environ.pop("DEVQA_DISABLE_FLASH", None)
+        return best
+
+    t_flash = timed_variant(disable=False)
+    t_xla = timed_variant(disable=True)
+    toks = B * L
+    out = {
+        "shape": "B%d_L%d_d%d_%dlayers" % (B, L, dcfg.d_model, n_layers),
+        "flash_tokens_per_s": round(toks / t_flash, 1),
+        "xla_tokens_per_s": round(toks / t_xla, 1),
+        "flash_speedup": round(t_xla / t_flash, 3),
+    }
+    log("flash regime:", out)
+    return out
+
+
+def bench_train_step(vllm, n_steps=6):
+    """Jitted LiveEdit meta-training steps/s at blip2-2.7b scale, one
+    compiled shape across steps (verified via the jit cache size)."""
+    import jax
+
+    from devqa_tpu.data.schema import EVQA
+    from devqa_tpu.editors.liveedit import LiveEditConfig, LiveEditTrainable
+    from devqa_tpu.retrieval.store import hash_encoder
+
+    cfg = vllm.cfg
+    lcfg = LiveEditConfig(edit_model_name=cfg.name,
+                          llm_mid_dim=cfg.decoder.d_model,
+                          edit_layer_i=21, max_edits=32)
+    editor = LiveEditTrainable(vllm, lcfg, seed=0)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = build_cases(8, tmp)
+        data = EVQA(path, tmp, encoder=hash_encoder(16))
+        batch = editor.organize_batch_data(data.data[:4])
+    B, G, K = batch.pop("B"), batch.pop("G"), batch.pop("K")
+    t0 = time.time()
+    editor.params, editor._opt_state, loss, _ = editor._train_step_jit(
+        editor.params, editor._opt_state, vllm.params, batch, B, G, K)
+    fetch_scalar(loss)
+    compile_s = time.time() - t0
+    log("train step compile+1st: %.1fs" % compile_s)
+    t0 = time.time()
+    for _ in range(n_steps):
+        editor.params, editor._opt_state, loss, _ = editor._train_step_jit(
+            editor.params, editor._opt_state, vllm.params, batch, B, G, K)
+    fetch_scalar(loss)
+    dt = time.time() - t0
+    try:  # the jit cache size proves ONE compiled shape across all steps
+        cache_size = type(editor)._train_step_jit._cache_size()
+    except Exception:
+        cache_size = -1
+    out = {"liveedit_steps_per_s": round(n_steps / dt, 3),
+           "batch_requests": 4,
+           "compiled_shapes": cache_size,
+           "compile_s": round(compile_s, 1)}
+    log("train bench:", out, "(cache=%d -> O(1) shapes)" % cache_size)
+    assert cache_size in (1, -1), \
+        "train step recompiled inside the timed region"
+    return out
+
+
 def main():
     t_start = time.time()
     # Soft wall-clock budget: remote-compile latency varies wildly
     # run-to-run (30s-8min per program on bad days); once past the
-    # budget, later best-of-N repeats are dropped so the driver always
-    # gets its JSON line instead of a timeout.
+    # budget, later best-of-N repeats and optional phases are dropped so
+    # the driver always gets its JSON line instead of a timeout.
     soft_budget = float(os.environ.get("BENCH_SOFT_BUDGET_S", "420"))
     import jax
     import jax.numpy as jnp
@@ -77,6 +220,7 @@ def main():
     from devqa_tpu.eval.harness import (FusedEditorEvaluation,
                                         case_probe_specs)
     from devqa_tpu.retrieval.store import hash_encoder
+    from devqa_tpu.utils import flops as FL
 
     log("devices:", jax.devices())
     cfg = V.blip2_opt_2_7b_config()
@@ -97,14 +241,17 @@ def main():
     n_timed_cases = int(os.environ.get("BENCH_CASES", "20"))
     max_rows = int(os.environ.get("BENCH_MAX_ROWS", "60"))
     img_pad = int(os.environ.get("BENCH_IMG_PAD", "4"))  # A/B'd: 4 > 8 > 16
+    # Real prompts tokenize longer than the synthetic ones; widen the
+    # bucket so the whole run still compiles O(1) programs.
+    bucket = 64 if os.environ.get("BENCH_REAL_DATA") == "1" else 32
     # Cache must cover EVERY unique image of the run (~6/case incl. warm
     # + reference-protocol cases): the hoisted pre-pass encodes all
     # splits' images up front, so an undersized LRU thrashes and the post
     # passes silently re-encode (measured: vision is ~2/3 of probe-pass
     # time when cold).
     n_all_cases = n_timed_cases + 10 + 8
-    vllm = JaxVLLM(cfg, params, tok, provider, bucket_multiple=32,
-                   min_len=32, img_cache_size=max(256, n_all_cases * 8),
+    vllm = JaxVLLM(cfg, params, tok, provider, bucket_multiple=bucket,
+                   min_len=bucket, img_cache_size=max(256, n_all_cases * 8),
                    img_batch_pad=img_pad)
     lcfg = LiveEditConfig(edit_model_name=cfg.name, llm_mid_dim=cfg.decoder.d_model,
                           edit_layer_i=21,
@@ -141,11 +288,14 @@ def main():
         # reference's -sen 1000 full protocol); default: splits of 10.
         edit_n = int(os.environ.get("BENCH_EDIT_N", str(SPLIT)))
 
+        fe_box = {}
+
         def run_fused(eval_data, name, edit_n_):
             fe = FusedEditorEvaluation(
                 editor, eval_data, evaluation_name=name,
                 results_dir=os.path.join(tmp, "res"),
                 max_rows=max_rows, pad_rows=True, hoist_pre=True)
+            fe_box["fe"] = fe
             # Keep stdout clean: the driver expects exactly one JSON line.
             with contextlib.redirect_stdout(sys.stderr):
                 fe.evaluate_sequential_edit(edit_n=edit_n_)
@@ -162,29 +312,50 @@ def main():
         # pays the full pipeline (encode + edit + measure), not a
         # cache-warmed decoder-only pass.
         reps = int(os.environ.get("BENCH_REPEATS", "3"))
-        fused_cps = 0.0
+        fused_cps, mfu = 0.0, {}
+        # FLOP model for the MFU accounting of the timed region.
+        seq_full = bucket + cfg.n_img_tokens
+        dec_ftok = FL.decoder_flops_per_token(cfg.decoder, seq_full)
+        vis_fimg = FL.vision_flops_per_image(cfg)
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
         for r in range(reps):
             if r > 0 and time.time() - t_start > soft_budget:
                 log("soft budget hit — skipping fused repeat %d" % r)
                 break
             vllm.clear_image_cache()
             editor.restore_to_original_model()
+            c0 = dict(vllm.counters)
             t0 = time.time()
             run_fused(sliced(SPLIT * n_warm_splits,
                              SPLIT * n_warm_splits + n_timed), "timed", edit_n)
             dt = time.time() - t0
-            log("fused[%d]: %.2fs for %d cases → %.3f cases/s" %
-                (r, dt, n_timed, n_timed / dt))
-            fused_cps = max(fused_cps, n_timed / dt)
-        log("fused best-of-%d: %.3f cases/s" % (reps, fused_cps))
+            dec_tokens = (vllm.counters["decoder_tokens"]
+                          - c0["decoder_tokens"]
+                          + fe_box["fe"].probe_tokens)
+            n_imgs = vllm.counters["images_encoded"] - c0["images_encoded"]
+            log("fused[%d]: %.2fs for %d cases → %.3f cases/s "
+                "(%d dec tokens, %d imgs)" %
+                (r, dt, n_timed, n_timed / dt, dec_tokens, n_imgs))
+            if n_timed / dt > fused_cps:
+                fused_cps = n_timed / dt
+                f_dec = dec_tokens * dec_ftok
+                f_vis = n_imgs * vis_fimg
+                mfu = {
+                    "mfu_decoder": round(f_dec / (dt * peak), 4),
+                    "mfu_vision": round(f_vis / (dt * peak), 4),
+                    "mfu_total": round((f_dec + f_vis) / (dt * peak), 4),
+                    "tflops_per_s": round((f_dec + f_vis) / dt / 1e12, 1),
+                    "peak_tflops": peak / 1e12,
+                }
+        log("fused best-of-%d: %.3f cases/s  mfu=%s" % (reps, fused_cps, mfu))
 
         # ---- reference-protocol path (batch-1 probes, no vision cache,
         # no image-batch padding — the torch loop encodes one image at a
         # time) ----
         from devqa_tpu.core.losses import token_accuracy
 
-        vllm_base = JaxVLLM(cfg, params, tok, provider, bucket_multiple=32,
-                            min_len=32, img_cache_size=256, img_batch_pad=1)
+        vllm_base = JaxVLLM(cfg, params, tok, provider, bucket_multiple=bucket,
+                            min_len=bucket, img_cache_size=256, img_batch_pad=1)
         editor_base = LiveEdit(vllm_base, lcfg, seed=0)
         metrics = jax.jit(token_accuracy)
 
@@ -228,14 +399,49 @@ def main():
             base_cps = max(base_cps, n_base / base_dt)
         log("reference-protocol best-of-%d: %.3f cases/s" % (reps, base_cps))
 
+        # ---- optional phases (budget-gated; force/skip via env) ----
+        def phase_on(name, need_s):
+            v = os.environ.get(name)
+            if v is not None:
+                return v == "1"
+            remaining = soft_budget - (time.time() - t_start)
+            if remaining <= need_s:
+                log("%s skipped: %.0fs budget left < %ds needed"
+                    % (name, remaining, need_s))
+                return False
+            return True
+
+        train_res, flash_res = {}, {}
+        if phase_on("BENCH_TRAIN", 150):
+            try:
+                train_res = bench_train_step(vllm)
+            except Exception as e:  # never lose the main metric
+                log("train bench failed:", repr(e))
+                train_res = {"error": str(e)[:200]}
+        if phase_on("BENCH_FLASH", 150):
+            try:
+                flash_res = bench_flash_regime()
+            except Exception as e:
+                log("flash bench failed:", repr(e))
+                flash_res = {"error": str(e)[:200]}
+
     value = fused_cps
     vs = fused_cps / base_cps if base_cps > 0 else 0.0
-    print(json.dumps({
+    out = {
         "metric": "blip2_2.7b_sequential_edit_pipeline_throughput",
         "value": round(value, 4),
         "unit": "cases/sec",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if mfu:
+        out["mfu"] = mfu
+    if flash_res:
+        out["flash"] = flash_res
+    if train_res:
+        out["train"] = train_res
+    if os.environ.get("BENCH_REAL_DATA") == "1":
+        out["real_data"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,11 @@ def get_args():
                    help="fused TPU measurement pipeline (metric-identical "
                         "to the reference protocol; batches all probes + "
                         "hoists pre-edit passes — the bench.py fast path)")
+    p.add_argument("-ltk", "--loc_topk", type=int, default=None,
+                   help="EasyEdit-side locality top-k agreement "
+                        "(multimodal_editor.py:977-1007; k=1 text / k=N "
+                        "multimodal). Defaults to 10 for ike/hice, off "
+                        "otherwise.")
     p.add_argument("-mr", "--max_rows", type=int, default=60,
                    help="probe rows per fused device batch")
     p.add_argument("-tp", "--tensor_parallel", type=int, default=1,
@@ -119,14 +124,20 @@ def main():
         editor.vllm.params = shard_params(editor.vllm.params, mesh)
         editor.vllm.mesh = mesh
         print("mesh:", dict(mesh.shape))
+    # IKE/HICE are scored by the EasyEdit protocol's top-k agreement
+    # by default (the reference's MultimodalEditor path).
+    loc_topk = args.loc_topk
+    if loc_topk is None and editor_name in ("ike", "hice"):
+        loc_topk = 10
     if args.fused:
         from ..eval.harness import FusedEditorEvaluation
 
         ev = FusedEditorEvaluation(editor, data, eval_name, args.results_dir,
                                    max_rows=args.max_rows, pad_rows=True,
-                                   hoist_pre=True)
+                                   hoist_pre=True, loc_topk=loc_topk)
     else:
-        ev = EditorEvaluation(editor, data, eval_name, args.results_dir)
+        ev = EditorEvaluation(editor, data, eval_name, args.results_dir,
+                              loc_topk=loc_topk)
     ev.evaluate_sequential_edit(args.sequential_edit_n, False, None)
 
 

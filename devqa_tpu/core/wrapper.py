@@ -84,6 +84,12 @@ class JaxVLLM:
         self.img_batch_pad = max(1, img_batch_pad)
         self._img_cache: OrderedDict[str, jnp.ndarray] = OrderedDict()
         self._img_cache_size = img_cache_size
+        # Compute accounting for MFU reporting (utils/flops.py):
+        # images_encoded counts device-encoded rows (padding included —
+        # that compute is performed), decoder_tokens counts padded tokens
+        # through vllm.logits. Editors with their own jitted query paths
+        # are counted at the harness chokepoint instead.
+        self.counters = {"images_encoded": 0, "decoder_tokens": 0}
 
         self._encode_images_jit = jax.jit(
             lambda params, u8: encode_image(
@@ -114,6 +120,8 @@ class JaxVLLM:
             # runtime every new unique-count costs a 30-90s XLA compile.
             # Fixed-size chunks keep the compiled encode program count at 1.
             bp = self.img_batch_pad
+            self.counters["images_encoded"] += bp * (
+                (len(todo) + bp - 1) // bp)
             for lo in range(0, len(todo), bp):
                 chunk = todo[lo:lo + bp]
                 imgs = [self.image_provider(p) for p in chunk]
@@ -246,6 +254,7 @@ class JaxVLLM:
     # ---------------- forwards ----------------
 
     def logits(self, embeds, kv_valid, params=None) -> jnp.ndarray:
+        self.counters["decoder_tokens"] += int(embeds.shape[0] * embeds.shape[1])
         return self._logits_jit(self.params if params is None else params,
                                 embeds, kv_valid)
 

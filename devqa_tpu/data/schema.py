@@ -114,14 +114,26 @@ def synthesize_cases(
     return cases
 
 
-def _apply_evqa_vlkeb_templates(cases: List[TestCase]) -> None:
-    """EVQA (vllm.py:237-248) / VLKEB (vllm.py:283-288) prompt templates."""
+def _apply_evqa_vlkeb_templates(cases: List[TestCase],
+                                requests_too: bool = True) -> None:
+    """EVQA (vllm.py:237-248) / VLKEB (vllm.py:283-288) prompt templates.
+
+    ``requests_too``: EVQA templates the request and both generality
+    prompts as well; VLKEB templates ONLY the locality prompts — its
+    request/generality prompts stay raw (vllm.py:283-288 has no
+    requests/generality lines). Verified against the real eval JSONs in
+    tests/test_real_data.py.
+    """
     for c in cases:
-        c.requests[0]["prompt"] = "%s The answer is:" % c.requests[0]["prompt"]
-        c.generality["text_rephrase"][0]["prompt"] = (
-            "%s The answer is:" % c.generality["text_rephrase"][0]["prompt"])
-        c.generality["image_rephrase"][0]["prompt"] = (
-            "%s The answer is:" % c.generality["image_rephrase"][0]["prompt"])
+        if requests_too:
+            c.requests[0]["prompt"] = ("%s The answer is:"
+                                       % c.requests[0]["prompt"])
+            c.generality["text_rephrase"][0]["prompt"] = (
+                "%s The answer is:"
+                % c.generality["text_rephrase"][0]["prompt"])
+            c.generality["image_rephrase"][0]["prompt"] = (
+                "%s The answer is:"
+                % c.generality["image_rephrase"][0]["prompt"])
         for key in c.locality:
             c.locality[key][0]["prompt"] = (
                 "%s The answer is:" % c.locality[key][0]["prompt"])
@@ -155,16 +167,18 @@ def _load_records(data_path: str) -> List[Dict]:
 
 
 class EVQA(BaseVLLMEditData):
-    """E-VQA (vllm.py:231-257). VLKEB applies the same templates."""
+    """E-VQA (vllm.py:231-257): templates request + generality + locality
+    prompts; VLKEB below templates only locality."""
 
     def __init__(self, data_path: str, img_root_dir: str,
                  retriever: Optional[Retriever] = None, data_n=None,
-                 encoder=None):
+                 encoder=None, faithful_t3_path_bug: bool = False):
         records = _load_records(data_path)
         if retriever is None:
             assert encoder is not None, "need a retriever or a sentence encoder"
             retriever = build_dataset_retriever(records, img_root_dir, encoder)
-        cases = synthesize_cases(records, img_root_dir, retriever, data_n)
+        cases = synthesize_cases(records, img_root_dir, retriever, data_n,
+                                 faithful_t3_path_bug=faithful_t3_path_bug)
         _apply_evqa_vlkeb_templates(cases)
         super().__init__(cases)
 
@@ -175,13 +189,15 @@ class EVQA(BaseVLLMEditData):
 class VLKEB(BaseVLLMEditData):
     def __init__(self, data_path: str, img_root_dir: str,
                  retriever: Optional[Retriever] = None, data_n=None,
-                 encoder=None):
+                 encoder=None, faithful_t3_path_bug: bool = False):
         records = _load_records(data_path)
         if retriever is None:
             assert encoder is not None, "need a retriever or a sentence encoder"
             retriever = build_dataset_retriever(records, img_root_dir, encoder)
-        cases = synthesize_cases(records, img_root_dir, retriever, data_n)
-        _apply_evqa_vlkeb_templates(cases)
+        cases = synthesize_cases(records, img_root_dir, retriever, data_n,
+                                 faithful_t3_path_bug=faithful_t3_path_bug)
+        # VLKEB templates only the locality prompts (vllm.py:283-288).
+        _apply_evqa_vlkeb_templates(cases, requests_too=False)
         super().__init__(cases)
 
     def dataset_name(self):
@@ -196,12 +212,13 @@ class EIC(BaseVLLMEditData):
 
     def __init__(self, data_path: str, img_root_dir: str,
                  retriever: Optional[Retriever] = None, data_n=None,
-                 encoder=None):
+                 encoder=None, faithful_t3_path_bug: bool = False):
         records = _load_records(data_path)
         if retriever is None:
             assert encoder is not None, "need a retriever or a sentence encoder"
             retriever = build_dataset_retriever(records, img_root_dir, encoder)
-        cases = synthesize_cases(records, img_root_dir, retriever, data_n)
+        cases = synthesize_cases(records, img_root_dir, retriever, data_n,
+                                 faithful_t3_path_bug=faithful_t3_path_bug)
         for c in cases:
             c.locality["text_loc"][0]["prompt"] = (
                 "%s?" % c.locality["text_loc"][0]["prompt"])

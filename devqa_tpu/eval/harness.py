@@ -35,10 +35,20 @@ import numpy as np
 from ..core.losses import token_accuracy
 from ..data.schema import BaseVLLMEditData, TestCase
 from ..editors.base import VLLMEditor
+from .metrics import topk_span_agreement
 
 # One fused device program per measurement pass: argmax + masked accuracy.
 # (Eager per-op dispatch is pathological on remote-compile TPU runtimes.)
 _metrics_jit = jax.jit(token_accuracy)
+
+
+def _topk_ids(logits, k: int):
+    return jax.lax.top_k(logits, k)[1]
+
+
+# top-k indices for the EasyEdit-side locality agreement (one extra
+# fused program per pass; only compiled when loc_topk is enabled).
+_topk_jit = jax.jit(_topk_ids, static_argnames="k")
 
 
 @dataclasses.dataclass
@@ -88,13 +98,29 @@ def case_probe_specs(case: TestCase) -> List[ProbeSpec]:
 class EditorEvaluation:
     def __init__(self, editor: VLLMEditor, eval_data: BaseVLLMEditData,
                  evaluation_name: Optional[str] = None,
-                 results_dir: str = "eval_results"):
+                 results_dir: str = "eval_results",
+                 loc_topk: Optional[int] = None):
         self.editor = editor
         self.eval_data = eval_data
+        # EasyEdit-side locality agreement (multimodal_editor.py:977-1007,
+        # the protocol scoring IKE/HICE): when set (reference value: 10),
+        # every locality entry also gets ``topk_acc`` — positional top-k
+        # index agreement with k=1 for the NQ text_loc probe and
+        # k=loc_topk for image-bearing probes.
+        self.loc_topk = loc_topk
+        # Padded decoder tokens pushed through editor.query_logits (the
+        # editors' own jitted forwards bypass vllm.logits' counter);
+        # bench MFU = these + vllm.counters (utils/flops.py).
+        self.probe_tokens = 0
         editor_name, model_name = editor.name_of_editor_and_model()
         evaluation_name = evaluation_name or time.strftime("%Y.%m.%d-%H.%M.%S")
         self.result_dir = os.path.join(results_dir, editor_name, model_name,
                                        evaluation_name)
+
+    def _k_for(self, sub: str) -> int:
+        """k=1 for text locality, k=loc_topk for multimodal locality —
+        the reference's (k=1, k=10) pair at multimodal_editor.py:987/1004."""
+        return 1 if sub == "text_loc" else int(self.loc_topk)
 
     # ------------------------------------------------------------------
     def _measure_case(self, case: TestCase, before: Dict) -> Dict:
@@ -108,8 +134,12 @@ class EditorEvaluation:
         qb = self.editor.build_query_batch(
             [s.prompt for s in specs], [s.image for s in specs],
             [s.target for s in specs])
+        self.probe_tokens += int(qb.embeds.shape[0] * qb.embeds.shape[1])
         logits = self.editor.query_logits(qb)
         accs, preds = _metrics_jit(logits, qb.label_ids, qb.label_masks)
+        post_topk = None
+        if self.loc_topk:
+            post_topk = np.asarray(_topk_jit(logits, k=int(self.loc_topk)))
         accs = np.asarray(accs)
         preds = np.asarray(preds)
         masks = np.asarray(qb.label_masks)
@@ -122,9 +152,13 @@ class EditorEvaluation:
             if s.kind == "locality":
                 # Host-side numpy agreement (tiny arrays; avoids per-row
                 # device dispatches), span-relative per locality_agreement.
-                ref_ids, ref_mask = before[(s.sub, s.index)]
+                ref_ids, ref_mask, ref_topk = before[(s.sub, s.index)]
                 acc = locality_agreement(ref_ids, ref_mask,
                                          preds[row], masks[row])
+                if post_topk is not None:
+                    entry["topk_acc"] = topk_span_agreement(
+                        ref_topk, ref_mask, post_topk[row], masks[row],
+                        self._k_for(s.sub))
                 entry["predict_before_edit"] = vllm.tokenizer.decode(
                     ref_ids[ref_mask == 1].tolist())
             else:
@@ -146,9 +180,13 @@ class EditorEvaluation:
             [s.target for s in specs])
         logits = vllm.logits(qb.embeds, qb.kv_valid)
         _, preds = _metrics_jit(logits, qb.label_ids, qb.label_masks)
+        topk = None
+        if self.loc_topk:
+            topk = np.asarray(_topk_jit(logits, k=int(self.loc_topk)))
         preds = np.asarray(preds)
         masks = np.asarray(qb.label_masks)
-        return {(s.sub, s.index): (preds[i], masks[i])
+        return {(s.sub, s.index):
+                (preds[i], masks[i], topk[i] if topk is not None else None)
                 for i, s in enumerate(specs)}
 
     # ------------------------------------------------------------------
@@ -320,7 +358,8 @@ class FusedEditorEvaluation(EditorEvaluation):
         self.hoist_pre = hoist_pre
 
     def _run_probe_rows(self, specs, edited: bool):
-        """Run probe specs (chunked) → (accs, preds, masks) np arrays.
+        """Run probe specs (chunked) → (accs, preds, masks, topk) np
+        arrays (topk is None unless ``loc_topk`` is enabled).
 
         All chunks are dispatched before any result is fetched — JAX's
         async dispatch pipelines device work across chunks, hiding
@@ -328,7 +367,8 @@ class FusedEditorEvaluation(EditorEvaluation):
         """
         if not specs:  # e.g. cases with no locality probes at all
             return (np.zeros((0,), np.float32),
-                    np.zeros((0, 1), np.int64), np.zeros((0, 1), np.int64))
+                    np.zeros((0, 1), np.int64), np.zeros((0, 1), np.int64),
+                    None)
         vllm = self.editor.vllm
         pending = []
         for i in range(0, len(specs), self.max_rows):
@@ -341,24 +381,32 @@ class FusedEditorEvaluation(EditorEvaluation):
             targets = [s.target for s in chunk]
             if edited:
                 qb = self.editor.build_query_batch(prompts, images, targets)
+                self.probe_tokens += int(qb.embeds.shape[0]
+                                         * qb.embeds.shape[1])
                 logits = self.editor.query_logits(qb)
             else:
                 qb = vllm.encode_queries(prompts, images, targets)
                 logits = vllm.logits(qb.embeds, qb.kv_valid)
             a, p = _metrics_jit(logits, qb.label_ids, qb.label_masks)
-            pending.append((real, a, p, qb.label_masks))
-        accs, preds, masks = [], [], []
-        for real, a, p, m in pending:
+            tk = _topk_jit(logits, k=int(self.loc_topk)) \
+                if self.loc_topk else None
+            pending.append((real, a, p, qb.label_masks, tk))
+        accs, preds, masks, topks = [], [], [], []
+        for real, a, p, m, tk in pending:
             accs.append(np.asarray(a)[:real])
             preds.append(np.asarray(p)[:real])
             masks.append(np.asarray(m)[:real])
+            if tk is not None:
+                topks.append(np.asarray(tk)[:real])
         L = max(x.shape[1] for x in preds)
 
         def padcat(xs):
             return np.concatenate(
-                [np.pad(x, ((0, 0), (0, L - x.shape[1]))) for x in xs])
+                [np.pad(x, ((0, 0), (0, L - x.shape[1]))
+                        + ((0, 0),) * (x.ndim - 2)) for x in xs])
 
-        return np.concatenate(accs), padcat(preds), padcat(masks)
+        topk = padcat(topks) if topks else None
+        return np.concatenate(accs), padcat(preds), padcat(masks), topk
 
     def evaluate_sequential_edit(self, edit_n: int = 10, random: bool = False,
                                  seed: Optional[int] = None):
@@ -378,11 +426,15 @@ class FusedEditorEvaluation(EditorEvaluation):
                 loc_slices.append((len(loc_specs), len(loc_specs) + len(specs),
                                    specs))
                 loc_specs.extend(specs)
-            _, pre_preds, pre_masks = self._run_probe_rows(loc_specs, False)
+            _, pre_preds, pre_masks, pre_topk = self._run_probe_rows(
+                loc_specs, False)
             befores = []
             for lo, hi, specs in loc_slices:
-                befores.append({(s.sub, s.index): (pre_preds[j], pre_masks[j])
-                                for j, s in zip(range(lo, hi), specs)})
+                befores.append(
+                    {(s.sub, s.index):
+                     (pre_preds[j], pre_masks[j],
+                      pre_topk[j] if pre_topk is not None else None)
+                     for j, s in zip(range(lo, hi), specs)})
             return befores
 
         hoisted = None
@@ -414,7 +466,8 @@ class FusedEditorEvaluation(EditorEvaluation):
                 slices.append((len(all_specs), len(all_specs) + len(specs),
                                specs))
                 all_specs.extend(specs)
-            accs, preds, masks = self._run_probe_rows(all_specs, True)
+            accs, preds, masks, post_topk = self._run_probe_rows(
+                all_specs, True)
             split_res = []
             for case, before, (lo, hi, specs) in zip(split, befores, slices):
                 rd: Dict = {"reliability": [], "generality": {}, "locality": {}}
@@ -424,9 +477,13 @@ class FusedEditorEvaluation(EditorEvaluation):
                     entry["predict_after_edit"] = editor.vllm.tokenizer.decode(
                         preds[j][masks[j] == 1].tolist())
                     if s.kind == "locality":
-                        ref_ids, ref_mask = before[(s.sub, s.index)]
+                        ref_ids, ref_mask, ref_topk = before[(s.sub, s.index)]
                         entry["acc"] = locality_agreement(
                             ref_ids, ref_mask, preds[j], masks[j])
+                        if post_topk is not None:
+                            entry["topk_acc"] = topk_span_agreement(
+                                ref_topk, ref_mask, post_topk[j], masks[j],
+                                self._k_for(s.sub))
                         entry["predict_before_edit"] = editor.vllm.tokenizer.decode(
                             ref_ids[ref_mask == 1].tolist())
                     else:

@@ -166,6 +166,42 @@ def es_per_icl(example: Dict, pre_logits, edit_logits) -> Dict[str, float]:
             "wrong_probs": mean_neg_edit}
 
 
+def topk_logits_agreement(pre_logits, post_logits, k: int = 10) -> float:
+    """EasyEdit-side IKE/HICE locality metric: positional top-k index
+    agreement (multimodal_editor.py:977-1007).
+
+    The reference tail-aligns the two logit windows (``logits[:, -L:]``),
+    takes the top-k indices of the softmax (equivalently of the logits —
+    softmax is monotonic), flattens BOTH the position and rank axes and
+    compares elementwise: this is rank-order agreement of the top-k
+    lists, NOT set overlap (the reference uses k=1 for the NQ text
+    locality and k=10 for multimodal locality).
+    """
+    pre = np.asarray(pre_logits, np.float32)
+    post = np.asarray(post_logits, np.float32)
+    L = min(pre.shape[-2], post.shape[-2])
+    pre, post = pre[..., -L:, :], post[..., -L:, :]
+    a = np.argsort(-pre, axis=-1, kind="stable")[..., :k]
+    b = np.argsort(-post, axis=-1, kind="stable")[..., :k]
+    return float((a == b).mean())
+
+
+def topk_span_agreement(pre_topk, pre_mask, post_topk, post_mask,
+                        k: int) -> float:
+    """:func:`topk_logits_agreement` on precomputed top-k index arrays
+    restricted to each row's supervised span (mask==1) — the harness
+    form: prompt-space editors (IKE/HICE ICL prefixes) shift the span's
+    absolute position between the pre/post batches, so spans are
+    extracted per-row first and then tail-aligned like the reference's
+    ``logits[:, -L:]``."""
+    a = np.asarray(pre_topk)[np.asarray(pre_mask) == 1][:, :k]
+    b = np.asarray(post_topk)[np.asarray(post_mask) == 1][:, :k]
+    n = min(len(a), len(b))
+    if n == 0:
+        return 1.0
+    return float((a[len(a) - n:] == b[len(b) - n:]).mean())
+
+
 def kl_loc(pre_logits, post_logits, mask) -> float:
     """Masked token-KL drift KL(pre ‖ post) with the reference's
     end-alignment ``post[:, -pre_len:]`` (evaluate_utils.py:474-497) —

@@ -54,3 +54,49 @@ class TestFusedEquivalence:
         results = ev.evaluate_sequential_edit(edit_n=2)
         assert int(editor.state["count"]) == 0  # restored after split
         assert len(results) == 1
+
+
+class TestLocTopkAgreement:
+    def test_topk_acc_in_results_and_fused_matches(self, tmp_path):
+        """loc_topk wires the EasyEdit-side agreement into both harness
+        paths; fused == sequential; identity editor scores 1.0."""
+        from devqa_tpu.editors.null import NullEditor
+
+        vllm = make_tiny_vllm()
+        path, _ = write_records(str(tmp_path), 4)
+        data = EVQA(path, str(tmp_path) + "/imgs", encoder=hash_encoder(16))
+
+        def topk_accs(results):
+            out = []
+            for sr in results:
+                for rd in sr:
+                    for k in sorted(rd["locality"]):
+                        out.append((k, round(rd["locality"][k][0]["topk_acc"],
+                                             5)))
+            return out
+
+        editor = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=3)
+        ev1 = EditorEvaluation(editor, data, "A", str(tmp_path / "r1"),
+                               loc_topk=10)
+        r1 = ev1.evaluate_sequential_edit(edit_n=2)
+        ev2 = FusedEditorEvaluation(editor, data, "B", str(tmp_path / "r2"),
+                                    max_rows=16, loc_topk=10)
+        r2 = ev2.evaluate_sequential_edit(edit_n=2)
+        t1, t2 = topk_accs(r1), topk_accs(r2)
+        assert t1 == t2
+        assert all(0.0 <= v <= 1.0 for _, v in t1)
+        # the classic drift accs are unchanged by enabling loc_topk
+        assert collect_accs(r1) == collect_accs(r2)
+
+        # identity editor: pre == post logits → agreement exactly 1
+        null_ed = NullEditor(vllm)
+        ev3 = FusedEditorEvaluation(null_ed, data, "N", str(tmp_path / "r3"),
+                                    max_rows=16, loc_topk=10)
+        r3 = ev3.evaluate_sequential_edit(edit_n=2)
+        assert all(v == 1.0 for _, v in topk_accs(r3))
+
+        # mean_results aggregates the new numeric field automatically
+        mr = json.load(open(os.path.join(
+            str(tmp_path / "r3"), "null", "tiny-opt", "N",
+            "sequential_edit_2", "mean_results.json")))
+        assert mr["total_mean"]["locality"]["text_loc"]["topk_acc"] == 1.0

@@ -261,3 +261,78 @@ class TestCKnowEdit:
         # weights 0.2/0.35/0.35/0.1
         assert total == pytest.approx(0.2 * 100 + 0.35 * 100 + 0.35 * 100
                                       + 0.1 * 30)
+
+
+class TestTopkAgreement:
+    """Golden test of the EasyEdit-side locality top-k agreement against
+    a direct (torch) transcription of multimodal_editor.py:977-1007."""
+
+    @staticmethod
+    def _reference_formula(base_logits, post_logits, k):
+        import torch
+        import torch.nn.functional as F
+
+        base = torch.tensor(base_logits, dtype=torch.float32)
+        post = torch.tensor(post_logits, dtype=torch.float32)
+        if post.shape[1] > base.shape[1]:
+            post = post[:, -base.shape[1]:, :]
+        else:
+            base = base[:, -post.shape[1]:, :]
+        bt = torch.topk(F.softmax(base, dim=-1), k=k, dim=-1).indices
+        pt = torch.topk(F.softmax(post, dim=-1), k=k, dim=-1).indices
+        return float(
+            (pt.view(-1) == bt.view(-1)).sum() / pt.view(-1).shape[0])
+
+    def test_matches_reference_k10(self):
+        rng = np.random.default_rng(0)
+        pre = rng.normal(size=(3, 7, 50)).astype(np.float32)
+        # post: pre plus a perturbation so some ranks shuffle
+        post = pre + 0.3 * rng.normal(size=pre.shape).astype(np.float32)
+        want = self._reference_formula(pre, post, 10)
+        got = M.topk_logits_agreement(pre, post, k=10)
+        assert got == pytest.approx(want, abs=1e-6)
+
+    def test_matches_reference_k1_and_tail_alignment(self):
+        rng = np.random.default_rng(1)
+        pre = rng.normal(size=(2, 5, 40)).astype(np.float32)
+        post = rng.normal(size=(2, 9, 40)).astype(np.float32)  # longer seq
+        want = self._reference_formula(pre, post, 1)
+        got = M.topk_logits_agreement(pre, post, k=1)
+        assert got == pytest.approx(want, abs=1e-6)
+        # and the symmetric case (pre longer)
+        want2 = self._reference_formula(post, pre, 1)
+        got2 = M.topk_logits_agreement(post, pre, k=1)
+        assert got2 == pytest.approx(want2, abs=1e-6)
+
+    def test_identity_is_one(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 6, 30)).astype(np.float32)
+        assert M.topk_logits_agreement(x, x, k=10) == 1.0
+
+    def test_span_agreement_extracts_masked_rows(self):
+        rng = np.random.default_rng(3)
+        pre_topk = rng.integers(0, 50, size=(8, 10))
+        post_topk = pre_topk.copy()
+        post_topk[5] = (post_topk[5] + 1) % 50  # one masked row disagrees
+        pre_mask = np.array([0, 0, 1, 1, 1, 1, 0, 0])
+        post_mask = pre_mask
+        got = M.topk_span_agreement(pre_topk, pre_mask, post_topk,
+                                    post_mask, 10)
+        assert got == pytest.approx(3 / 4)
+        # k=1 slices the leading column only
+        got1 = M.topk_span_agreement(pre_topk, pre_mask, post_topk,
+                                     post_mask, 1)
+        assert got1 == pytest.approx(3 / 4)
+
+    def test_span_agreement_prefix_shift(self):
+        """IKE prepends ICL text: post span sits at a different absolute
+        position; span extraction + tail alignment must line them up."""
+        rng = np.random.default_rng(4)
+        span = rng.integers(0, 50, size=(4, 10))
+        pre_topk = np.concatenate([np.zeros((2, 10), int), span])
+        pre_mask = np.array([0, 0, 1, 1, 1, 1])
+        post_topk = np.concatenate([np.zeros((5, 10), int), span])
+        post_mask = np.array([0, 0, 0, 0, 0, 1, 1, 1, 1])
+        got = M.topk_span_agreement(pre_topk, pre_mask, post_topk,
+                                    post_mask, 10)
+        assert got == 1.0
