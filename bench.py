@@ -30,6 +30,10 @@ Prints ONE JSON line:
   forward, flash vs DEVQA_DISABLE_FLASH=1 tokens/s.
 - ``train``: jitted LiveEdit meta-training steps/s at blip2-2.7b scale,
   ONE compiled shape across steps (train_vllm_editor.py:52-89 role).
+- ``llava_pipeline``: the fused edit-eval pipeline at LLaVA geometry
+  (full CLIP-L-336 tower, 576 image tokens, 640-token probe rows through
+  a reduced-layer 4096-wide decoder) — the flash kernel on the actual
+  eval hot path.
 Phases after the main metric run only while inside BENCH_PHASE_CAP_S
 (default 600s total elapsed); force/skip with BENCH_FLASH / BENCH_TRAIN
 = 1/0.
@@ -158,6 +162,88 @@ def bench_flash_regime(reps=3, iters=4):
         "flash_speedup": round(t_xla / t_flash, 3),
     }
     log("flash regime:", out)
+    return out
+
+
+def bench_llava_pipeline(n_cases=8):
+    """Fused sequential-edit pipeline at LLaVA geometry: full CLIP-L-336
+    tower (24 layers, 576 image tokens after CLS drop) + reduced-layer
+    (default 8) same-width vicuna decoder — probe rows are 640 tokens, so
+    the Pallas flash kernel runs on the ACTUAL eval hot path (the full
+    7b decoder would not leave logits headroom next to the resident
+    2.7b bench weights). Reports cases/s and decoder/vision MFU."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from devqa_tpu.core import vllm as V
+    from devqa_tpu.core.tokenizer import ToyTokenizer
+    from devqa_tpu.core.wrapper import JaxVLLM
+    from devqa_tpu.data.images import SyntheticImageProvider
+    from devqa_tpu.data.schema import EVQA
+    from devqa_tpu.editors.liveedit import LiveEdit, LiveEditConfig
+    from devqa_tpu.eval.harness import FusedEditorEvaluation
+    from devqa_tpu.retrieval.store import hash_encoder
+    from devqa_tpu.utils import flops as FL
+
+    n_layers = int(os.environ.get("BENCH_LLAVA_LAYERS", "8"))
+    max_rows = int(os.environ.get("BENCH_LLAVA_ROWS", "30"))
+    cfg = V.llava_v15_7b_config()
+    cfg = dataclasses.replace(
+        cfg, name="llava-bench",
+        decoder=dataclasses.replace(cfg.decoder, n_layers=n_layers))
+    t0 = time.time()
+    params = jax.jit(lambda k: V.init_vllm_params(cfg, k, jnp.bfloat16))(
+        jax.random.PRNGKey(2))
+    jax.block_until_ready(params["decoder"]["embed_tokens"])
+    log("llava bench init: %.1fs" % (time.time() - t0))
+    vllm = JaxVLLM(cfg, params, ToyTokenizer(vocab_size=cfg.decoder.vocab_size),
+                   SyntheticImageProvider(cfg.vit.image_size),
+                   bucket_multiple=64, min_len=64, img_cache_size=256,
+                   img_batch_pad=2)
+    lcfg = LiveEditConfig(edit_model_name=cfg.name,
+                          llm_mid_dim=cfg.decoder.d_model,
+                          edit_layer_i=max(1, n_layers - 3),
+                          max_edits=32, retrieve_top_k=8)
+    editor = LiveEdit(vllm, lcfg, seed=0)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = build_cases(2 * n_cases + 2, tmp)
+        data = EVQA(path, tmp, encoder=hash_encoder(16))
+        import contextlib
+        import copy
+
+        def run(lo, hi, name):
+            d = copy.copy(data)
+            d.cases = data.cases[lo:hi]
+            fe = FusedEditorEvaluation(
+                editor, d, evaluation_name=name,
+                results_dir=os.path.join(tmp, "res"), max_rows=max_rows,
+                pad_rows=True, hoist_pre=True)
+            with contextlib.redirect_stdout(sys.stderr):
+                fe.evaluate_sequential_edit(edit_n=max(1, n_cases // 2))
+            return fe
+
+        t0 = time.time()
+        run(0, n_cases, "warm")
+        log("llava warm: %.1fs" % (time.time() - t0))
+        vllm.clear_image_cache()
+        editor.restore_to_original_model()
+        c0 = dict(vllm.counters)
+        t0 = time.time()
+        fe = run(n_cases, 2 * n_cases, "timed")
+        dt = time.time() - t0
+    seq = 64 + cfg.n_img_tokens
+    dec_tokens = (vllm.counters["decoder_tokens"] - c0["decoder_tokens"]
+                  + fe.probe_tokens)
+    n_imgs = vllm.counters["images_encoded"] - c0["images_encoded"]
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+    f_total = (dec_tokens * FL.decoder_flops_per_token(cfg.decoder, seq)
+               + n_imgs * FL.vision_flops_per_image(cfg))
+    out = {"shape": "vit24x1024_576tok_dec%dx4096_row%d" % (n_layers, seq),
+           "cases_per_s": round(n_cases / dt, 3),
+           "mfu_total": round(f_total / (dt * peak), 4)}
+    log("llava pipeline:", out)
     return out
 
 
@@ -434,6 +520,13 @@ def main():
             except Exception as e:
                 log("flash bench failed:", repr(e))
                 flash_res = {"error": str(e)[:200]}
+        llava_res = {}
+        if phase_on("BENCH_LLAVA", 200):
+            try:
+                llava_res = bench_llava_pipeline()
+            except Exception as e:
+                log("llava bench failed:", repr(e))
+                llava_res = {"error": str(e)[:200]}
 
     value = fused_cps
     vs = fused_cps / base_cps if base_cps > 0 else 0.0
@@ -447,6 +540,8 @@ def main():
         out["mfu"] = mfu
     if flash_res:
         out["flash"] = flash_res
+    if llava_res:
+        out["llava_pipeline"] = llava_res
     if train_res:
         out["train"] = train_res
     if os.environ.get("BENCH_REAL_DATA") == "1":
