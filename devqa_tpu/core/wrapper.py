@@ -209,14 +209,22 @@ class JaxVLLM:
         return self._shard_query_batch(qb)
 
     def _shard_query_batch(self, qb: QueryBatch) -> QueryBatch:
-        """Shard device leaves' rows over the mesh's dp axis (no-op
-        without a mesh or when B doesn't divide dp)."""
-        if self.mesh is None or qb.embeds.shape[0] % self.mesh.shape["dp"]:
+        """Shard device leaves' rows over the mesh's data axes (no-op
+        without a mesh or when B doesn't divide them). Multi-slice
+        ("dcn", "dp", "tp") meshes shard rows over dcn x dp."""
+        if self.mesh is None:
+            return qb
+        row_axes = ("dcn", "dp") if "dcn" in self.mesh.axis_names \
+            else ("dp",)
+        n_rows = 1
+        for a in row_axes:
+            n_rows *= self.mesh.shape[a]
+        if qb.embeds.shape[0] % n_rows:
             return qb
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
         def row_shard(x):
-            spec = Pspec(*(("dp",) + (None,) * (x.ndim - 1)))
+            spec = Pspec(*((row_axes,) + (None,) * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         return dataclasses.replace(

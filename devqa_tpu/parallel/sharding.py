@@ -68,13 +68,20 @@ def shard_params(params: Any, mesh: Mesh):
         params, specs)
 
 
-def batch_specs(batch: Any):
-    """Shard batch rows over dp (leading axis of every array leaf)."""
+def batch_specs(batch: Any, mesh: Mesh = None):
+    """Shard batch rows over the data axes (leading axis of every array
+    leaf): plain meshes use ``dp``; multi-slice ("dcn", "dp", "tp")
+    meshes shard rows over BOTH data axes — infrequent row scatter/
+    gather crosses DCN, per-row compute stays intra-slice."""
+    row_axes = ("dp",)
+    if mesh is not None and "dcn" in mesh.axis_names:
+        row_axes = ("dcn", "dp")
+
     def spec(leaf):
         nd = getattr(leaf, "ndim", 0)
         if nd == 0:
             return P()
-        return P(*(("dp",) + (None,) * (nd - 1)))
+        return P(*((row_axes,) + (None,) * (nd - 1)))
 
     return jax.tree.map(spec, batch)
 
@@ -82,4 +89,4 @@ def batch_specs(batch: Any):
 def shard_batch(batch: Any, mesh: Mesh):
     return jax.tree.map(
         lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-        batch, batch_specs(batch))
+        batch, batch_specs(batch, mesh))

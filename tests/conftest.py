@@ -85,3 +85,7 @@ import jax  # noqa: E402
 # as no backend has been initialized yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# NOTE: the persistent compilation cache is deliberately NOT enabled on
+# the CPU paths: XLA's CPU AOT loader warns about machine-feature
+# mismatches on reload ("could lead to SIGILL") on this box. The TPU
+# bench uses it (bench.py) where no CPU AOT is involved.

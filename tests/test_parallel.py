@@ -130,3 +130,49 @@ class _nullcontext:
 
     def __exit__(self, *a):
         return False
+
+
+class TestMultisliceMesh:
+    def test_sharded_forward_matches_replicated_on_dcn_mesh(self):
+        """DCN-aware 3-axis mesh (SURVEY §5 multi-slice initialization):
+        2 fake slices x (dp=2, tp=2) over the 8 virtual CPU devices;
+        params tp-sharded, batch rows sharded over dcn x dp — results
+        equal the unsharded forward."""
+        if isolate_in_subprocess(
+                "tests/test_parallel.py::TestMultisliceMesh::"
+                "test_sharded_forward_matches_replicated_on_dcn_mesh"):
+            return
+        from devqa_tpu.parallel.mesh import make_multislice_mesh
+        from devqa_tpu.parallel.sharding import shard_batch
+
+        vllm = make_tiny_vllm()
+        cfg = vllm.cfg
+        ids = (jnp.arange(8)[None, :].repeat(4, 0) * 3) % cfg.decoder.vocab_size
+        mask = jnp.ones((4, 8), jnp.int32)
+        img = jnp.zeros((4, cfg.n_img_tokens, cfg.decoder.d_model))
+        has = jnp.zeros((4,), jnp.int32)
+        embeds, kv = vllm_mod.assemble_embeds(vllm.params, cfg, ids, mask,
+                                              img, has)
+        ref = vllm_mod.vllm_logits(vllm.params, cfg, embeds, kv)
+
+        devs = jax.devices()[:8]
+        mesh = make_multislice_mesh(
+            tp=2, devices=devs,
+            slice_index_of=lambda d: devs.index(d) // 4)  # 2 fake slices
+        assert mesh.axis_names == ("dcn", "dp", "tp")
+        assert dict(mesh.shape) == {"dcn": 2, "dp": 2, "tp": 2}
+        with mesh:
+            sparams = shard_params(vllm.params, mesh)
+            sharded_in = shard_batch({"e": embeds, "kv": kv}, mesh)
+            out = jax.jit(lambda p, e, k: vllm_mod.vllm_logits(p, cfg, e, k))(
+                sparams, sharded_in["e"], sharded_in["kv"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_single_slice_degenerates(self):
+        """CPU devices expose no slice_index → one dcn group; the mesh
+        shape is (1, dp, tp) and sharding rules still apply."""
+        from devqa_tpu.parallel.mesh import make_multislice_mesh
+
+        mesh = make_multislice_mesh(tp=2, devices=jax.devices()[:8])
+        assert dict(mesh.shape) == {"dcn": 1, "dp": 4, "tp": 2}
