@@ -532,6 +532,31 @@ def main():
             except Exception as e:  # never lose the main metric
                 log("train bench failed:", repr(e))
                 train_res = {"error": str(e)[:200]}
+        # The train phase is the last user of the 2.7b model: free its
+        # ~8GB of bf16 weights BEFORE the flash/llava phases init their
+        # own 4096-wide models, or the llava phase RESOURCE_EXHAUSTs
+        # next to the resident weights (observed on v5e: 8GB blip2 +
+        # 3.6GB llava + 640-token-row logits > 16GB HBM).
+        import gc
+
+        del vllm, editor, vllm_base, editor_base, params, metrics
+        fe_box.clear()
+        gc.collect()
+        # Executables pin on-device program text + scratch through the
+        # jit caches; drop them too (the persistent compile cache makes
+        # the later phases' re-traces cheap).
+        jax.clear_caches()
+        gc.collect()
+        try:
+            la = jax.live_arrays()
+            tot = sum(a.nbytes for a in la)
+            log("residual device arrays after free: %d arrays, %.2f GB"
+                % (len(la), tot / 2**30))
+            for a in sorted(la, key=lambda a: -a.nbytes)[:8]:
+                log("  residual: %s %s %.1f MB"
+                    % (a.shape, a.dtype, a.nbytes / 2**20))
+        except Exception as e:
+            log("live_arrays unavailable:", repr(e))
         if phase_on("BENCH_FLASH", 150):
             try:
                 flash_res = bench_flash_regime()
