@@ -178,7 +178,57 @@ def bench_flash_regime(reps=3, iters=4):
         "flash_speedup": round(t_xla / t_flash, 3),
     }
     log("flash regime:", out)
+    try:
+        out["op"] = bench_attention_op()
+    except Exception as e:
+        log("attention-op microbench failed:", repr(e))
     return out
+
+
+def bench_attention_op(reps=3, iters=8):
+    """Attention-OP microbench: the Pallas kernel vs XLA attention alone
+    (vicuna-7b geometry: 32 heads x d=128), isolating the kernel from the
+    MLP-dominated full-model phase. Logged per-L; returns the dict for
+    the bench JSON's flash.op field."""
+    import jax
+    import jax.numpy as jnp
+
+    from devqa_tpu.ops import attention as A
+
+    res = {}
+    for L in (1280, 2048, 4096):
+        rng = np.random.default_rng(0)
+        B, H, D = 2, 32, 128
+        q = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
+        kv = jnp.ones((B, L), jnp.int32)
+
+        def timed(fn):
+            f = jax.jit(lambda q, k, v: fn(q, k, v).astype(jnp.float32).sum())
+            fetch_scalar(f(q, k, v))  # compile + 1
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                acc = None
+                for _ in range(iters):
+                    acc = f(q, k, v)
+                fetch_scalar(acc)
+                best = min(best, (time.time() - t0) / iters)
+            return best
+
+        t_f = timed(lambda q, k, v: A._flash_fwd(q, k, v, kv, True))
+        t_x = timed(lambda q, k, v: A.xla_attention(q, k, v, kv, True))
+        # causal: ~half the score pairs are live
+        flops = 4 * B * H * L * L * D / 2
+        res[f"L{L}"] = {
+            "flash_ms": round(t_f * 1e3, 2),
+            "xla_ms": round(t_x * 1e3, 2),
+            "speedup": round(t_x / t_f, 2),
+            "flash_tflops": round(flops / t_f / 1e12, 1),
+        }
+        log("attention op L=%d:" % L, res[f"L{L}"])
+    return res
 
 
 def bench_llava_pipeline(n_cases=8):

@@ -40,6 +40,27 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _flash_compiler_params():
+    """Grid semantics for every flash grid (bh, outer, reduction): the
+    first two axes are embarrassingly parallel (per-(batch·head) and
+    per-output-block); only the last axis carries the online-softmax /
+    accumulation dependency. Lets Mosaic split parallel axes across
+    cores and reorder freely. Older jax spells the class differently —
+    degrade to None (default all-arbitrary) rather than pin a version."""
+    sem = ("parallel", "parallel", "arbitrary")
+    for cls_name in ("CompilerParams", "TPUCompilerParams"):
+        cls = getattr(pltpu, cls_name, None)
+        if cls is not None:
+            try:
+                return {"compiler_params": cls(dimension_semantics=sem)}
+            except TypeError:
+                continue
+    return {}
+
+
+_CP_KW = _flash_compiler_params()
+
+
 def xla_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -120,8 +141,11 @@ def _flash_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # Operands stay in their input dtype (bf16 on the hot path): the
+        # MXU accumulates in f32 via preferred_element_type, and bf16
+        # inputs run at full MXU rate (f32 inputs cost ~4x on v5e).
+        q = q_ref[0]
+        k = k_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # [block_q, block_k]
@@ -146,9 +170,9 @@ def _flash_kernel(
         l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
         # SELECT-zero ragged v tail rows: their p is 0 but 0·NaN = NaN
         # inside the dot if the undefined padding decodes as NaN.
-        v = _zero_oob_rows(v_ref[0].astype(jnp.float32), k_start, kv_len)
+        v = _zero_oob_rows(v_ref[0], k_start, kv_len)
         acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -165,14 +189,23 @@ def _flash_kernel(
             lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, block_q))
 
 
+#: Default flash block sizes. Swept on v5e (B2 H32 D128, causal): tiny
+#: 128x128 blocks leave the kernel grid-overhead-bound (8.5 TFLOP/s at
+#: L=4096); 512x1024 reaches 34-39 TFLOP/s, within ~10% of jax's official
+#: flash kernel on the same shapes and 5x faster than XLA attention.
+#: VMEM at 512x1024: s+p (f32) 4MB + operands <1MB — comfortable.
+FLASH_BLOCK_Q = 512
+FLASH_BLOCK_K = 1024
+
+
 def _flash_fwd(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_valid: jnp.ndarray,
     causal: bool,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = FLASH_BLOCK_Q,
+    block_k: int = FLASH_BLOCK_K,
     interpret: bool = False,
     return_lse: bool = False,
 ):
@@ -236,6 +269,7 @@ def _flash_fwd(
             transcendentals=b * h * lq * lk,
         ),
         interpret=interpret,
+        **_CP_KW,
     )(qr, kr, vr, maskr)
     if return_lse:
         o, lse = out
@@ -260,7 +294,10 @@ def _bwd_p_ds(q, k, v, do, lse_row, delta_row, mask, sm_scale):
 
     Everything outside ``mask`` is produced by SELECT (jnp.where), never
     by multiplying a zero into it: out-of-bounds tail-block reads have
-    undefined contents that may decode as NaN, and 0·NaN = NaN."""
+    undefined contents that may decode as NaN, and 0·NaN = NaN.
+
+    Operands arrive in their input dtype (bf16 hot path — full MXU rate;
+    see _flash_kernel); p/ds are f32 statistics."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale
@@ -320,18 +357,18 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
+        q = q_ref[0]
         # SELECT-zero ragged k/v tails (ds is 0 there, but 0·NaN = NaN)
-        k = _zero_oob_rows(k_ref[0].astype(jnp.float32), k_start, kv_len)
-        v = _zero_oob_rows(v_ref[0].astype(jnp.float32), k_start, kv_len)
-        do = do_ref[0].astype(jnp.float32)
+        k = _zero_oob_rows(k_ref[0], k_start, kv_len)
+        v = _zero_oob_rows(v_ref[0], k_start, kv_len)
+        do = do_ref[0]
         mask = _block_mask(mask_ref[0, 0], k_start, q_start,
                            (block_q, block_k), causal, causal_offset,
                            kv_len, q_len)
         _, ds = _bwd_p_ds(q, k, v, do, lse_ref[0, 0], delta_ref[0, 0],
                           mask, sm_scale)
         acc_scr[...] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(ik == nk - 1)
@@ -363,20 +400,20 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         # zeroes their p/ds, but the dots below still multiply the raw
         # operands (0·NaN = NaN), and this grid accumulates ACROSS
         # q-blocks into real keys' gradients.
-        q = _zero_oob_rows(q_ref[0].astype(jnp.float32), q_start, q_len)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = _zero_oob_rows(do_ref[0].astype(jnp.float32), q_start, q_len)
+        q = _zero_oob_rows(q_ref[0], q_start, q_len)
+        k = k_ref[0]
+        v = v_ref[0]
+        do = _zero_oob_rows(do_ref[0], q_start, q_len)
         mask = _block_mask(mask_ref[0, 0], k_start, q_start,
                            (block_q, block_k), causal, causal_offset,
                            kv_len, q_len)
         p, ds = _bwd_p_ds(q, k, v, do, lse_ref[0, 0], delta_ref[0, 0],
                           mask, sm_scale)
         dv_scr[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk_scr[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(iq == nq - 1)
@@ -386,7 +423,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
 
 def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
-               block_q: int = 128, block_k: int = 128,
+               block_q: int = 256, block_k: int = 512,
                interpret: bool = False):
     """Pallas flash backward → (dq, dk, dv). Shapes as in _flash_fwd."""
     b, h, lq, d = q.shape
@@ -428,6 +465,7 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
         out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
+        **_CP_KW,
     )(qr, kr, vr, maskr, dor, lser, deltar)
 
     # grid order (bh, k-blocks, q-blocks) for the k/v accumulation
@@ -447,6 +485,7 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
                         pltpu.VMEM((block_k, d), jnp.float32)],
         interpret=interpret,
+        **_CP_KW,
     )(qr, kr, vr, maskr, dor, lser, deltar)
     return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
             dv.reshape(b, h, lk, d))
