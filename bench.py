@@ -116,7 +116,7 @@ def fetch_scalar(x):
     return float(jnp.asarray(x).reshape(-1)[0])
 
 
-def bench_flash_regime(reps=3, iters=4):
+def bench_flash_regime(reps=3, iters=4, deadline=None):
     """Flash-vs-XLA attention at LLaVA shapes (640-token sequences where
     ops/attention.py:FLASH_MIN_KV_LEN engages). Reduced-layer (default 8)
     same-width/same-seq vicuna decoder — the full 7b would crowd HBM next
@@ -179,24 +179,29 @@ def bench_flash_regime(reps=3, iters=4):
     }
     log("flash regime:", out)
     try:
-        out["op"] = bench_attention_op()
+        out["op"] = bench_attention_op(deadline=deadline)
     except Exception as e:
         log("attention-op microbench failed:", repr(e))
     return out
 
 
-def bench_attention_op(reps=3, iters=8):
+def bench_attention_op(reps=3, iters=8, deadline=None):
     """Attention-OP microbench: the Pallas kernel vs XLA attention alone
     (vicuna-7b geometry: 32 heads x d=128), isolating the kernel from the
     MLP-dominated full-model phase. Logged per-L; returns the dict for
-    the bench JSON's flash.op field."""
+    the bench JSON's flash.op field. Each L costs 2 fresh compiles (30-90s
+    cold through the tunnel) — ``deadline`` drops the remaining Ls rather
+    than risk the driver's overall bench timeout."""
     import jax
     import jax.numpy as jnp
 
     from devqa_tpu.ops import attention as A
 
     res = {}
-    for L in (1280, 2048, 4096):
+    for L in (2048, 4096):
+        if deadline is not None and time.time() > deadline:
+            log("attention-op microbench: deadline hit, skipping L>=%d" % L)
+            break
         rng = np.random.default_rng(0)
         B, H, D = 2, 32, 128
         q = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
@@ -609,7 +614,8 @@ def main():
             log("live_arrays unavailable:", repr(e))
         if phase_on("BENCH_FLASH", 150):
             try:
-                flash_res = bench_flash_regime()
+                flash_res = bench_flash_regime(
+                    deadline=t_start + phase_cap)
             except Exception as e:
                 log("flash bench failed:", repr(e))
                 flash_res = {"error": str(e)[:200]}
