@@ -23,6 +23,13 @@ def get_args():
     p.add_argument("-tnp", "--train_name_prefix", type=str, default=None)
     p.add_argument("-sd", "--seed", type=int, default=None)
     p.add_argument("-ema", "--ema_alpha", type=float, default=0.1)
+    p.add_argument("-sci", "--save_ckpt_per_i", type=int, default=200,
+                   help="EMA-best checkpoint saves run at most once per "
+                        "this many steps (pending bests flush at train "
+                        "end); reference train_vllm_editor.py -sci")
+    p.add_argument("-ms", "--max_steps", type=int, default=None,
+                   help="stop after this many optimizer steps (bounds "
+                        "wall-clock; a 'Best' checkpoint still flushes)")
     p.add_argument("-dbs", "--data_buffer_size", type=int, default=8)
     p.add_argument("-wd", "--weights_dir", type=str, default=None)
     p.add_argument("-cfgs", "--configs_dir", type=str, default="configs")
@@ -87,8 +94,9 @@ def main():
         val_data=val_data, val_interval=args.val_interval,
         val_steps=args.val_steps,
         early_stop_patience=args.early_stop_patience,
-        early_stop_key=args.early_stop_key)
-    trainer.train(args.epochs)
+        early_stop_key=args.early_stop_key,
+        save_ckpt_per_i=args.save_ckpt_per_i)
+    trainer.train(args.epochs, max_steps=args.max_steps)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,7 @@ class EditorTrainer:
         val_steps: Optional[int] = None,
         early_stop_patience: Optional[int] = None,
         early_stop_key: str = "loss",
+        save_ckpt_per_i: int = 200,
     ):
         """``val_data`` switches best-checkpoint selection from EMA train
         loss (the LiveEdit-stack rule, base.py:207-220) to validation-
@@ -147,7 +148,18 @@ class EditorTrainer:
         BaseTrainer.py:148-193): every ``val_interval`` steps run up to
         ``val_steps`` validation batches; a new best ``early_stop_key``
         saves "Best"; no best for ``early_stop_patience`` steps stops
-        training."""
+        training.
+
+        ``save_ckpt_per_i`` throttles EMA-best checkpointing: a new best
+        marks a save as *pending*, and the save runs at most once per
+        ``save_ckpt_per_i`` steps (pending bests flush at train end, so a
+        "Best" checkpoint always exists). Early in training the EMA loss
+        improves on nearly every step, and each save round-trips the full
+        editor+optimizer state device->host; unthrottled that dominated
+        wall-clock at 2.7b scale on a remote-tunnel TPU. The reference has
+        the same every-new-best save (base.py:217-220) and an unused
+        ``save_ckpt_per_i`` knob (base.py:145, :214-215 commented out) —
+        here the knob actually governs the save cadence."""
         self.editor = editor
         self.batch_size = batch_size
         if random_seed is None:
@@ -188,6 +200,9 @@ class EditorTrainer:
                                      if early_stop_patience is not None
                                      else (1 << 62), early_stop_key)
                         if val_data is not None else None)
+        self.save_ckpt_per_i = save_ckpt_per_i
+        self._last_save_i: Optional[int] = None
+        self._pending_best = False
 
         if load_ckpt_path:
             self.load_ckpt(load_ckpt_path)
@@ -256,9 +271,15 @@ class EditorTrainer:
                             self.save_ckpt()
                         if self.stopper.should_stop():
                             return
-                elif self.val_cases is None and self.ema_loss < best_ema:
-                    best_ema = self.ema_loss
-                    self.save_ckpt()
+                elif self.val_cases is None:
+                    if self.ema_loss < best_ema:
+                        best_ema = self.ema_loss
+                        self._pending_best = True
+                    if self._pending_best and (
+                            self._last_save_i is None
+                            or self.train_i - self._last_save_i
+                            >= self.save_ckpt_per_i):
+                        self.save_ckpt()
                 self.train_i += 1
                 if max_steps is not None and self.train_i > max_steps:
                     self._final_val_save()
@@ -267,7 +288,10 @@ class EditorTrainer:
 
     def _final_val_save(self):
         """Runs shorter than val_interval would otherwise end with no
-        validation and no 'Best' checkpoint at all."""
+        validation and no 'Best' checkpoint at all; a throttled pending
+        EMA-best flushes here so 'Best' always exists after train()."""
+        if self._pending_best:
+            self.save_ckpt()
         if self.stopper is not None and self.stopper.best_iter == 0:
             val_info = self.validate(self.val_steps)
             self.logger.log(self.train_i,
@@ -289,6 +313,8 @@ class EditorTrainer:
         path = os.path.join(os.path.abspath(self.ckpt_dir), name)
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, state, force=True)
+        self._last_save_i = self.train_i
+        self._pending_best = False
 
     def load_ckpt(self, path: str):
         import orbax.checkpoint as ocp

@@ -74,6 +74,25 @@ class TestLiveEditTraining:
         assert not np.allclose(before, after)
         assert meta["i"] >= 1
 
+    def test_ckpt_save_throttle(self, setup):
+        """EMA-best saves are throttled to one per save_ckpt_per_i steps
+        (each save round-trips full editor+opt state device->host, which
+        dominated wall-clock unthrottled), and a pending best flushes at
+        train end so 'Best' always exists."""
+        tmp, vllm, data, editor = setup
+        trainer = EditorTrainer(editor, data, batch_size=4,
+                                records_dir=os.path.join(tmp, "rec_sci"),
+                                train_name="sci", random_seed=7,
+                                data_buffer_size=2, save_ckpt_per_i=1000)
+        saves = []
+        orig = trainer.save_ckpt
+        trainer.save_ckpt = lambda *a, **k: (saves.append(trainer.train_i),
+                                             orig(*a, **k))
+        trainer.train(total_epochs=4)  # 8 steps: EMA improves most steps
+        # one initial save + at most one end-flush; never one per step
+        assert 1 <= len(saves) <= 2, saves
+        assert os.path.exists(os.path.join(trainer.ckpt_dir, "Best"))
+
     def test_training_improves_reliability(self, setup):
         """After enough steps on a tiny model, an edited fact should be
         reproduced better than by the untrained editor."""
