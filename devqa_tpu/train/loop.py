@@ -317,15 +317,28 @@ class EditorTrainer:
         self._pending_best = False
 
     def load_ckpt(self, path: str):
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.PyTreeCheckpointer()
-        state = ckptr.restore(os.path.abspath(path))
+        state = _restore_typed(self.editor, path)
         self.editor.train_init_editor(int(state["meta"]["seed"]))
         self.editor.set_train_state(state["editor"])
         self.train_i = int(state["meta"]["i"])
         self.train_epoch = int(state["meta"]["epoch"])
         self.ema_loss = float(state["meta"]["ema_loss"])
+
+
+def _restore_typed(editor: TrainableEditor, path: str):
+    """Orbax restore against the editor's live train state as the ``item``
+    target. A structure-free restore loses pytree node TYPES — optax
+    NamedTuple states (ScaleByAdamState etc.) come back as plain dicts and
+    the first resumed ``train_step`` dies on ``state.mu``. train_init
+    builds the typed skeleton (cheap: editor params only), and orbax
+    unflattens the stored leaves into that exact treedef."""
+    import orbax.checkpoint as ocp
+
+    editor.train_init_editor(0)
+    target = {"editor": editor.get_train_state(),
+              "meta": {"i": 0, "epoch": 0, "ema_loss": 0.0, "seed": 0}}
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
+                                            item=target)
 
 
 def load_editor_ckpt(editor: TrainableEditor, path: str):
@@ -341,6 +354,9 @@ def load_editor_ckpt(editor: TrainableEditor, path: str):
         return {"source": "reference-torch"}
     import orbax.checkpoint as ocp
 
-    state = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    if hasattr(editor, "train_init_editor"):
+        state = _restore_typed(editor, path)
+    else:
+        state = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     editor.set_train_state(state["editor"])
     return state["meta"]

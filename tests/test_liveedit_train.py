@@ -74,6 +74,27 @@ class TestLiveEditTraining:
         assert not np.allclose(before, after)
         assert meta["i"] >= 1
 
+    def test_resume_training_from_ckpt(self, setup):
+        """Resume = load_ckpt then MORE train steps: the restored optax
+        state must keep its NamedTuple types (a structure-free orbax
+        restore yields plain dicts and the first resumed step dies on
+        state.mu — reproduced at 2.7b scale on TPU)."""
+        tmp, vllm, data, editor = setup
+        rec = os.path.join(tmp, "rec_resume")
+        t1 = EditorTrainer(editor, data, batch_size=4, records_dir=rec,
+                           train_name="r1", random_seed=7,
+                           data_buffer_size=2)
+        t1.train(total_epochs=1)
+        best = os.path.join(t1.ckpt_dir, "Best")
+        assert os.path.exists(best)
+        t2 = EditorTrainer(editor, data, batch_size=4, records_dir=rec,
+                           train_name="r2", random_seed=7,
+                           data_buffer_size=2, load_ckpt_path=best)
+        resumed_at = t2.train_i
+        assert resumed_at >= 2
+        t2.train(total_epochs=t2.train_epoch + 1)  # must actually step
+        assert t2.train_i > resumed_at
+
     def test_ckpt_save_throttle(self, setup):
         """EMA-best saves are throttled to one per save_ckpt_per_i steps
         (each save round-trips full editor+opt state device->host, which
