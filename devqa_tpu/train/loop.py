@@ -109,7 +109,8 @@ class ScalarLogger:
                 self._tb = None
 
     def log(self, step: int, scalars: Dict[str, float]):
-        rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
+        rec = {"step": step, "ts": round(time.time(), 3),
+               **{k: float(v) for k, v in scalars.items()}}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         if self._tb is not None:
@@ -323,6 +324,10 @@ class EditorTrainer:
         self.train_i = int(state["meta"]["i"])
         self.train_epoch = int(state["meta"]["epoch"])
         self.ema_loss = float(state["meta"]["ema_loss"])
+        # The state just restored IS on disk — treat it as the last save
+        # so the first post-resume EMA best doesn't immediately re-write
+        # it (a full device->host round trip).
+        self._last_save_i = self.train_i
 
 
 def _restore_typed(editor: TrainableEditor, path: str):
