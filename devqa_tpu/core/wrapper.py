@@ -110,8 +110,15 @@ class JaxVLLM:
         """
         V, d = self.cfg.n_img_tokens, self.cfg.decoder.d_model
         has = np.array([1 if p is not None else 0 for p in paths], np.int32)
-        todo = [p for p in dict.fromkeys(paths)
-                if p is not None and p not in self._img_cache]
+        uniq = [p for p in dict.fromkeys(paths) if p is not None]
+        # Refresh recency of already-cached paths FIRST: the eviction after
+        # the encode loop must never pop a path this call is about to read
+        # (it did — a stale-but-needed entry got LRU-evicted by a large
+        # todo batch and the row gather below raised KeyError mid-epoch).
+        for p in uniq:
+            if p in self._img_cache:
+                self._img_cache.move_to_end(p)
+        todo = [p for p in uniq if p not in self._img_cache]
         if todo:
             # Encode in FIXED-size device batches of exactly img_batch_pad
             # rows (last batch padded by repetition). Padding the whole todo
@@ -131,7 +138,10 @@ class JaxVLLM:
                 for i, p in enumerate(chunk):
                     self._img_cache[p] = toks[i]
                     self._img_cache.move_to_end(p)
-            while len(self._img_cache) > self._img_cache_size:
+            # Never shrink below this call's working set (a single call
+            # can reference more unique paths than the cache capacity).
+            keep = max(self._img_cache_size, len(uniq))
+            while len(self._img_cache) > keep:
                 self._img_cache.popitem(last=False)
         if self._img_cache:
             zdtype = next(iter(self._img_cache.values())).dtype
@@ -139,9 +149,6 @@ class JaxVLLM:
             zdtype = self.params["decoder"]["embed_tokens"].dtype
         zero = jnp.zeros((V, d), zdtype)
         rows = [self._img_cache[p] if p is not None else zero for p in paths]
-        for p in paths:
-            if p is not None:
-                self._img_cache.move_to_end(p)
         return jnp.stack(rows), has
 
     # ---------------- queries ----------------

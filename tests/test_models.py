@@ -198,6 +198,32 @@ class TestVLLM:
         assert img.shape == (1, 16, 16)  # 16 patches (CLS dropped), d_llm=16
 
 
+class TestImageCache:
+    def test_eviction_never_drops_current_call(self):
+        """A call whose todo batch overflows the LRU must not evict paths
+        the SAME call is about to read (reproduced: KeyError mid-epoch at
+        dsn=256 where unique images ≈ 3x cache capacity), and a single
+        call may reference more unique paths than the capacity."""
+        from helpers import make_tiny_vllm
+
+        vllm = make_tiny_vllm()
+        vllm._img_cache_size = 4
+        ref_row = np.asarray(vllm.encode_images(["A.jpg"])[0][0])
+        # fill with new paths so A.jpg becomes the eviction candidate
+        vllm.encode_images(["b%d.jpg" % i for i in range(3)])
+        # cached-A + 6 new paths: overflow happens inside this call
+        toks, has = vllm.encode_images(
+            ["A.jpg"] + ["n%d.jpg" % i for i in range(6)])
+        assert toks.shape[0] == 7 and has.sum() == 7
+        np.testing.assert_allclose(np.asarray(toks[0]), ref_row)
+        # working set larger than capacity in ONE call
+        toks2, _ = vllm.encode_images(["m%d.jpg" % i for i in range(10)])
+        assert toks2.shape[0] == 10
+        # steady-state capacity is re-enforced on the next call
+        vllm.encode_images(["z.jpg"])
+        assert len(vllm._img_cache) == 4
+
+
 class TestLosses:
     def test_label_loss_perfect_prediction(self):
         V = 8
