@@ -102,6 +102,20 @@ class JaxVLLM:
 
     # ---------------- vision ----------------
 
+    def ensure_image_cache_capacity(self, n_images: int,
+                                    max_bytes: int = 2 << 30) -> int:
+        """Grow the vision-token LRU to hold ``n_images`` rows, bounded by
+        ``max_bytes`` of device memory (a row is V x d bf16, ~160KB for
+        BLIP-2). Training epochs and sequential-edit splits revisit the
+        same images; an undersized cache thrashes and every batch pays a
+        ViT encode. Returns the resulting capacity."""
+        itemsize = jnp.dtype(
+            self.params["decoder"]["embed_tokens"].dtype).itemsize
+        row = self.cfg.n_img_tokens * self.cfg.decoder.d_model * itemsize
+        self._img_cache_size = max(self._img_cache_size,
+                                   min(int(n_images), max_bytes // row))
+        return self._img_cache_size
+
     def encode_images(self, paths: Sequence[Optional[str]]) -> Tuple[jnp.ndarray, np.ndarray]:
         """Paths (None = no image) → (vision tokens [B, V, d], has_image [B]).
 

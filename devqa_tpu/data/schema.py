@@ -166,6 +166,24 @@ def _load_records(data_path: str) -> List[Dict]:
         return json.load(f)
 
 
+def unique_image_paths(cases: Sequence[TestCase]) -> set:
+    """All distinct image paths a case list can reference (requests,
+    generality and locality probes) — used to right-size vision-token
+    caches so repeated epochs/splits don't re-encode through the ViT."""
+    paths = set()
+    for c in cases:
+        for r in c.requests:
+            paths.add(r["image"])
+        for lst in c.generality.values():
+            for g in lst:
+                paths.add(g["image"])
+        for lst in c.locality.values():
+            for l in lst:
+                paths.add(l["image"])
+    paths.discard(None)
+    return paths
+
+
 class EVQA(BaseVLLMEditData):
     """E-VQA (vllm.py:231-257): templates request + generality + locality
     prompts; VLKEB below templates only locality."""

@@ -116,6 +116,15 @@ class EditorEvaluation:
         evaluation_name = evaluation_name or time.strftime("%Y.%m.%d-%H.%M.%S")
         self.result_dir = os.path.join(results_dir, editor_name, model_name,
                                        evaluation_name)
+        # Right-size the vision-token cache: sequential-edit splits revisit
+        # each case's images pre- and post-edit, and an undersized LRU
+        # re-encodes through the ViT (bounded device-memory growth).
+        vllm = getattr(editor, "vllm", None)
+        if vllm is not None and hasattr(vllm, "ensure_image_cache_capacity"):
+            from ..data.schema import unique_image_paths
+
+            vllm.ensure_image_cache_capacity(
+                len(unique_image_paths(eval_data.data)))
 
     def _k_for(self, sub: str) -> int:
         """k=1 for text locality, k=loc_topk for multimodal locality —

@@ -193,6 +193,16 @@ class EditorTrainer:
                 yaml.safe_dump(ecfg.to_dict(), f, sort_keys=False)
 
         self.val_cases = list(val_data.data) if val_data is not None else None
+        # Right-size the vision-token cache to the full train+val image
+        # set (epochs revisit every image; an undersized LRU thrashes and
+        # re-encodes through the ViT on every batch).
+        vllm = getattr(editor, "vllm", None)
+        if vllm is not None and hasattr(vllm, "ensure_image_cache_capacity"):
+            from ..data.schema import unique_image_paths
+
+            n_imgs = len(unique_image_paths(cases)
+                         | unique_image_paths(self.val_cases or []))
+            vllm.ensure_image_cache_capacity(n_imgs)
         self.val_interval = val_interval
         self.val_steps = val_steps
         # With val data but no patience, the stopper still tracks the

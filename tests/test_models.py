@@ -223,6 +223,33 @@ class TestImageCache:
         vllm.encode_images(["z.jpg"])
         assert len(vllm._img_cache) == 4
 
+    def test_ensure_capacity_autosize(self):
+        from helpers import make_tiny_vllm
+
+        vllm = make_tiny_vllm()
+        cap0 = vllm._img_cache_size
+        assert vllm.ensure_image_cache_capacity(cap0 + 500) == cap0 + 500
+        assert vllm._img_cache_size == cap0 + 500
+        # never shrinks, and the byte bound caps unbounded requests
+        itemsize = jnp.dtype(
+            vllm.params["decoder"]["embed_tokens"].dtype).itemsize
+        row = vllm.cfg.n_img_tokens * vllm.cfg.decoder.d_model * itemsize
+        cap = vllm.ensure_image_cache_capacity(10 ** 9, max_bytes=1 << 22)
+        assert cap == max(cap0 + 500, (1 << 22) // row)
+
+    def test_unique_image_paths(self):
+        from helpers import synth_records, write_records
+        import tempfile
+
+        from devqa_tpu.data.schema import EVQA, unique_image_paths
+        from devqa_tpu.retrieval.store import hash_encoder
+
+        tmp = tempfile.mkdtemp()
+        path, _ = write_records(tmp, 6)
+        data = EVQA(path, tmp + "/imgs", encoder=hash_encoder(16))
+        paths = unique_image_paths(data.data)
+        assert len(paths) >= 6 and None not in paths
+
 
 class TestLosses:
     def test_label_loss_perfect_prediction(self):
