@@ -112,8 +112,9 @@ class JaxVLLM:
         itemsize = jnp.dtype(
             self.params["decoder"]["embed_tokens"].dtype).itemsize
         row = self.cfg.n_img_tokens * self.cfg.decoder.d_model * itemsize
-        self._img_cache_size = max(self._img_cache_size,
-                                   min(int(n_images), max_bytes // row))
+        if row > 0:  # text-only configs (V=0) cache nothing
+            self._img_cache_size = max(self._img_cache_size,
+                                       min(int(n_images), max_bytes // row))
         return self._img_cache_size
 
     def encode_images(self, paths: Sequence[Optional[str]]) -> Tuple[jnp.ndarray, np.ndarray]:
