@@ -116,6 +116,26 @@ def fetch_scalar(x):
     return float(jnp.asarray(x).reshape(-1)[0])
 
 
+def mfu_accounting(vllm, c0, probe_tokens, dt, dec_ftok, vis_fimg, peak):
+    """Counters-delta MFU for one timed region. Decoder tokens = wrapper
+    counter delta + harness probe_tokens (probe_tokens holds only rows
+    that BYPASSED vllm.logits' counter — eval.harness._query_logits_counted
+    — so the sum is exact for every editor, never a double count)."""
+    dec_tokens = (vllm.counters["decoder_tokens"] - c0["decoder_tokens"]
+                  + probe_tokens)
+    n_imgs = vllm.counters["images_encoded"] - c0["images_encoded"]
+    f_dec = dec_tokens * dec_ftok
+    f_vis = n_imgs * vis_fimg
+    mfu = {
+        "mfu_decoder": round(f_dec / (dt * peak), 4),
+        "mfu_vision": round(f_vis / (dt * peak), 4),
+        "mfu_total": round((f_dec + f_vis) / (dt * peak), 4),
+        "tflops_per_s": round((f_dec + f_vis) / dt / 1e12, 1),
+        "peak_tflops": peak / 1e12,
+    }
+    return dec_tokens, n_imgs, mfu
+
+
 def bench_flash_regime(reps=3, iters=4, deadline=None):
     """Flash-vs-XLA attention at LLaVA shapes (640-token sequences where
     ops/attention.py:FLASH_MIN_KV_LEN engages). Reduced-layer (default 8)
@@ -267,7 +287,8 @@ def bench_llava_pipeline(n_cases=8):
     t0 = time.time()
     params = jax.jit(lambda k: V.init_vllm_params(cfg, k, jnp.bfloat16))(
         jax.random.PRNGKey(2))
-    jax.block_until_ready(params["decoder"]["embed_tokens"])
+    # block_until_ready does not sync through the axon tunnel — fetch.
+    fetch_scalar(params["decoder"]["embed_tokens"])
     log("llava bench init: %.1fs" % (time.time() - t0))
     vllm = JaxVLLM(cfg, params, ToyTokenizer(vocab_size=cfg.decoder.vocab_size),
                    SyntheticImageProvider(cfg.vit.image_size),
@@ -305,15 +326,14 @@ def bench_llava_pipeline(n_cases=8):
         fe = run(n_cases, 2 * n_cases, "timed")
         dt = time.time() - t0
     seq = 64 + cfg.n_img_tokens
-    dec_tokens = (vllm.counters["decoder_tokens"] - c0["decoder_tokens"]
-                  + fe.probe_tokens)
-    n_imgs = vllm.counters["images_encoded"] - c0["images_encoded"]
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
-    f_total = (dec_tokens * FL.decoder_flops_per_token(cfg.decoder, seq)
-               + n_imgs * FL.vision_flops_per_image(cfg))
+    _, _, mfu = mfu_accounting(
+        vllm, c0, fe.probe_tokens, dt,
+        FL.decoder_flops_per_token(cfg.decoder, seq),
+        FL.vision_flops_per_image(cfg), peak)
     out = {"shape": "vit24x1024_576tok_dec%dx4096_row%d" % (n_layers, seq),
            "cases_per_s": round(n_cases / dt, 3),
-           "mfu_total": round(f_total / (dt * peak), 4)}
+           "mfu_total": mfu["mfu_total"]}
     log("llava pipeline:", out)
     return out
 
@@ -493,24 +513,15 @@ def main():
             run_fused(sliced(SPLIT * n_warm_splits,
                              SPLIT * n_warm_splits + n_timed), "timed", edit_n)
             dt = time.time() - t0
-            dec_tokens = (vllm.counters["decoder_tokens"]
-                          - c0["decoder_tokens"]
-                          + fe_box["fe"].probe_tokens)
-            n_imgs = vllm.counters["images_encoded"] - c0["images_encoded"]
+            dec_tokens, n_imgs, mfu_r = mfu_accounting(
+                vllm, c0, fe_box["fe"].probe_tokens, dt,
+                dec_ftok, vis_fimg, peak)
             log("fused[%d]: %.2fs for %d cases → %.3f cases/s "
                 "(%d dec tokens, %d imgs)" %
                 (r, dt, n_timed, n_timed / dt, dec_tokens, n_imgs))
             if n_timed / dt > fused_cps:
                 fused_cps = n_timed / dt
-                f_dec = dec_tokens * dec_ftok
-                f_vis = n_imgs * vis_fimg
-                mfu = {
-                    "mfu_decoder": round(f_dec / (dt * peak), 4),
-                    "mfu_vision": round(f_vis / (dt * peak), 4),
-                    "mfu_total": round((f_dec + f_vis) / (dt * peak), 4),
-                    "tflops_per_s": round((f_dec + f_vis) / dt / 1e12, 1),
-                    "peak_tflops": peak / 1e12,
-                }
+                mfu = mfu_r
         log("fused best-of-%d: %.3f cases/s  mfu=%s" % (reps, fused_cps, mfu))
 
         # ---- reference-protocol path (batch-1 probes, no vision cache,

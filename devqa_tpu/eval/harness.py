@@ -108,8 +108,8 @@ class EditorEvaluation:
         # index agreement with k=1 for the NQ text_loc probe and
         # k=loc_topk for image-bearing probes.
         self.loc_topk = loc_topk
-        # Padded decoder tokens pushed through editor.query_logits (the
-        # editors' own jitted forwards bypass vllm.logits' counter);
+        # Padded decoder tokens pushed through editor.query_logits that
+        # BYPASSED vllm.logits' counter (see _query_logits_counted);
         # bench MFU = these + vllm.counters (utils/flops.py).
         self.probe_tokens = 0
         editor_name, model_name = editor.name_of_editor_and_model()
@@ -125,6 +125,22 @@ class EditorEvaluation:
 
             vllm.ensure_image_cache_capacity(
                 len(unique_image_paths(eval_data.data)))
+
+    def _query_logits_counted(self, qb) -> jnp.ndarray:
+        """editor.query_logits with decoder-token accounting that does NOT
+        double-count: editors whose query path is the base default (IKE,
+        HICE, FT, Null) go through ``vllm.logits`` which already bumps
+        ``counters['decoder_tokens']``; only the remainder that bypassed
+        the counter (editors with their own jitted forwards) lands in
+        ``probe_tokens``. MFU = counters delta + probe_tokens stays exact
+        for every editor."""
+        vllm = self.editor.vllm
+        ntok = int(qb.embeds.shape[0] * qb.embeds.shape[1])
+        c0 = vllm.counters["decoder_tokens"]
+        logits = self.editor.query_logits(qb)
+        counted = vllm.counters["decoder_tokens"] - c0
+        self.probe_tokens += max(0, ntok - counted)
+        return logits
 
     def _k_for(self, sub: str) -> int:
         """k=1 for text locality, k=loc_topk for multimodal locality —
@@ -143,8 +159,7 @@ class EditorEvaluation:
         qb = self.editor.build_query_batch(
             [s.prompt for s in specs], [s.image for s in specs],
             [s.target for s in specs])
-        self.probe_tokens += int(qb.embeds.shape[0] * qb.embeds.shape[1])
-        logits = self.editor.query_logits(qb)
+        logits = self._query_logits_counted(qb)
         accs, preds = _metrics_jit(logits, qb.label_ids, qb.label_masks)
         post_topk = None
         if self.loc_topk:
@@ -390,9 +405,7 @@ class FusedEditorEvaluation(EditorEvaluation):
             targets = [s.target for s in chunk]
             if edited:
                 qb = self.editor.build_query_batch(prompts, images, targets)
-                self.probe_tokens += int(qb.embeds.shape[0]
-                                         * qb.embeds.shape[1])
-                logits = self.editor.query_logits(qb)
+                logits = self._query_logits_counted(qb)
             else:
                 qb = vllm.encode_queries(prompts, images, targets)
                 logits = vllm.logits(qb.embeds, qb.kv_valid)

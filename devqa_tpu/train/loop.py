@@ -214,6 +214,8 @@ class EditorTrainer:
         self.save_ckpt_per_i = save_ckpt_per_i
         self._last_save_i: Optional[int] = None
         self._pending_best = False
+        self._best_snapshot = None
+        self._best_meta: Optional[Dict] = None
 
         if load_ckpt_path:
             self.load_ckpt(load_ckpt_path)
@@ -285,7 +287,7 @@ class EditorTrainer:
                 elif self.val_cases is None:
                     if self.ema_loss < best_ema:
                         best_ema = self.ema_loss
-                        self._pending_best = True
+                        self._mark_ema_best()
                     if self._pending_best and (
                             self._last_save_i is None
                             or self.train_i - self._last_save_i
@@ -312,20 +314,44 @@ class EditorTrainer:
 
     # ------------------------------------------------------------------
 
+    def _mark_ema_best(self):
+        """Snapshot the state at the moment the EMA best happens, so the
+        throttled save writes the *best* state, not whatever the trainer
+        holds at flush time (loss may have diverged in between — the
+        reference saves at each new best, base.py:217-220, and 'Best'
+        must mean best). JAX arrays are immutable, so holding the pytree
+        is a zero-copy device snapshot; tree_map-identity rebuilds the
+        containers because some editors reassign dict entries in place
+        (MEND's Welford norm_state)."""
+        import jax
+
+        self._best_snapshot = jax.tree_util.tree_map(
+            lambda x: x, self.editor.get_train_state())
+        self._best_meta = {"i": self.train_i, "epoch": self.train_epoch,
+                           "ema_loss": float(self.ema_loss or 0.0),
+                           "seed": self.seed}
+        self._pending_best = True
+
     def save_ckpt(self, name: str = "Best"):
         import orbax.checkpoint as ocp
 
-        state = {
-            "editor": self.editor.get_train_state(),
-            "meta": {"i": self.train_i, "epoch": self.train_epoch,
-                     "ema_loss": float(self.ema_loss or 0.0),
-                     "seed": self.seed},
-        }
+        if self._pending_best and self._best_snapshot is not None:
+            state = {"editor": self._best_snapshot,
+                     "meta": dict(self._best_meta)}
+        else:
+            state = {
+                "editor": self.editor.get_train_state(),
+                "meta": {"i": self.train_i, "epoch": self.train_epoch,
+                         "ema_loss": float(self.ema_loss or 0.0),
+                         "seed": self.seed},
+            }
         path = os.path.join(os.path.abspath(self.ckpt_dir), name)
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, state, force=True)
         self._last_save_i = self.train_i
         self._pending_best = False
+        self._best_snapshot = None  # release the held device arrays
+        self._best_meta = None
 
     def load_ckpt(self, path: str):
         state = _restore_typed(self.editor, path)

@@ -56,6 +56,34 @@ class TestFusedEquivalence:
         assert len(results) == 1
 
 
+class TestTokenAccounting:
+    def test_no_double_count_for_base_query_logits(self, tmp_path):
+        """Editors using the base query_logits (Null/IKE/HICE/FT) route
+        through vllm.logits, which already bumps counters['decoder_tokens'];
+        probe_tokens must only hold the remainder that bypassed the counter,
+        so MFU = counters delta + probe_tokens is exact for every editor."""
+        from devqa_tpu.editors.null import NullEditor
+
+        vllm = make_tiny_vllm()
+        path, _ = write_records(str(tmp_path), 2)
+        data = EVQA(path, str(tmp_path) + "/imgs", encoder=hash_encoder(16))
+
+        # Base-default editor: every probe token is counter-counted.
+        null_ed = NullEditor(vllm)
+        c0 = vllm.counters["decoder_tokens"]
+        ev = EditorEvaluation(null_ed, data, "acc0", str(tmp_path / "a0"))
+        ev.evaluate_sequential_edit(edit_n=2)
+        assert ev.probe_tokens == 0, ev.probe_tokens
+        assert vllm.counters["decoder_tokens"] > c0
+
+        # Own-jitted-forward editor: post-edit probes bypass the counter
+        # and must land in probe_tokens instead.
+        editor = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=3)
+        ev2 = EditorEvaluation(editor, data, "acc1", str(tmp_path / "a1"))
+        ev2.evaluate_sequential_edit(edit_n=2)
+        assert ev2.probe_tokens > 0
+
+
 class TestLocTopkAgreement:
     def test_topk_acc_in_results_and_fused_matches(self, tmp_path):
         """loc_topk wires the EasyEdit-side agreement into both harness

@@ -114,6 +114,30 @@ class TestLiveEditTraining:
         assert 1 <= len(saves) <= 2, saves
         assert os.path.exists(os.path.join(trainer.ckpt_dir, "Best"))
 
+    def test_best_ckpt_holds_best_moment_state(self, setup):
+        """A throttled 'Best' save must write the state snapshotted at the
+        EMA-best moment, NOT the (possibly diverged) state at flush time —
+        the reference saves at each new best (base.py:217-220), so 'Best'
+        means best."""
+        tmp, vllm, data, editor = setup
+        trainer = EditorTrainer(editor, data, batch_size=4,
+                                records_dir=os.path.join(tmp, "rec_snap"),
+                                train_name="snap", random_seed=7,
+                                data_buffer_size=2, save_ckpt_per_i=1000)
+        trainer.ema_loss = 1.0
+        trainer._mark_ema_best()
+        best_phi = np.asarray(editor.params["moegen_c"]["phi"]).copy()
+        # training moves on past the best before the throttled flush
+        batch = editor.organize_batch_data(data.data[:4])
+        editor.train_step(batch)
+        assert not np.allclose(
+            np.asarray(editor.params["moegen_c"]["phi"]), best_phi)
+        trainer.save_ckpt()
+        editor2 = LiveEditTrainable(vllm, editor.cfg, seed=99)
+        load_editor_ckpt(editor2, os.path.join(trainer.ckpt_dir, "Best"))
+        assert np.allclose(
+            np.asarray(editor2.params["moegen_c"]["phi"]), best_phi)
+
     def test_training_improves_reliability(self, setup):
         """After enough steps on a tiny model, an edited fact should be
         reproduced better than by the untrained editor."""
