@@ -92,6 +92,40 @@ def build_cases(n, tmp):
     return path
 
 
+def _await_tpu(deadline_s=None, probe_timeout=270):
+    """Wait for the axon tunnel to answer before initializing the backend
+    in-process. The tunnel has outage windows (observed: 1h+ of backend
+    init hanging); a bench run landing in one must degrade to an error
+    JSON line the driver can record, not an indefinite hang. Probes run
+    in subprocesses so a hung init can be timed out (in-process init
+    blocks in C and cannot be interrupted)."""
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return True  # CPU run — no tunnel involved
+    deadline_s = deadline_s if deadline_s is not None else float(
+        os.environ.get("BENCH_INIT_DEADLINE_S", "1200"))
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True).returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        if rc == 0:
+            if attempt > 1:
+                log("tpu tunnel recovered after %.0fs" % (time.time() - t0))
+            return True
+        log("tpu probe %d failed (rc=%s, %.0fs elapsed)" %
+            (attempt, rc, time.time() - t0))
+        if time.time() - t0 >= deadline_s:
+            return False
+        time.sleep(30)
+
+
 def _enable_compile_cache(jax):
     """Persistent XLA compilation cache (verified to work through the
     axon remote-compile tunnel: 2048^2 matmul compile 0.8s cold ->
@@ -390,6 +424,14 @@ def main():
     # budget, later best-of-N repeats and optional phases are dropped so
     # the driver always gets its JSON line instead of a timeout.
     soft_budget = float(os.environ.get("BENCH_SOFT_BUDGET_S", "420"))
+    if not _await_tpu():
+        # Outage window: emit a well-formed line so the run is recorded
+        # as an infrastructure failure, not a silent driver timeout.
+        print(json.dumps({
+            "metric": "blip2_2.7b_sequential_edit_pipeline_throughput",
+            "value": 0.0, "unit": "cases/sec", "vs_baseline": 0.0,
+            "error": "tpu_backend_unavailable_after_deadline"}))
+        return
     import jax
     import jax.numpy as jnp
 
