@@ -181,3 +181,35 @@ class TestHarnessOnRealRecords:
         assert 0.0 <= tm["reliability"]["acc"] <= 1.0
         for key in LOCALITY_KEYS:
             assert 0.0 <= tm["locality"][key]["acc"] <= 1.0
+
+    def test_fused_eval_slice_on_real_vlkeb(self, tmp_path):
+        """Same harness drive over real VLKEB records (raw prompts, the
+        dataset's own template rules) — field/template drift on the second
+        real dataset would otherwise only surface at full-eval time."""
+        from helpers import isolate_in_subprocess, make_tiny_vllm
+
+        if isolate_in_subprocess(
+                "tests/test_real_data.py::TestHarnessOnRealRecords::"
+                "test_fused_eval_slice_on_real_vlkeb"):
+            return
+        from devqa_tpu.editors.liveedit import LiveEdit
+        from devqa_tpu.eval.harness import FusedEditorEvaluation
+        from test_liveedit import tiny_liveedit_cfg
+
+        data = VLKEB(VLKEB_EVAL, "VLKEB_ROOT", encoder=hash_encoder(16),
+                     data_n=4)
+        vllm = make_tiny_vllm()
+        editor = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=0)
+        fe = FusedEditorEvaluation(editor, data, "realslice_vlkeb",
+                                   str(tmp_path / "res"), max_rows=16,
+                                   pad_rows=True)
+        fe.evaluate_sequential_edit(edit_n=2)
+        mr = os.path.join(str(tmp_path / "res"), "liveedit", "tiny-opt",
+                          "realslice_vlkeb", "sequential_edit_2",
+                          "mean_results.json")
+        res = json.load(open(mr))
+        tm = res["total_mean"]
+        assert tm["total_edit_n"] == 4
+        assert 0.0 <= tm["reliability"]["acc"] <= 1.0
+        for key in LOCALITY_KEYS:
+            assert 0.0 <= tm["locality"][key]["acc"] <= 1.0
