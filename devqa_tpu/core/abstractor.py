@@ -40,6 +40,17 @@ class AbstractorConfig(BaseConfig):
     out_dim: int = 4096      # language hidden size
     norm_eps: float = 1e-6
 
+    def __post_init__(self):
+        # _abstractor_layer concatenates normed queries (d_model) with
+        # normed ViT feats (encoder_width) on the sequence axis before
+        # the shared k/v projections — the widths must agree (they do in
+        # mPLUG-Owl2: sam-1024 tower, 1024-wide abstractor). A mismatch
+        # would otherwise fail at trace time, far from the config.
+        if self.encoder_width != self.d_model:
+            raise ValueError(
+                "AbstractorConfig requires encoder_width == d_model "
+                "(got %d vs %d)" % (self.encoder_width, self.d_model))
+
 
 def _sincos_1d(d: int, pos: np.ndarray) -> np.ndarray:
     """MAE-style 1d sincos embedding: [len(pos), d]."""

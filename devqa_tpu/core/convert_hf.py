@@ -203,7 +203,12 @@ def convert_llama(sd: Mapping[str, Array], cfg: DecoderConfig, prefix: str = "mo
         # "lm_head.weight" (LlavaForConditionalGeneration ≥4.52), or next to
         # the text model ("language_model.lm_head.weight").
         candidates = ["lm_head.weight", prefix.rsplit("model.", 1)[0] + "lm_head.weight"]
-        key = next(c for c in candidates if c in sd)
+        key = next((c for c in candidates if c in sd), None)
+        if key is None:
+            raise KeyError(
+                "untied lm_head not found in checkpoint; tried %r "
+                "(set tie_word_embeddings=True if the model ties it)"
+                % (candidates,))
         params["lm_head"] = jnp.asarray(_t(sd, key))
     return params
 
@@ -307,7 +312,7 @@ def convert_blip2_qformer(sd: Mapping[str, Array], cfg: QFormerConfig,
         }
         if i % cfg.cross_attention_frequency == 0:
             lp["cross_attn"] = mha(p + "crossattention.")
-        layers.append(jnp.asarray if False else lp)
+        layers.append(lp)
     import jax
 
     layers = [jax.tree.map(jnp.asarray, lp) for lp in layers]
@@ -681,7 +686,13 @@ def convert_qwen_vl_vision(sd: Mapping[str, Array], cfg: ViTConfig,
     return {
         "patch_embed": {"w": patch_w.reshape(d, -1).T,
                         "b": jnp.zeros((d,), patch_w.dtype)},
-        "pos_embed": _a(sd, prefix + "positional_embedding"),
+        # The public checkpoint stores a 16x16 (256-row) table and
+        # bicubic-resizes to the runtime grid at load (visual.py
+        # get_abs_pos); 448px -> 32x32 = 1024 tokens here. No-op when
+        # the shapes already match.
+        "pos_embed": interpolate_pos_embed(
+            _a(sd, prefix + "positional_embedding"), cfg.n_tokens,
+            has_cls=False),
         "pre_ln": _ln(sd, prefix + "ln_pre"),
         "post_ln": {"scale": jnp.ones((d,), patch_w.dtype),
                     "bias": jnp.zeros((d,), patch_w.dtype)},  # inert
@@ -760,7 +771,10 @@ def qwen_vl_manifest(cfg: VLLMConfig) -> Dict[str, "jnp.ndarray"]:
     m: Dict[str, jnp.ndarray] = {}
     vp = "transformer.visual."
     m[vp + "conv1.weight"] = S(v.d_model, 3, v.patch_size, v.patch_size)
-    m[vp + "positional_embedding"] = S(v.n_tokens, v.d_model)
+    # The public checkpoint keeps a fixed 16x16 grid (visual.py:
+    # nn.Parameter(torch.randn(256, width))) and interpolates at load —
+    # NOT the runtime n_tokens grid.
+    m[vp + "positional_embedding"] = S(256, v.d_model)
     m[vp + "ln_pre.weight"] = S(v.d_model)
     m[vp + "ln_pre.bias"] = S(v.d_model)
     # ln_post sits AFTER the attention pool, at the resampler width

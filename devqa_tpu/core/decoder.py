@@ -383,6 +383,18 @@ def mlp_input_at_layer(p, cfg: DecoderConfig, h, kv_valid) -> jnp.ndarray:
         h2 = h + _attn_block(p, cfg, hn, kv_valid, positions)
         return layer_norm(h2, p["ln2"]["scale"], p["ln2"]["bias"],
                           cfg.norm_eps)
+    if cfg.arch == "gptj":
+        # Parallel residual: attn and mlp share ONE LN of the layer input
+        # (see decoder_layer's gptj branch) — the MLP input IS ln1(h).
+        return layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"],
+                          cfg.norm_eps)
+    if cfg.arch != "llama":
+        # mplug_owl2 needs modality-split multiway k/v+norms that
+        # _attn_block does not model — fail loudly rather than return
+        # silently-wrong activations (decoder_layer_contributions does
+        # the same for its unsupported archs).
+        raise NotImplementedError(
+            "mlp_input_at_layer: arch %r not supported" % cfg.arch)
     hn = rms_norm(h, p["ln1"]["scale"], cfg.norm_eps)
     h2 = h + _attn_block(p, cfg, hn, kv_valid, positions)
     return rms_norm(h2, p["ln2"]["scale"], cfg.norm_eps)

@@ -263,7 +263,10 @@ def encode_image(params, cfg: VLLMConfig, pixels: jnp.ndarray) -> jnp.ndarray:
         feats = feats[:, 1:]  # drop CLS (llava.py:36)
         p = params["projection"]
         h = jnp.dot(feats, p["fc1"]["w"], preferred_element_type=jnp.float32)
-        h = jax.nn.gelu(h + p["fc1"]["b"], approximate=False)
+        # Cast the gelu output back to the params dtype before the second
+        # dot: an f32 operand would run the MXU at its f32 rate (~4x).
+        h = jax.nn.gelu(h + p["fc1"]["b"], approximate=False).astype(
+            feats.dtype)
         h = jnp.dot(h, p["fc2"]["w"], preferred_element_type=jnp.float32)
         return (h + p["fc2"]["b"]).astype(feats.dtype)
 

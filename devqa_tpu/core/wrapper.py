@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 from collections import OrderedDict
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -30,7 +29,8 @@ from ..data.images import ImageProvider
 from ..data.xym import SampleTokens, batch_samples, tokenize_sample
 from .preprocess import preprocess_images
 from .tokenizer import Tokenizer
-from .vllm import (VLLMConfig, assemble_embeds, encode_image, vllm_logits)
+from .vllm import (VLLMConfig, assemble_embeds, encode_image,
+                   vllm_hidden_at, vllm_logits, vllm_resume_from)
 from . import decoder as dec
 
 
@@ -91,6 +91,12 @@ class JaxVLLM:
         # are counted at the harness chokepoint instead.
         self.counters = {"images_encoded": 0, "decoder_tokens": 0}
 
+        # All jitted entry points are INSTANCE-held closures over the
+        # (small, frozen) cfg — never @jax.jit on methods with a static
+        # self: the class-level jit cache would hold self (and its
+        # multi-GB params) strongly long after the wrapper is deleted.
+        # Instance-held PjitFunctions release their executables with the
+        # instance.
         self._encode_images_jit = jax.jit(
             lambda params, u8: encode_image(
                 params, cfg, preprocess_images(u8, cfg.vit.image_size)))
@@ -99,6 +105,20 @@ class JaxVLLM:
         self._assemble_jit = jax.jit(
             lambda params, ids, mask, img, has: assemble_embeds(
                 params, cfg, ids, mask, img, has))
+        self._hidden_at_jit = jax.jit(
+            lambda params, embeds, kv, layer: vllm_hidden_at(
+                params, cfg, embeds, kv, layer), static_argnums=3)
+        self._resume_jit = jax.jit(
+            lambda params, hidden, kv, layer: vllm_resume_from(
+                params, cfg, hidden, kv, layer), static_argnums=3)
+        self._prefill_jit = jax.jit(
+            lambda params, embeds, kv, max_len: dec.decoder_prefill(
+                params["decoder"], cfg.decoder, embeds, kv, max_len),
+            static_argnums=3)
+        self._decode_step_jit = jax.jit(
+            lambda params, cache, token_ids: dec.decoder_decode_step(
+                params["decoder"], cfg.decoder, cache,
+                params["decoder"]["embed_tokens"][token_ids]))
 
     # ---------------- vision ----------------
 
@@ -261,8 +281,12 @@ class JaxVLLM:
         from .tokenizer import Tokenizer  # noqa: F401  (doc aid)
 
         ids_list = [np.asarray(self.tokenizer.encode(t), np.int32) for t in texts]
-        L = max(16, ((max(len(x) for x in ids_list) + self.bucket_multiple - 1)
-                     // self.bucket_multiple) * self.bucket_multiple)
+        # Same bucket floor as encode_queries (batch_samples min_len):
+        # a private floor here would compile a second assemble/forward
+        # shape — 30-90s per shape on the remote-compile tunnel.
+        L = max(self.min_len,
+                ((max(len(x) for x in ids_list) + self.bucket_multiple - 1)
+                 // self.bucket_multiple) * self.bucket_multiple)
         B = len(ids_list)
         ids = np.full((B, L), self.tokenizer.pad_token_id, np.int32)
         mask = np.zeros((B, L), np.int32)
@@ -288,44 +312,19 @@ class JaxVLLM:
         return self._logits_jit(self.params if params is None else params,
                                 embeds, kv_valid)
 
-    @partial(jax.jit, static_argnums=(0, 3))
-    def _hidden_at_jit(self, params, args, layer):
-        embeds, kv = args
-        from .vllm import vllm_hidden_at
-
-        return vllm_hidden_at(params, self.cfg, embeds, kv, layer)
-
     def hidden_at(self, embeds, kv_valid, layer: int, params=None) -> jnp.ndarray:
         """Hidden state after ``layer`` (functional get_mid_module_outpt)."""
         return self._hidden_at_jit(self.params if params is None else params,
-                                   (embeds, kv_valid), layer)
-
-    @partial(jax.jit, static_argnums=(0, 3))
-    def _resume_jit(self, params, args, layer):
-        hidden, kv = args
-        from .vllm import vllm_resume_from
-
-        return vllm_resume_from(params, self.cfg, hidden, kv, layer)
+                                   embeds, kv_valid, layer)
 
     def resume_from(self, hidden, kv_valid, layer: int, params=None) -> jnp.ndarray:
         return self._resume_jit(self.params if params is None else params,
-                                (hidden, kv_valid), layer)
-
-    @partial(jax.jit, static_argnums=(0, 4))
-    def _prefill_jit(self, params, embeds, kv_valid, max_len):
-        return dec.decoder_prefill(params["decoder"], self.cfg.decoder,
-                                   embeds, kv_valid, max_len)
+                                hidden, kv_valid, layer)
 
     def prefill(self, embeds, kv_valid, max_len: int, params=None):
         """Full-prompt forward + KV cache (decoder.decoder_prefill)."""
         return self._prefill_jit(self.params if params is None else params,
                                  embeds, kv_valid, max_len)
-
-    @partial(jax.jit, static_argnums=(0,))
-    def _decode_step_jit(self, params, cache, token_ids):
-        temb = params["decoder"]["embed_tokens"][token_ids]
-        return dec.decoder_decode_step(params["decoder"], self.cfg.decoder,
-                                       cache, temb)
 
     def decode_step(self, cache, token_ids, params=None):
         """One cached decode step from token ids [B] → (logits [B,V], cache)."""

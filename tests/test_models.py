@@ -106,6 +106,45 @@ class TestDecoder:
         assert not np.allclose(base, diff)
 
 
+class TestMlpInputAtLayer:
+    """mlp_input_at_layer must equal what a hook on fc1's input sees —
+    verified against decoder_layer's own mlp_residual_fn capture (which
+    receives exactly the MLP input)."""
+
+    @pytest.mark.parametrize("arch", ["opt", "llama", "gptj"])
+    def test_matches_decoder_layer_hook(self, arch):
+        act = {"opt": "relu", "llama": "silu", "gptj": "gelu"}[arch]
+        cfg = dec.DecoderConfig(
+            arch=arch, vocab_size=64, d_model=16, n_layers=1, n_heads=2,
+            d_ffn=32, max_positions=64, activation=act,
+            tie_word_embeddings=False)
+        params = dec.init_decoder_params(cfg, jax.random.PRNGKey(0))
+        p0 = jax.tree_util.tree_map(lambda x: x[0], params["layers"])
+        h = jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.d_model))
+        kv = jnp.ones((1, 6), jnp.int32)
+        captured = {}
+
+        def probe(x):
+            captured["x"] = x
+            return jnp.zeros_like(x)
+
+        positions = dec.positions_from_mask(kv)
+        dec.decoder_layer(p0, cfg, h, kv, positions, mlp_residual_fn=probe)
+        got = dec.mlp_input_at_layer(p0, cfg, h, kv)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(captured["x"]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_unsupported_arch_raises(self):
+        cfg = dec.DecoderConfig(
+            arch="mplug_owl2", vocab_size=64, d_model=16, n_layers=1,
+            n_heads=2, d_ffn=32, max_positions=64, activation="silu",
+            tie_word_embeddings=False)
+        with pytest.raises(NotImplementedError):
+            dec.mlp_input_at_layer({}, cfg, jnp.zeros((1, 4, 16)),
+                                   jnp.ones((1, 4), jnp.int32))
+
+
 class TestViT:
     def test_forward(self):
         cfg = ViTConfig(image_size=16, patch_size=4, d_model=32, n_layers=2,
