@@ -70,21 +70,23 @@ class GraceEditor:
 
     # ------------------------------------------------------------------
 
-    def _mlp_residual(self, state):
+    def _mlp_residual(self, params, state):
         """Replace the MLP output with the chosen value at tokens whose
         down-projection input falls inside a key's ε-ball."""
         cfg = self.model.cfg
-        w, b = down_weight_bias(self.model.params, cfg, self.hp.layer)
+        w, b = down_weight_bias(params, cfg, self.hp.layer)
 
         def fn(x1):
             # x1 is the MLP input (post-norm). The down-projection's input
             # is recomputed from it (one extra fc1/gate+up matmul set to
             # stay within the generic mlp_residual signature).
-            q = down_input_from_mlp_input(self.model.params, cfg,
+            q = down_input_from_mlp_input(params, cfg,
                                           self.hp.layer, x1)  # [B, L, d_ffn]
             dists = jnp.linalg.norm(
                 q[:, :, None, :] - state["keys"][None, None], axis=-1)
-            active = jnp.arange(state["keys"].shape[0]) < state["count"]
+            n_active = jnp.minimum(state["count"],
+                                   state["keys"].shape[0])
+            active = jnp.arange(state["keys"].shape[0]) < n_active
             dists = jnp.where(active[None, None, :], dists, jnp.inf)
             best = jnp.argmin(dists, axis=-1)             # [B, L]
             dmin = jnp.min(dists, axis=-1)
@@ -100,7 +102,8 @@ class GraceEditor:
         cfg = self.model.cfg
         embeds = dec.embed_tokens(params, cfg, ids)
         return dec.decoder_apply(params, cfg, embeds, mask,
-                                 mlp_residual=self._mlp_residual(state))
+                                 mlp_residual=self._mlp_residual(params,
+                                                                 state))
 
     def logits(self, ids, mask):
         return self._logits_jit(self.model.params, self.state, ids, mask)
@@ -110,18 +113,26 @@ class GraceEditor:
         self.edit(request)
         # Return params unchanged; metrics flow through self via a proxy
         # forward (session uses model._logits on params — so patch the
-        # TextModel forward with the codebook closure instead).
+        # TextModel forward with the codebook closure instead). The
+        # restore fn UNDOES the patch: a leftover proxy would score every
+        # later pre-edit metric (and any other algorithm on this model)
+        # through this edit's codebook.
         state = self.state
         outer = self
-
-        class _Proxy(dict):
-            pass
+        prev = model.__dict__.get("_logits")
 
         def patched(p, ids, mask):
             return outer._logits_jit(p, state, ids, mask)
 
         model._logits = patched
-        return model.params, (lambda: None)
+
+        def restore():
+            if prev is None:
+                model.__dict__.pop("_logits", None)
+            else:
+                model._logits = prev
+
+        return model.params, restore
 
     # ------------------------------------------------------------------
 
@@ -133,12 +144,15 @@ class GraceEditor:
         lmask = jnp.asarray(tb.label_masks)
         # edit token = last prompt token (key_id = #prompt tokens − 1;
         # GRACE.py:61 uses the -100 count of the label tensor)
-        edit_tok = int(np.nonzero(np.asarray(tb.label_masks)[0])[0][0])
+        # Traced (not static): a static edit_tok would recompile the whole
+        # n_iter edit program per distinct prompt length — O(1) shapes only.
+        edit_tok = jnp.asarray(
+            int(np.nonzero(np.asarray(tb.label_masks)[0])[0][0]), jnp.int32)
         label_fp = float(np.asarray(labels)[0][np.asarray(lmask)[0] == 1].mean())
         self.state = self._edit_jit(self.model.params, self.state, ids, mask,
                                     labels, lmask, edit_tok, label_fp)
 
-    @partial(jax.jit, static_argnums=(0, 7))
+    @partial(jax.jit, static_argnums=(0,))
     def _edit_jit(self, params, state, ids, mask, labels, lmask, edit_tok,
                   label_fp):
         cfg = self.model.cfg
@@ -149,7 +163,7 @@ class GraceEditor:
         query = xs[hp.layer][0, edit_tok]  # [d_ffn]
 
         cnt = state["count"]
-        active = jnp.arange(hp.max_keys) < cnt
+        active = jnp.arange(hp.max_keys) < jnp.minimum(cnt, hp.max_keys)
         dists = jnp.linalg.norm(state["keys"] - query, axis=-1)
         dists = jnp.where(active, dists, jnp.inf)
         nearest = jnp.argmin(dists)
@@ -165,17 +179,25 @@ class GraceEditor:
                           & (dmin <= hp.eps + state["eps"][nearest]),
                           dmin / 2 - 1e-5, eps_n)                          # split
         eps_state = state["eps"].at[nearest].set(eps_n)
-        slot = jnp.where(add_new, cnt, nearest)
+        # New keys ring-wrap past capacity (oldest slot overwritten);
+        # an unwrapped slot=cnt would scatter out of bounds — silently
+        # DROPPED by JAX while count kept growing, freezing the codebook
+        # at max_keys with no error.
+        slot = jnp.where(add_new, cnt % hp.max_keys, nearest)
         new_eps = jnp.where(add_new & (cnt > 0) & (~same_label)
                             & (dmin <= hp.eps + state["eps"][nearest]),
                             dmin / 2, hp.eps)
 
-        # value training at the edit token
+        # value training at the edit token; an expand-case edit keeps the
+        # nearest key's CENTER (moving it would un-cover prior edits) and
+        # retrains its existing value on the new request (GRACE.py trains
+        # the chosen key's value every edit).
         w, b = down_weight_bias(params, cfg, hp.layer)
         warm = down_out(xs[hp.layer][0, edit_tok], w, b)
-        v0 = warm if hp.val_init == "warm" else jnp.zeros_like(warm)
+        v0_new = warm if hp.val_init == "warm" else jnp.zeros_like(warm)
+        v0 = jnp.where(add_new, v0_new, state["values"][nearest])
 
-        onehot = jax.nn.one_hot(jnp.asarray([edit_tok]), ids.shape[1])[..., None]
+        onehot = jax.nn.one_hot(edit_tok[None], ids.shape[1])[..., None]
 
         def loss_fn(v):
             def fn(x1):
@@ -201,10 +223,13 @@ class GraceEditor:
         v, _ = jax.lax.fori_loop(0, hp.n_iter, body, (v0, opt.init(v0)))
 
         return {
-            "keys": state["keys"].at[slot].set(query),
+            # expand case: key center and label stay; only eps + value move
+            "keys": state["keys"].at[slot].set(
+                jnp.where(add_new, query, state["keys"][slot])),
             "values": state["values"].at[slot].set(v),
             "eps": eps_state.at[slot].set(
                 jnp.where(add_new, new_eps, eps_state[slot])),
-            "labels": state["labels"].at[slot].set(label_fp),
+            "labels": state["labels"].at[slot].set(
+                jnp.where(add_new, label_fp, state["labels"][slot])),
             "count": jnp.where(add_new, cnt + 1, cnt),
         }

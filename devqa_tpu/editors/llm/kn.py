@@ -15,6 +15,7 @@ knowledge-neurons package, knowledge_neurons.py:1-947).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -46,51 +47,53 @@ def attribution_scores(model: TextModel, prompt: str, target: str,
     ids = jnp.asarray(tb.input_ids)
     mask = jnp.asarray(tb.attn_mask)
     sup = np.nonzero(np.asarray(tb.label_masks)[0])[0]
-    pred_pos = int(sup[0])                    # position predicting token 1
-    tgt_tok = int(np.asarray(tb.label_ids)[0, pred_pos])
-    B, L = ids.shape
-
-    @jax.jit
-    def ig(params):
-        embeds = dec.embed_tokens(params, cfg, ids)
-        # baseline activations (down-projection inputs) at the prediction
-        # position
-        _, acts = capture_down_inputs(params, cfg, embeds, mask, layers)
-
-        # Scaling a neuron's activation by α is realized through the
-        # dummy-z output delta: down_out' = down_out + (α·acts_in −
-        # acts)@W_down, so at acts_in == acts the probed layer contributes
-        # α-scaled output and gradients flow through acts_in.
-        def grad_wrt_acts(alpha):
-            def f(acts_in):
-                def delta_for(l):
-                    w2 = get_target(params, down_target(cfg, l))
-                    return alpha * (acts_in[l] @ w2) - (acts[l] @ w2)
-
-                zd = {l: delta_for(l) for l in layers}
-                logits, _ = capture_down_inputs(
-                    params, cfg, embeds, mask, layers, z_deltas=zd)
-                return jax.nn.softmax(logits[0, pred_pos])[tgt_tok]
-
-            return jax.grad(f)(acts)
-
-        def body(k, acc):
-            alpha = (k + 1) / hparams.steps
-            g = grad_wrt_acts(alpha)
-            return jax.tree.map(lambda a, gg: a + gg, acc, g)
-
-        acc0 = jax.tree.map(jnp.zeros_like, acts)
-        total = jax.lax.fori_loop(0, hparams.steps, body, acc0)
-        scores = jnp.stack([
-            (acts[l][0, pred_pos] * total[l][0, pred_pos]) / hparams.steps
-            for l in layers])
-        return scores
+    pred_pos = jnp.asarray(int(sup[0]), jnp.int32)  # predicts target tok 1
+    tgt_tok = jnp.asarray(np.asarray(tb.label_ids)[0, int(sup[0])])
 
     out = np.zeros((cfg.n_layers, cfg.d_ffn), np.float32)
-    s = np.asarray(ig(model.params))
+    s = np.asarray(_ig_jit(cfg, model.params, ids, mask, pred_pos, tgt_tok,
+                           layers, hparams))
     for i, l in enumerate(layers):
         out[l] = s[i]
     return out
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7))
+def _ig_jit(cfg, params, ids, mask, pred_pos, tgt_tok, layers,
+            hp: KNHyperParams):
+    """Module-level jit (a fresh per-call closure re-traces every edit)."""
+    embeds = dec.embed_tokens(params, cfg, ids)
+    # baseline activations (down-projection inputs) at the prediction
+    # position
+    _, acts = capture_down_inputs(params, cfg, embeds, mask, layers)
+
+    # Scaling a neuron's activation by α is realized through the
+    # dummy-z output delta: down_out' = down_out + (α·acts_in −
+    # acts)@W_down, so at acts_in == acts the probed layer contributes
+    # α-scaled output and gradients flow through acts_in.
+    def grad_wrt_acts(alpha):
+        def f(acts_in):
+            def delta_for(l):
+                w2 = get_target(params, down_target(cfg, l))
+                return alpha * (acts_in[l] @ w2) - (acts[l] @ w2)
+
+            zd = {l: delta_for(l) for l in layers}
+            logits, _ = capture_down_inputs(
+                params, cfg, embeds, mask, layers, z_deltas=zd)
+            return jax.nn.softmax(logits[0, pred_pos])[tgt_tok]
+
+        return jax.grad(f)(acts)
+
+    def body(k, acc):
+        alpha = (k + 1) / hp.steps
+        g = grad_wrt_acts(alpha)
+        return jax.tree.map(lambda a, gg: a + gg, acc, g)
+
+    acc0 = jax.tree.map(jnp.zeros_like, acts)
+    total = jax.lax.fori_loop(0, hp.steps, body, acc0)
+    return jnp.stack([
+        (acts[l][0, pred_pos] * total[l][0, pred_pos]) / hp.steps
+        for l in layers])
 
 
 def coarse_neurons(scores: np.ndarray, hparams: KNHyperParams
@@ -123,11 +126,13 @@ def apply_kn(model: TextModel, request, hparams: KNHyperParams):
                              or request["target_new"], hparams)
     tok = model.tokenizer
     emb = model.params["embed_tokens"]
-    new_ids = tok.encode(" " + request["target_new"])
-    new_vec = jnp.asarray(np.asarray(emb)[new_ids].mean(0))
+    # Gather the needed rows ON DEVICE: np.asarray(emb) would pull the
+    # whole vocab x d_model table host-side through the tunnel per edit.
+    new_ids = jnp.asarray(tok.encode(" " + request["target_new"]))
+    new_vec = jnp.take(emb, new_ids, axis=0).mean(0)
     old = request.get("ground_truth")
-    old_vec = (jnp.asarray(np.asarray(emb)[tok.encode(" " + old)].mean(0))
-               if old else 0.0)
+    old_vec = (jnp.take(emb, jnp.asarray(tok.encode(" " + old)),
+                        axis=0).mean(0) if old else 0.0)
     params = model.params
     for (l, j) in neurons:
         t = down_target(model.cfg, l)

@@ -20,6 +20,7 @@ pass ``cov`` from utils/runningstats.SecondMoment for full parity.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -46,30 +47,30 @@ class MEMITHyperParams(BaseConfig):
     mom2_update_weight: float = 1.0   # λ on the covariance term
 
 
+# Module-level jits (fresh per-call @jax.jit closures would re-trace on
+# every request — 1000-edit sequential sessions pay trace overhead per
+# edit and risk 30-90s tunnel compiles on any cache miss).
+@partial(jax.jit, static_argnums=(0, 5))
+def _capture_jit(cfg, params, ids, mask, sidx, layer):
+    embeds = dec.embed_tokens(params, cfg, ids)
+    _, xs = capture_down_inputs(params, cfg, embeds, mask, (layer,))
+    return xs[layer][jnp.arange(ids.shape[0]), sidx]
+
+
 def _capture(model: TextModel, params, ids, mask, sidx, layer):
     """Down-projection input K at `layer`, per row at the subject token."""
-    cfg = model.cfg
-    B = ids.shape[0]
+    return _capture_jit(model.cfg, params, ids, mask, sidx, layer)
 
-    @jax.jit
-    def run(params):
-        embeds = dec.embed_tokens(params, cfg, ids)
-        _, xs = capture_down_inputs(params, cfg, embeds, mask, (layer,))
-        return xs[layer][jnp.arange(B), sidx]
 
-    return run(params)
+@partial(jax.jit, static_argnums=(0, 5))
+def _hidden_at_layer_jit(cfg, params, ids, mask, sidx, layer):
+    embeds = dec.embed_tokens(params, cfg, ids)
+    h = dec.decoder_forward(params, cfg, embeds, mask, lo=0, hi=layer + 1)
+    return h[jnp.arange(ids.shape[0]), sidx]
 
 
 def _hidden_at_layer(model: TextModel, params, ids, mask, sidx, layer):
-    cfg = model.cfg
-
-    @jax.jit
-    def run(params):
-        embeds = dec.embed_tokens(params, cfg, ids)
-        h = dec.decoder_forward(params, cfg, embeds, mask, lo=0, hi=layer + 1)
-        return h[jnp.arange(ids.shape[0]), sidx]
-
-    return run(params)
+    return _hidden_at_layer_jit(model.cfg, params, ids, mask, sidx, layer)
 
 
 def _optimize_z(model: TextModel, params, request, hp: MEMITHyperParams,
@@ -90,41 +91,45 @@ def _optimize_z(model: TextModel, params, request, hp: MEMITHyperParams,
     B, L = ids.shape
 
     cur_z = _hidden_at_layer(model, params, ids, mask, sidx, z_layer).mean(0)
+    z = _optimize_z_jit(cfg, params, ids, mask, labels, lmask, sidx, cur_z,
+                        hp, z_layer)
+    return z, (ids, mask, sidx)
 
-    @jax.jit
-    def optimize(params):
-        embeds = dec.embed_tokens(params, cfg, ids)
-        onehot = jax.nn.one_hot(sidx, L)[..., None]
-        max_norm = hp.clamp_norm_factor * jnp.linalg.norm(cur_z)
 
-        def loss_fn(delta):
-            logits = dec.decoder_apply(
-                params, cfg, embeds, mask,
-                layer_residual=(z_layer, lambda h: h + onehot * delta))
-            logp = jax.nn.log_softmax(logits, -1)
-            picked = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
-            m = lmask.astype(jnp.float32)
-            nll = -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
-            wd = hp.v_weight_decay * jnp.sum(delta * delta) \
-                / jnp.maximum(jnp.sum(cur_z * cur_z), 1e-12)
-            return nll + wd
+@partial(jax.jit, static_argnums=(0, 8, 9))
+def _optimize_z_jit(cfg, params, ids, mask, labels, lmask, sidx, cur_z,
+                    hp: MEMITHyperParams, z_layer: int):
+    L = ids.shape[1]
+    embeds = dec.embed_tokens(params, cfg, ids)
+    onehot = jax.nn.one_hot(sidx, L)[..., None]
+    max_norm = hp.clamp_norm_factor * jnp.linalg.norm(cur_z)
 
-        opt = optax.adam(hp.v_lr)
+    def loss_fn(delta):
+        logits = dec.decoder_apply(
+            params, cfg, embeds, mask,
+            layer_residual=(z_layer, lambda h: h + onehot * delta))
+        logp = jax.nn.log_softmax(logits, -1)
+        picked = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+        m = lmask.astype(jnp.float32)
+        nll = -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
+        wd = hp.v_weight_decay * jnp.sum(delta * delta) \
+            / jnp.maximum(jnp.sum(cur_z * cur_z), 1e-12)
+        return nll + wd
 
-        def body(_, carry):
-            d, st = carry
-            g = jax.grad(loss_fn)(d)
-            up, st = opt.update(g, st, d)
-            d = optax.apply_updates(d, up)
-            n = jnp.linalg.norm(d)
-            return jnp.where(n > max_norm, d * max_norm / n, d), st
+    opt = optax.adam(hp.v_lr)
 
-        d0 = jnp.zeros((cfg.d_model,))
-        d, _ = jax.lax.fori_loop(0, hp.v_num_grad_steps, body,
-                                 (d0, opt.init(d0)))
-        return cur_z + d
+    def body(_, carry):
+        d, st = carry
+        g = jax.grad(loss_fn)(d)
+        up, st = opt.update(g, st, d)
+        d = optax.apply_updates(d, up)
+        n = jnp.linalg.norm(d)
+        return jnp.where(n > max_norm, d * max_norm / n, d), st
 
-    return optimize(params), (ids, mask, sidx)
+    d0 = jnp.zeros((cfg.d_model,))
+    d, _ = jax.lax.fori_loop(0, hp.v_num_grad_steps, body,
+                             (d0, opt.init(d0)))
+    return cur_z + d
 
 
 def apply_memit(model: TextModel, requests: List[Dict],
@@ -152,9 +157,12 @@ def apply_memit(model: TextModel, requests: List[Dict],
         K = jnp.stack(Ks)                     # [n, d_ffn]
         cur_z = jnp.stack(cur)                # [n, d]
         resid = (Z - cur_z) / (len(layers) - i)
-        C = cov[l] if cov is not None and l in cov else \
-            jnp.eye(cfg.d_ffn) * hparams.mom2_update_weight
-        A = C + K.T @ K                       # [d_ffn, d_ffn]
+        # λ scales the covariance term whichever C is used — the reference
+        # solves (λ·cov + KᵀK) (memit_main.py:150-200); scaling only the
+        # identity fallback would silently no-op λ exactly when real
+        # SecondMoment stats are supplied.
+        C = cov[l] if cov is not None and l in cov else jnp.eye(cfg.d_ffn)
+        A = hparams.mom2_update_weight * C + K.T @ K  # [d_ffn, d_ffn]
         dw = jnp.linalg.solve(A, K.T @ resid)  # [d_ffn, d]
         params = add_to_target(params, down_target(cfg, l), dw)
     return params

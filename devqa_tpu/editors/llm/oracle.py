@@ -17,6 +17,7 @@ steps as it needs).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, Sequence, Tuple
 
 import jax
@@ -41,6 +42,59 @@ class OracleHyperParams(BaseConfig):
     n_train_loc: int = 10      # oracle.py:36-37 held-in/held-out split
 
 
+def _edited(params, uv, targets):
+    for t in targets:
+        u, v = uv[str(t)]
+        w = get_target(params, t)
+        params = add_to_target(params, t, (u @ v).astype(w.dtype))
+    return params
+
+
+# Module-level jit (a fresh per-call closure would re-trace each edit in
+# oracle_history's sequential loop).
+@partial(jax.jit, static_argnums=(0, 9, 10))
+def _ttt_jit(cfg, params, uv0, e_ids, e_mask, e_lab, e_lm, t_ids, t_mask,
+             hparams: "OracleHyperParams", targets):
+    def fwd(p, ids, mask):
+        return dec.decoder_apply(p, cfg, dec.embed_tokens(p, cfg, ids), mask)
+
+    orig_tr = fwd(params, t_ids, t_mask)
+
+    def loss_fn(uv):
+        p = _edited(params, uv, targets)
+        # kl_loc_loss role (evaluate_utils.py:474): full-vocab drift
+        # on every valid locality position, so the mask is attn_mask
+        loc_kl = logit_kl_loss(orig_tr, fwd(p, t_ids, t_mask), t_mask)
+        e_logits = fwd(p, e_ids, e_mask)
+        nll = label_loss(e_logits, e_lab, e_lm)
+        accs, _ = token_accuracy(e_logits, e_lab, e_lm)
+        return loc_kl + hparams.cedit * nll, accs.min()
+
+    def cond(carry):
+        uv, it, acc = carry
+        return (acc < 1.0) & (it < hparams.max_it)
+
+    def body(carry):
+        # One fused fwd+bwd per iteration: acc is measured at the
+        # CURRENT uv (the reference's measure-then-step order,
+        # oracle.py:44-100) and carried into the next cond check; the
+        # returned uv is thus stepped once past the converged point,
+        # exactly like the reference's post-measure res_opt.step().
+        uv, it, _ = carry
+        (_, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(uv)
+        uv = jax.tree_util.tree_map(
+            lambda x, gx: x - hparams.lr * gx, uv, g)
+        return uv, it + 1, acc
+
+    uv, iters, fit_acc = jax.lax.while_loop(
+        cond, body, (uv0, 0, jnp.float32(0.0)))
+    # fit_acc drives success (the reference's loop-exit bookkeeping,
+    # oracle.py:104-107); acc re-measures the RETURNED uv so info
+    # also matches edited_params.
+    _, acc = loss_fn(uv)
+    return uv, iters, fit_acc, acc
+
+
 def oracle_rank1_ttt(model: TextModel, request: Dict,
                      loc_prompts: Sequence[str],
                      loc_answers: Sequence[str],
@@ -59,9 +113,6 @@ def oracle_rank1_ttt(model: TextModel, request: Dict,
     tb_val = (model.batch(loc_prompts[n_tr:], loc_answers[n_tr:])
               if has_val else None)
 
-    fwd = lambda p, ids, mask: dec.decoder_apply(
-        p, cfg, dec.embed_tokens(p, cfg, ids), mask)
-
     key = jax.random.PRNGKey(seed)
     uv0 = {}
     for i, t in enumerate(targets):
@@ -73,57 +124,14 @@ def oracle_rank1_ttt(model: TextModel, request: Dict,
             jax.random.normal(kv, (1, w.shape[1]), jnp.float32)
             * hparams.init_std)
 
-    def edited(params, uv):
-        for t in targets:
-            u, v = uv[str(t)]
-            w = get_target(params, t)
-            params = add_to_target(params, t, (u @ v).astype(w.dtype))
-        return params
-
     e_ids, e_mask = jnp.asarray(eb.input_ids), jnp.asarray(eb.attn_mask)
     e_lab, e_lm = jnp.asarray(eb.label_ids), jnp.asarray(eb.label_masks)
     t_ids, t_mask = jnp.asarray(tb_tr.input_ids), jnp.asarray(tb_tr.attn_mask)
 
-    @jax.jit
-    def run(params, uv0):
-        orig_tr = fwd(params, t_ids, t_mask)
-
-        def loss_fn(uv):
-            p = edited(params, uv)
-            # kl_loc_loss role (evaluate_utils.py:474): full-vocab drift
-            # on every valid locality position, so the mask is attn_mask
-            loc_kl = logit_kl_loss(orig_tr, fwd(p, t_ids, t_mask), t_mask)
-            e_logits = fwd(p, e_ids, e_mask)
-            nll = label_loss(e_logits, e_lab, e_lm)
-            accs, _ = token_accuracy(e_logits, e_lab, e_lm)
-            return loc_kl + hparams.cedit * nll, accs.min()
-
-        def cond(carry):
-            uv, it, acc = carry
-            return (acc < 1.0) & (it < hparams.max_it)
-
-        def body(carry):
-            # One fused fwd+bwd per iteration: acc is measured at the
-            # CURRENT uv (the reference's measure-then-step order,
-            # oracle.py:44-100) and carried into the next cond check; the
-            # returned uv is thus stepped once past the converged point,
-            # exactly like the reference's post-measure res_opt.step().
-            uv, it, _ = carry
-            (_, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(uv)
-            uv = jax.tree_util.tree_map(
-                lambda x, gx: x - hparams.lr * gx, uv, g)
-            return uv, it + 1, acc
-
-        uv, iters, fit_acc = jax.lax.while_loop(
-            cond, body, (uv0, 0, jnp.float32(0.0)))
-        # fit_acc drives success (the reference's loop-exit bookkeeping,
-        # oracle.py:104-107); acc re-measures the RETURNED uv so info
-        # also matches edited_params.
-        _, acc = loss_fn(uv)
-        return uv, iters, fit_acc, acc
-
-    uv, iters, fit_acc, acc = run(model.params, uv0)
-    edited_params = edited(model.params, uv)
+    uv, iters, fit_acc, acc = _ttt_jit(
+        cfg, model.params, uv0, e_ids, e_mask, e_lab, e_lm, t_ids, t_mask,
+        hparams, tuple(targets))
+    edited_params = _edited(model.params, uv, tuple(targets))
 
     retention = float("nan")
     if has_val:

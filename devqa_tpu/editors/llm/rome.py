@@ -26,6 +26,7 @@ only affects the k* averaging distribution).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -91,20 +92,9 @@ def apply_rome(model: TextModel, request, hparams: ROMEHyperParams,
     labels = jnp.asarray(tb.label_ids)
     lmask = jnp.asarray(tb.label_masks)
     sidx = jnp.asarray(subj_idx)
-    B, L = ids.shape
 
-    @jax.jit
-    def capture_k_and_out(params):
-        """Down-projection input (k) and MLP-block output contribution at
-        the subject token per row."""
-        embeds = dec.embed_tokens(params, cfg, ids)
-        _, xs = capture_down_inputs(params, cfg, embeds, mask, (li,))
-        k = xs[li][jnp.arange(B), sidx]          # [B, d_ffn] down inputs
-        w, b = down_weight_bias(params, cfg, li)
-        out = down_out(k, w, b)                  # down output at the token
-        return k.mean(0), out.mean(0)
-
-    k_star, cur_out = capture_k_and_out(model.params)
+    k_star, cur_out = _capture_k_out_jit(cfg, model.params, ids, mask,
+                                         sidx, li)
 
     # ---- u (compute_u.py; identity covariance unless provided) ----
     u = cov_inv @ k_star if cov_inv is not None else k_star
@@ -118,59 +108,86 @@ def apply_rome(model: TextModel, request, hparams: ROMEHyperParams,
     ess_sidx = jnp.asarray(
         [_subject_last_token_index(tokenizer, ess_prompt, subject)])
 
-    @jax.jit
-    def optimize_z(params):
-        embeds = dec.embed_tokens(params, cfg, ids)
-        ess_embeds = dec.embed_tokens(params, cfg, ess_ids)
-        pre_ess = dec.decoder_apply(params, cfg, ess_embeds, ess_mask)
-        pre_ess_p = jax.nn.log_softmax(pre_ess[0, ess_sidx[0]])
-        max_norm = hparams.clamp_norm_factor * jnp.linalg.norm(cur_out)
-
-        onehot = jax.nn.one_hot(sidx, L)[..., None]          # [B, L, 1]
-        ess_onehot = jax.nn.one_hot(ess_sidx, ess_ids.shape[1])[..., None]
-
-        def fwd_with_delta(delta, embeds_, mask_, oh):
-            return dec.decoder_apply(
-                params, cfg, embeds_, mask_,
-                mlp_residual=(li, lambda x: oh * delta))
-
-        def loss_fn(delta):
-            logits = fwd_with_delta(delta, embeds, mask, onehot)
-            logp = jax.nn.log_softmax(logits, -1)
-            picked = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
-            m = lmask.astype(jnp.float32)
-            nll = -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
-            ess = fwd_with_delta(delta, ess_embeds, ess_mask, ess_onehot)
-            ess_p = jax.nn.log_softmax(ess[0, ess_sidx[0]])
-            klv = (jnp.exp(pre_ess_p) * (pre_ess_p - ess_p)).sum()
-            # sum-of-squares (NOT norm()**2 — sqrt has a NaN grad at 0)
-            wd = hparams.v_weight_decay * jnp.sum(delta * delta) \
-                / jnp.maximum(jnp.sum(cur_out * cur_out), 1e-12)
-            return nll + hparams.kl_factor * klv + wd
-
-        opt = optax.adam(hparams.v_lr)
-
-        def body(_, carry):
-            delta, st = carry
-            g = jax.grad(loss_fn)(delta)
-            up, st = opt.update(g, st, delta)
-            delta = optax.apply_updates(delta, up)
-            n = jnp.linalg.norm(delta)
-            delta = jnp.where(n > max_norm, delta * max_norm / n, delta)
-            return delta, st
-
-        delta0 = jnp.zeros((cfg.d_model,))
-        delta, _ = jax.lax.fori_loop(0, hparams.v_num_grad_steps, body,
-                                     (delta0, opt.init(delta0)))
-        return cur_out + delta
-
-    z = optimize_z(model.params)
+    z = _optimize_z_rome_jit(cfg, model.params, ids, mask, labels, lmask,
+                             sidx, ess_ids, ess_mask, ess_sidx, cur_out,
+                             hparams, li)
 
     # ---- rank-one update (rome_main.py:17-60 closed form) ----
     w, b = down_weight_bias(model.params, cfg, li)
     denom = jnp.maximum(jnp.dot(u, k_star), 1e-8)
     dw = jnp.outer(u, (z - down_out(k_star, w, b)) / denom)
     return add_to_target(model.params, down_target(cfg, li), dw)
+
+
+# Module-level jits: fresh per-call @jax.jit closures would re-trace on
+# every edit (sequential sessions pay trace overhead per request, plus
+# 30-90s tunnel compiles on any cache miss).
+@partial(jax.jit, static_argnums=(0, 4))
+def _capture_down_jit(cfg, params, ids, mask, layer):
+    embeds = dec.embed_tokens(params, cfg, ids)
+    _, xs = capture_down_inputs(params, cfg, embeds, mask, (layer,))
+    return xs[layer]
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _capture_k_out_jit(cfg, params, ids, mask, sidx, layer):
+    """Down-projection input (k) and MLP-block output contribution at
+    the subject token per row, averaged over context templates."""
+    embeds = dec.embed_tokens(params, cfg, ids)
+    _, xs = capture_down_inputs(params, cfg, embeds, mask, (layer,))
+    k = xs[layer][jnp.arange(ids.shape[0]), sidx]  # [B, d_ffn]
+    w, b = down_weight_bias(params, cfg, layer)
+    return k.mean(0), down_out(k, w, b).mean(0)
+
+
+@partial(jax.jit, static_argnums=(0, 11, 12))
+def _optimize_z_rome_jit(cfg, params, ids, mask, labels, lmask, sidx,
+                         ess_ids, ess_mask, ess_sidx, cur_out,
+                         hparams: "ROMEHyperParams", li: int):
+    L = ids.shape[1]
+    embeds = dec.embed_tokens(params, cfg, ids)
+    ess_embeds = dec.embed_tokens(params, cfg, ess_ids)
+    pre_ess = dec.decoder_apply(params, cfg, ess_embeds, ess_mask)
+    pre_ess_p = jax.nn.log_softmax(pre_ess[0, ess_sidx[0]])
+    max_norm = hparams.clamp_norm_factor * jnp.linalg.norm(cur_out)
+
+    onehot = jax.nn.one_hot(sidx, L)[..., None]          # [B, L, 1]
+    ess_onehot = jax.nn.one_hot(ess_sidx, ess_ids.shape[1])[..., None]
+
+    def fwd_with_delta(delta, embeds_, mask_, oh):
+        return dec.decoder_apply(
+            params, cfg, embeds_, mask_,
+            mlp_residual=(li, lambda x: oh * delta))
+
+    def loss_fn(delta):
+        logits = fwd_with_delta(delta, embeds, mask, onehot)
+        logp = jax.nn.log_softmax(logits, -1)
+        picked = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+        m = lmask.astype(jnp.float32)
+        nll = -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
+        ess = fwd_with_delta(delta, ess_embeds, ess_mask, ess_onehot)
+        ess_p = jax.nn.log_softmax(ess[0, ess_sidx[0]])
+        klv = (jnp.exp(pre_ess_p) * (pre_ess_p - ess_p)).sum()
+        # sum-of-squares (NOT norm()**2 — sqrt has a NaN grad at 0)
+        wd = hparams.v_weight_decay * jnp.sum(delta * delta) \
+            / jnp.maximum(jnp.sum(cur_out * cur_out), 1e-12)
+        return nll + hparams.kl_factor * klv + wd
+
+    opt = optax.adam(hparams.v_lr)
+
+    def body(_, carry):
+        delta, st = carry
+        g = jax.grad(loss_fn)(delta)
+        up, st = opt.update(g, st, delta)
+        delta = optax.apply_updates(delta, up)
+        n = jnp.linalg.norm(delta)
+        delta = jnp.where(n > max_norm, delta * max_norm / n, delta)
+        return delta, st
+
+    delta0 = jnp.zeros((cfg.d_model,))
+    delta, _ = jax.lax.fori_loop(0, hparams.v_num_grad_steps, body,
+                                 (delta0, opt.init(delta0)))
+    return cur_out + delta
 
 
 def estimate_fc2_covariance(model: TextModel, texts, layer: int,
@@ -183,17 +200,12 @@ def estimate_fc2_covariance(model: TextModel, texts, layer: int,
     cfg = model.cfg
     sm = SecondMoment(cfg.d_ffn)
 
-    @jax.jit
-    def capture(params, ids, mask):
-        embeds = dec.embed_tokens(params, cfg, ids)
-        _, xs = capture_down_inputs(params, cfg, embeds, mask, (layer,))
-        return xs[layer]
-
     for i in range(0, len(texts), batch_size):
         chunk = texts[i:i + batch_size]
         tb = model.batch(chunk, [""] * len(chunk))
-        x2 = capture(model.params, jnp.asarray(tb.input_ids),
-                     jnp.asarray(tb.attn_mask))
+        x2 = _capture_down_jit(cfg, model.params,
+                               jnp.asarray(tb.input_ids),
+                               jnp.asarray(tb.attn_mask), layer)
         rows = np.asarray(x2).reshape(-1, cfg.d_ffn)
         valid = np.asarray(tb.attn_mask).reshape(-1) == 1
         sm.add(rows[valid])

@@ -55,11 +55,26 @@ class Controller:
             return {"ok": True}
         if path == "/list_workers":
             return {"workers": sorted(self.alive_workers())}
-        if path in ("/generate", "/edit", "/restore"):
+        if path == "/generate":
             name = self.pick()
             if name is None:
                 return {"error": "no live workers"}
             return self.proxy(name, path, body)
+        if path in ("/edit", "/restore"):
+            # Edits are MODEL STATE: broadcast to every live worker.
+            # Round-robin here would apply the edit to one worker while
+            # subsequent /generate calls rotate onto unedited ones.
+            alive = sorted(self.alive_workers())
+            if not alive:
+                return {"error": "no live workers"}
+            results = {}
+            for n in alive:
+                try:
+                    results[n] = self.proxy(n, path, body)
+                except Exception as e:  # dead mid-broadcast
+                    results[n] = {"error": repr(e)}
+            ok = all(r.get("ok") for r in results.values())
+            return {"ok": ok, "workers": results}
         return {"error": "unknown endpoint %s" % path}
 
     def serve(self, host: str = "127.0.0.1", port: int = 21001,

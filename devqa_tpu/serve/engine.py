@@ -164,12 +164,22 @@ class BatchingEngine:
         logits, row_cache = vllm.prefill(qb.embeds, qb.kv_valid, max_len=L)
         logits = np.asarray(logits)
         kv_rows = np.asarray(qb.kv_valid)
+        if L > self.max_len:
+            # Bucket padding can exceed the cache capacity even when every
+            # row's REAL content fits — trim the padded tail (content is
+            # right-padded, so positions >= real_len are invalid filler).
+            # Rejection below stays per-row: one over-long prompt must not
+            # take down the rest of its admission wave.
+            row_cache = {
+                "k": row_cache["k"][:, :, :, :self.max_len],
+                "v": row_cache["v"][:, :, :, :self.max_len],
+                "valid": row_cache["valid"][:, :self.max_len],
+            }
         V, p = vllm.cfg.n_img_tokens, vllm.cfg.img_slot_pos
         sel = np.full(self.n_slots, -1, np.int32)
         for j, req in enumerate(reqs):
             real_len = int(kv_rows[j].sum())
-            if L > self.max_len or \
-                    real_len > self.max_len - req.max_new_tokens:
+            if real_len > self.max_len - req.max_new_tokens:
                 req.text = ""
                 req.done.set()
                 continue

@@ -46,6 +46,38 @@ class ModelWorker:
                 vllm, n_slots=n_slots, max_len=max_len,
                 steps_per_dispatch=steps_per_dispatch).start()
 
+    # ---------------- controller registration ----------------
+
+    def register_with(self, controller_url: str, my_url: str,
+                      heartbeat_interval: float = 30.0):
+        """Register with a controller and keep re-registering on a daemon
+        heartbeat thread (model_worker.py:44's heartbeat loop role). The
+        controller expires workers ``heartbeat_expiry`` (default 90s)
+        after their last registration — a register-once worker would be
+        dropped from dispatch while perfectly healthy."""
+        import urllib.request
+
+        def beat_once():
+            body = json.dumps({"name": self.name, "url": my_url}).encode()
+            req = urllib.request.Request(
+                controller_url.rstrip("/") + "/register_worker", data=body,
+                headers={"Content-Type": "application/json"})
+            urllib.request.urlopen(req, timeout=30).read()
+
+        beat_once()  # fail loudly on first contact
+
+        stop = threading.Event()
+
+        def loop():
+            while not stop.wait(heartbeat_interval):
+                try:
+                    beat_once()
+                except Exception:
+                    pass  # controller restart — keep beating
+
+        self._heartbeat_stop = stop
+        threading.Thread(target=loop, daemon=True).start()
+
     # ---------------- inference ----------------
 
     def generate(self, prompt: str, image: Optional[str] = None,
@@ -216,6 +248,8 @@ class ModelWorker:
         self._httpd.serve_forever()
 
     def shutdown(self):
+        if getattr(self, "_heartbeat_stop", None) is not None:
+            self._heartbeat_stop.set()
         if self._httpd is not None:
             self._httpd.shutdown()
         if self._engine is not None:

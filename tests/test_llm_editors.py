@@ -96,6 +96,55 @@ class TestGRACE:
         g.reset()
         assert int(g.state["count"]) == 0
 
+    def test_expand_keeps_key_center(self, model):
+        """Same-label edit within the ε budget must EXPAND the nearest
+        ball, not move its center — re-centering silently un-covers the
+        first edit (GRACE.py only ever grows ε)."""
+        hp = GRACEHyperParams(layer=3, eps=100.0, n_iter=2, edit_lr=0.1,
+                              max_keys=8)
+        g = GraceEditor(model, hp)
+        g.edit(REQ)
+        key0 = np.asarray(g.state["keys"][0]).copy()
+        eps0 = float(g.state["eps"][0])
+        # same target (same label fingerprint), different prompt — with a
+        # huge ε budget this is the expand case
+        g.edit({"prompt": "france's capital city is called",
+                "target_new": REQ["target_new"]})
+        assert int(g.state["count"]) == 1
+        np.testing.assert_allclose(np.asarray(g.state["keys"][0]), key0)
+        assert float(g.state["eps"][0]) >= eps0
+
+    def test_codebook_ring_wraps_past_capacity(self, model):
+        """Past max_keys, new keys wrap onto the oldest slot; an
+        out-of-bounds scatter would be silently DROPPED by JAX while
+        count kept growing (codebook frozen with no error)."""
+        hp = GRACEHyperParams(layer=3, eps=1e-6, n_iter=1, edit_lr=0.1,
+                              max_keys=2)
+        g = GraceEditor(model, hp)
+        prompts = ["alpha beta gamma", "delta epsilon zeta",
+                   "eta theta iota", "kappa lambda mu"]
+        for i, p in enumerate(prompts):
+            g.edit({"prompt": p, "target_new": "tok%d" % i})
+        assert int(g.state["count"]) == 4
+        key_after = np.asarray(g.state["keys"]).copy()
+        # slot 0 must hold edit 3's key (wrapped), not edit 1's: editing
+        # edit 3's prompt again (same label) is the expand case on slot 0
+        g2 = GraceEditor(model, hp)
+        g2.edit({"prompt": prompts[2], "target_new": "tok2"})
+        np.testing.assert_allclose(key_after[0],
+                                   np.asarray(g2.state["keys"][0]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_session_restore_unpatches_logits(self, model):
+        hp = GRACEHyperParams(layer=3, eps=2.0, n_iter=2, edit_lr=0.1,
+                              max_keys=8)
+        g = GraceEditor(model, hp)
+        orig = model._logits
+        _, restore = g(model, REQ)
+        assert model._logits is not orig  # proxied through the codebook
+        restore()
+        assert model._logits is orig      # fully unpatched
+
 
 class TestSession:
     def test_session_with_ft(self, model):

@@ -75,6 +75,60 @@ class TestServe:
         assert st["edits"] == 0
 
 
+class TestControllerFleet:
+    def test_heartbeat_keeps_worker_alive(self):
+        """The controller expires workers heartbeat_expiry after their
+        last registration; register_with must keep re-registering or a
+        healthy worker drops out of dispatch permanently."""
+        import time
+
+        vllm = make_tiny_vllm()
+        ctl = Controller(heartbeat_expiry=1.0)
+        cport = free_port()
+        ctl.serve(port=cport, background=True)
+        w = ModelWorker(vllm, name="hb")
+        try:
+            w.register_with("http://127.0.0.1:%d" % cport,
+                            "http://127.0.0.1:1", heartbeat_interval=0.2)
+            time.sleep(1.6)  # > expiry: only heartbeats keep it alive
+            assert "hb" in ctl.alive_workers()
+        finally:
+            w.shutdown()
+            ctl.shutdown()
+
+    def test_edit_broadcasts_to_all_workers(self):
+        """Edits are model state: an edit through the controller must
+        reach EVERY worker, or round-robin generates alternate between
+        edited and unedited replicas."""
+        vllm = make_tiny_vllm()
+        workers, ports = [], []
+        ctl = Controller()
+        cport = free_port()
+        ctl.serve(port=cport, background=True)
+        try:
+            for i in range(2):
+                ed = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=i)
+                w = ModelWorker(vllm, ed, name="bw%d" % i)
+                p = free_port()
+                w.serve(port=p, background=True)
+                post("http://127.0.0.1:%d/register_worker" % cport,
+                     {"name": "bw%d" % i, "url": "http://127.0.0.1:%d" % p})
+                workers.append(w)
+                ports.append(p)
+            r = post("http://127.0.0.1:%d/edit" % cport,
+                     {"prompt": "what animal is this The answer is:",
+                      "image": "imgB.jpg", "target_new": "a stoat"})
+            assert r.get("ok") and set(r["workers"]) == {"bw0", "bw1"}
+            for p in ports:
+                st = json.loads(urllib.request.urlopen(
+                    "http://127.0.0.1:%d/status" % p, timeout=60).read())
+                assert st["edits"] == 1
+        finally:
+            for w in workers:
+                w.shutdown()
+            ctl.shutdown()
+
+
 class TestStreaming:
     def test_stream_deltas_join_to_generate(self):
         """Streamed deltas concatenate to exactly the non-streaming
