@@ -17,7 +17,8 @@ import json
 import os
 
 
-def save_converted(params, cfg_name: str, out_dir: str) -> None:
+def save_converted(params, cfg_name: str, out_dir: str,
+                   tokenizer_src: str = None) -> None:
     import orbax.checkpoint as ocp
 
     out_dir = os.path.abspath(out_dir)
@@ -25,6 +26,31 @@ def save_converted(params, cfg_name: str, out_dir: str) -> None:
                                   force=True)
     with open(os.path.join(out_dir, "devqa_model.json"), "w") as f:
         json.dump({"model": cfg_name, "format": "devqa_tpu-orbax-v1"}, f)
+    if tokenizer_src:
+        # The converted dir must be self-contained: without a saved
+        # tokenizer the registry load silently falls back to ToyTokenizer
+        # and real weights produce garbage with no error.
+        save_tokenizer(tokenizer_src, out_dir)
+
+
+def save_tokenizer(src_dir: str, out_dir: str) -> bool:
+    """Copy the source checkpoint's tokenizer into <out_dir>/tokenizer
+    (the path registry.load_vllm_for_edit probes). Returns success."""
+    import sys
+
+    try:
+        import transformers
+
+        tok = transformers.AutoTokenizer.from_pretrained(src_dir)
+        tok.save_pretrained(os.path.join(out_dir, "tokenizer"))
+        return True
+    except Exception as e:
+        print("WARNING: could not save tokenizer from %s (%r). The "
+              "converted dir will fall back to ToyTokenizer — real "
+              "weights will produce garbage. Copy a tokenizer into "
+              "%s/tokenizer before evaluating." % (src_dir, e, out_dir),
+              file=sys.stderr)
+        return False
 
 
 def is_converted_dir(path: str) -> bool:
@@ -54,7 +80,8 @@ def main(argv=None):
 
     full = get_full_model_name(args.model_name)
     vllm = load_vllm_for_edit(full, weights_dir=args.weights_dir)
-    save_converted(vllm.params, full, args.out_dir)
+    save_converted(vllm.params, full, args.out_dir,
+                   tokenizer_src=args.weights_dir)
     print("saved %s params to %s" % (full, args.out_dir))
 
 

@@ -60,7 +60,7 @@ def get_args():
     return p.parse_args()
 
 
-def build_retriever(args, records=None, img_root_dir=""):
+def build_retriever(args):
     """-rt/-red/-st → a Retriever (or None to build from the dataset)."""
     from ..retrieval.store import EmbeddingStore, Retriever, hash_encoder
 

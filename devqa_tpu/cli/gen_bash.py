@@ -15,10 +15,18 @@ def main():
     args = p.parse_args()
 
     ckpts = []
-    for i, _, k in os.walk(args.records_dir):
-        for kk in k:
+    for i, dirs, files in os.walk(args.records_dir):
+        # Orbax 'Best' checkpoints are DIRECTORIES (train/loop.save_ckpt);
+        # file names are also scanned for torch-style single-file ckpts.
+        for d in dirs:
+            if d.endswith("Best"):
+                ckpts.append(os.path.join(i, d))
+        for kk in files:
             if kk.endswith("Best"):
                 ckpts.append(os.path.join(i, kk))
+    # os.walk descends INTO Best dirs; don't also pick up nested matches
+    ckpts = [c for c in ckpts
+             if not os.path.dirname(c).endswith("Best")]
     buckets = [[] for _ in range(args.hosts)]
     for n, m in enumerate(sorted(ckpts)):
         parts = m.split(os.sep)

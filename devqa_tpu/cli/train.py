@@ -65,8 +65,7 @@ def main():
     retriever, encoder = build_retriever(args)
     editor = load_vllm_editor(
         args.editor_name.lower(), full, weights_dir=args.weights_dir,
-        configs_dir=args.configs_dir, for_train=True,
-        sentence_encoder=encoder)
+        configs_dir=args.configs_dir, sentence_encoder=encoder)
     if args.augment:
         from ..data.augment import AugmentingImageProvider
 

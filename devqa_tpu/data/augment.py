@@ -169,6 +169,12 @@ class AugmentingImageProvider:
         rng = np.random.default_rng(
             (self.seed * 1000003 + self.epoch * 101
              + zlib.crc32(str(path).encode())) % (2 ** 63))
+        # Crop the ORIGINAL image when the base can decode one (the
+        # reference's RandomResizedCrop runs before any resize); falling
+        # back to the transport-resolution image only for providers with
+        # no raw decode (synthetic).
+        raw = getattr(self.base, "load_raw", None)
+        img = raw(path) if raw is not None else self.base(path)
         return blip_train_transform(
-            self.base(path), self.image_size, rng,
+            img, self.image_size, rng,
             self.min_scale, self.max_scale, self.n, self.m)

@@ -33,6 +33,15 @@ class FileImageProvider:
                 (self.image_size, self.image_size), Image.BICUBIC)
             return np.asarray(img, dtype=np.uint8)
 
+    def load_raw(self, path: str) -> np.ndarray:
+        """Original-resolution decode — the train augmentation pipeline
+        crops BEFORE resizing (BlipImageTrainProcessor order); cropping
+        an already-downsampled square would blur and distort geometry."""
+        from PIL import Image
+
+        with Image.open(path) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
 
 class SyntheticImageProvider:
     """Deterministic path-seeded random images — for tests and benches

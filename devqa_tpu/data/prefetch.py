@@ -56,22 +56,44 @@ class ParallelDataset:
         q: queue.Queue = queue.Queue(maxsize=self.buffer_size)
         SENTINEL = object()
         err: List[BaseException] = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for ids in id_batches:
-                    q.put((self.get_data_by_ids(ids), len(ids)))
+                    item = (self.get_data_by_ids(ids), len(ids))
+                    # A bounded put with a stop check: when the consumer
+                    # abandons the iterator (max_steps / early-stop exits
+                    # mid-epoch), a plain q.put would block forever and
+                    # the thread would keep organizing batches (CPU +
+                    # memory) alongside whatever the trainer does next.
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surfaced to the consumer
                 err.append(e)
             finally:
-                q.put(SENTINEL)
-
+                while not stop.is_set():  # consumer gone → no one needs it
+                    try:
+                        q.put(SENTINEL, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # GeneratorExit (abandonment) or normal return both land here.
+            stop.set()

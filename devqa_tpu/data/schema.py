@@ -82,8 +82,13 @@ def synthesize_cases(
     """
     n = len(records) if data_n is None else min(len(records), data_n)
     recs = records[:n]
+    # Same answer-fallback expression as the store build above: an
+    # asymmetric fallback ('' here vs alt there) lets a pred-less record
+    # match ITSELF as the similar neighbor, collapsing the t2/i2 probes
+    # into the edit request.
     sim = retriever.find_similar_batch(
-        [d["src"] for d in recs], [d.get("pred", "") for d in recs])
+        [d["src"] for d in recs],
+        [d.get("pred", d.get("alt", "")) for d in recs])
     cases = []
     for d, ((t2_prompt, _t2_ans), i2_path) in zip(recs, sim):
         i1 = os.path.join(img_root_dir, d["image"])

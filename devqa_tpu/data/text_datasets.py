@@ -85,11 +85,13 @@ class BaseLLMEditData:
                                    or r["prompt"],
                                    "target": r["target_new"], "image": None}]},
             "locality": {
+                # Locality-less records get an EMPTY probe list (the
+                # harness skips empty specs) — falling back to the edit
+                # request itself would guarantee a "locality violation"
+                # on every record without one.
                 "text_loc": [{"prompt": loc["prompt"],
                               "target": loc["ground_truth"], "image": None}
-                             for loc in r.get("locality", {}).values()] or
-                [{"prompt": r["prompt"], "target": r["target_new"],
-                  "image": None}]},
+                             for loc in r.get("locality", {}).values()]},
         } for r in requests]
 
 

@@ -59,10 +59,26 @@ class MiniLMEncoder:
         out = []
         for i in range(0, len(texts), self.batch_size):
             chunk = list(texts[i:i + self.batch_size])
+            real = len(chunk)
+            # O(1) compiled shapes: the ragged tail chunk pads by
+            # repetition and lengths snap to a fixed bucket set
+            # (padding=True alone would compile a new program per
+            # distinct chunk max-length — 30-90s each on the
+            # remote-compile tunnel).
+            chunk = chunk + [chunk[-1]] * (self.batch_size - real)
             enc = self.tokenizer(chunk, padding=True, truncation=True,
-                                 max_length=self.max_length, return_tensors="np")
-            emb = self._jit(self.params,
-                            enc["input_ids"].astype(np.int32),
-                            enc["attention_mask"].astype(np.int32))
-            out.append(np.asarray(emb))
+                                 max_length=self.max_length,
+                                 return_tensors="np")
+            ids = enc["input_ids"].astype(np.int32)
+            mask = enc["attention_mask"].astype(np.int32)
+            L = ids.shape[1]
+            bucket = next(b for b in (32, 64, 128, self.max_length)
+                          if b >= min(L, self.max_length))
+            if L < bucket:
+                pad_id = int(getattr(self.tokenizer, "pad_token_id", 0) or 0)
+                ids = np.pad(ids, ((0, 0), (0, bucket - L)),
+                             constant_values=pad_id)
+                mask = np.pad(mask, ((0, 0), (0, bucket - L)))
+            emb = self._jit(self.params, ids, mask)
+            out.append(np.asarray(emb)[:real])
         return np.concatenate(out, axis=0)

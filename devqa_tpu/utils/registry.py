@@ -91,6 +91,12 @@ def load_vllm_for_edit(
             tokenizer = HFTokenizerAdapter(
                 transformers.AutoTokenizer.from_pretrained(tok_sub))
         if tokenizer is None:
+            import sys
+
+            print("WARNING: converted dir %s has no tokenizer/ — using "
+                  "ToyTokenizer; real weights will produce garbage "
+                  "(re-run cli.convert, which saves it)." % weights_dir,
+                  file=sys.stderr)
             tokenizer = ToyTokenizer(vocab_size=cfg.decoder.vocab_size)
         if image_provider is None:
             image_provider = FileImageProvider(cfg.vit.image_size)
@@ -168,7 +174,6 @@ def load_vllm_editor(
     ckpt_path: Optional[str] = None,
     sentence_encoder=None,
     ike_store_path: Optional[str] = None,
-    for_train: bool = False,
     seed: int = 0,
 ):
     """Name → configured editor instance (the reference's registry chain,

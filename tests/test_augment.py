@@ -66,6 +66,26 @@ class TestCropAndPipeline:
 
 
 class TestProvider:
+    def test_crops_original_resolution_when_available(self):
+        """The train transform must crop the ORIGINAL image (reference
+        BlipImageTrainProcessor order: RandomResizedCrop then resize),
+        not a pre-squashed transport-resolution square."""
+        calls = []
+
+        class Base:
+            def __call__(self, path):
+                calls.append("transport")
+                return img_grad(16)
+
+            def load_raw(self, path):
+                calls.append("raw")
+                return img_grad(64)
+
+        prov = A.AugmentingImageProvider(Base(), image_size=16, seed=0)
+        out = prov("x.jpg")
+        assert out.shape == (16, 16, 3)
+        assert calls == ["raw"]  # original decoded; no transport resize
+
     def test_epoch_determinism_and_refresh(self):
         from devqa_tpu.data.images import SyntheticImageProvider
 

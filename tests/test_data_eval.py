@@ -37,6 +37,62 @@ class TestRetriever:
         np.testing.assert_allclose(loaded.embeddings, store.embeddings, rtol=1e-6)
 
 
+class TestRetrieverFallbackParity:
+    def test_predless_record_does_not_match_itself(self, tmp_path):
+        """A record with no 'pred' must use the SAME answer fallback on
+        the query side as the store side — an asymmetric fallback ('' vs
+        alt) let the record match itself as its 'similar' neighbor,
+        collapsing the t2/i2 locality probes into the edit request."""
+        recs = synth_records(4, seed=3)
+        for r in recs:
+            r.pop("pred", None)
+        path = os.path.join(str(tmp_path), "vqa_eval.json")
+        with open(path, "w") as f:
+            json.dump(recs, f)
+        data = EVQA(path, str(tmp_path), encoder=hash_encoder(16))
+        for case, r in zip(data.data, recs):
+            t2 = case.locality["t2i4"][0]["prompt"]
+            assert r["src"] not in t2, (r["src"], t2)
+
+
+class TestParallelDatasetLifecycle:
+    def test_abandoned_iterator_stops_producer(self):
+        """Exiting an epoch early (max_steps / early stop) must stop the
+        producer thread — otherwise it keeps organizing batches and then
+        blocks on q.put forever, leaking a thread + buffer per epoch."""
+        import threading
+        import time
+
+        from devqa_tpu.data.prefetch import ParallelDataset
+
+        produced = []
+
+        def get(ids):
+            produced.append(ids)
+            return ids
+
+        before = threading.active_count()
+        ds = ParallelDataset(64, get, batch_size=4, buffer_size=2, seed=0)
+        it = iter(ds)
+        next(it)
+        it.close()  # what abandoning the for-loop does on GC
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() == before, "producer leaked"
+        n_after_close = len(produced)
+        time.sleep(0.3)
+        assert len(produced) == n_after_close  # no further organizing
+
+    def test_full_epoch_still_terminates(self):
+        from devqa_tpu.data.prefetch import ParallelDataset
+
+        ds = ParallelDataset(10, lambda ids: ids, batch_size=4,
+                             buffer_size=1, seed=0)
+        out = list(ds)
+        assert len(out) == 2  # drop_last on 10/4
+
+
 class TestEVQALoader:
     def test_structure_and_templates(self, tmp_path):
         path, records = write_records(str(tmp_path), 4)
