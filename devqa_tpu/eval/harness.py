@@ -199,6 +199,8 @@ class EditorEvaluation:
         (vllm_editor_eval.py:106-113). One batched forward."""
         vllm = self.editor.vllm
         specs = [s for s in case_probe_specs(case) if s.kind == "locality"]
+        if not specs:  # e.g. locality-less text records — nothing to snap
+            return {}
         qb = vllm.encode_queries(
             [s.prompt for s in specs], [s.image for s in specs],
             [s.target for s in specs])
@@ -290,6 +292,21 @@ class EditorEvaluation:
                 splits.append(cur)
                 counts.append(cur_n)
                 cur, cur_n = [], 0
+        if cur:
+            # Reference parity: vllm_editor_eval.py:74-87 never flushes a
+            # trailing partial split — but dropping cases silently (or
+            # producing ZERO splits when edit_n > total requests) hides a
+            # protocol misconfiguration, so say it out loud.
+            import sys
+
+            print("WARNING: %d trailing case(s) (%d requests) do not fill "
+                  "a final edit_n=%d split and are excluded (reference "
+                  "split_data semantics)." % (len(cur), cur_n, edit_n),
+                  file=sys.stderr)
+        if not splits:
+            raise ValueError(
+                "edit_n=%d exceeds the dataset's total request count (%d) "
+                "— no split can be formed" % (edit_n, cur_n))
         return splits, counts, seed
 
     def _save_sequential(self, results, split_ns, edit_n: int, random: bool,

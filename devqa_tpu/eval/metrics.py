@@ -198,7 +198,10 @@ def topk_span_agreement(pre_topk, pre_mask, post_topk, post_mask,
     b = np.asarray(post_topk)[np.asarray(post_mask) == 1][:, :k]
     n = min(len(a), len(b))
     if n == 0:
-        return 1.0
+        # Degenerate span (all-zero mask): score 0.0, consistent with
+        # locality_agreement on the identical probe — a silent 1.0 would
+        # inflate the aggregate.
+        return 0.0
     return float((a[len(a) - n:] == b[len(b) - n:]).mean())
 
 
@@ -207,10 +210,15 @@ def kl_loc(pre_logits, post_logits, mask) -> float:
     end-alignment ``post[:, -pre_len:]`` (evaluate_utils.py:474-497) —
     robust to prompt-space editors prepending ICL prefixes."""
     pre = np.asarray(pre_logits, np.float32)
-    post = np.asarray(post_logits, np.float32)[:, -pre.shape[1]:, :]
+    post = np.asarray(post_logits, np.float32)
+    # Tail-align BOTH sides (like topk_logits_agreement): post can be
+    # longer (ICL prefixes) or shorter (layout-shrinking editors).
+    L = min(pre.shape[1], post.shape[1])
+    pre, post = pre[:, -L:, :], post[:, -L:, :]
+    mask = np.asarray(mask, bool)[:, -L:]
     pre_ls, post_ls = _log_softmax(pre), _log_softmax(post)
     kl = (np.exp(pre_ls) * (pre_ls - post_ls)).sum(-1)
-    return masked_mean(kl, np.asarray(mask, bool))
+    return masked_mean(kl, mask)
 
 
 # --------------------------------------------------------------------
@@ -311,15 +319,16 @@ def safety_gen(model, test_prompts: Sequence[str], max_tokens: int = 1624,
     left-truncating over-long inputs (harmful content rides the suffix)
     and returning only the response text."""
     keep = max_tokens - max_output_tokens
-    outs = []
+    trimmed = []
     for item in test_prompts:
         ids = model.tokenizer.encode(item)
         if len(ids) > keep:
             item = model.tokenizer.decode(ids[-keep:])
-        outs.append(generate_fast(model, [item],
-                                  max_new_tokens=max_output_tokens)[0]
-                    .lstrip())
-    return outs
+        trimmed.append(item)
+    # ONE batched generate call: per-prompt calls pay dispatch/tunnel
+    # latency per prompt for identical outputs (generate_fast is batched).
+    return [t.lstrip() for t in generate_fast(
+        model, trimmed, max_new_tokens=max_output_tokens)]
 
 
 # --------------------------------------------------------------------

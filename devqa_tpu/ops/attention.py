@@ -530,15 +530,21 @@ FLASH_MIN_KV_LEN = 512
 def _flash_worthwhile(q, k) -> bool:
     import os
 
-    # TPU block specs need the 2nd-to-last block dim divisible by 8;
-    # block_q = min(128, lq) would violate that for short q (notably the
-    # single-token KV-cached decode step, lq=1) — those shapes gain
-    # nothing from flash anyway, so route them to XLA attention.
-    if q.shape[2] % 8 != 0 and q.shape[2] < 128 and not _interpret_mode():
-        return False
+    # TPU block specs need the 2nd-to-last block dim divisible by 8.
+    # Effective blocks are min(block, length) (fwd q512/k1024, bwd
+    # q256/k512), so any length below its LARGEST block must itself be
+    # divisible by 8 or Mosaic rejects the kernel — notably the
+    # single-token KV-cached decode step (lq=1), which gains nothing
+    # from flash anyway. Route all such shapes to XLA attention.
+    lq, lk = q.shape[2], k.shape[2]
+    if not _interpret_mode():
+        if lq % 8 != 0 and lq < max(FLASH_BLOCK_Q, 256):
+            return False
+        if lk % 8 != 0 and lk < max(FLASH_BLOCK_K, 512):
+            return False
     if os.environ.get("DEVQA_FORCE_FLASH") == "1" or _interpret_mode():
         return True
-    return k.shape[2] >= FLASH_MIN_KV_LEN
+    return lk >= FLASH_MIN_KV_LEN
 
 
 def _active_mesh():

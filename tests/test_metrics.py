@@ -324,6 +324,22 @@ class TestTopkAgreement:
                                      post_mask, 1)
         assert got1 == pytest.approx(3 / 4)
 
+    def test_span_agreement_empty_span_scores_zero(self):
+        """All-zero masks (degenerate probe) score 0.0, consistent with
+        locality_agreement — not a silently-inflating 1.0."""
+        pre_topk = np.zeros((4, 10), int)
+        got = M.topk_span_agreement(pre_topk, np.zeros(4, int), pre_topk,
+                                    np.zeros(4, int), 10)
+        assert got == 0.0
+
+    def test_kl_loc_shorter_post_aligns(self):
+        """Layout-shrinking editors (RECIPE drops image tokens) produce a
+        SHORTER post batch; kl_loc must tail-align both sides."""
+        rng = np.random.default_rng(5)
+        pre = rng.normal(size=(1, 6, 12)).astype(np.float32)
+        post = pre[:, -4:, :]
+        assert abs(M.kl_loc(pre, post, np.ones((1, 6), bool))) < 1e-6
+
     def test_span_agreement_prefix_shift(self):
         """IKE prepends ICL text: post span sits at a different absolute
         position; span extraction + tail alignment must line them up."""
