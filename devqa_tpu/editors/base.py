@@ -30,9 +30,39 @@ from ..core.wrapper import JaxVLLM, QueryBatch
 EditRequest = Dict
 
 
+def instance_jit(**jit_kwargs):
+    """Mark a method for INSTANCE-held jit binding (performed by
+    ``VLLMEditor.__init__``): the PjitFunction and its executable cache
+    then live on the editor instance and are released with it.
+    ``@jax.jit`` on a method with a static ``self`` pins the editor — and
+    through ``self.vllm`` the multi-GB backbone params — in the
+    class-level cache long after deletion (same rule as
+    core/wrapper.py's instance-held jits). ``static_argnums`` are
+    relative to the BOUND call, i.e. ``self`` excluded."""
+    def mark(fn):
+        fn._instance_jit_kwargs = jit_kwargs
+        return fn
+
+    return mark
+
+
 class VLLMEditor(ABC):
     def __init__(self, vllm: JaxVLLM):
         self.vllm = vllm
+        self._bind_instance_jits()
+
+    def _bind_instance_jits(self):
+        import jax
+
+        seen = set()
+        for klass in type(self).__mro__:
+            for name, fn in vars(klass).items():
+                if name in seen:
+                    continue
+                seen.add(name)  # most-derived definition wins
+                kw = getattr(fn, "_instance_jit_kwargs", None)
+                if kw is not None:
+                    setattr(self, name, jax.jit(fn.__get__(self), **kw))
 
     @abstractmethod
     def name_of_editor_and_model(self) -> Tuple[str, str]:

@@ -16,7 +16,6 @@ Python loop of separate forward/backward launches.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -27,7 +26,7 @@ from ..core.losses import label_loss
 from ..core.vllm import vllm_logits
 from ..utils.config import BaseConfig
 from ..utils.surgery import ParamTarget, get_target, parse_torch_module_template, set_target
-from .base import EditRequest, VLLMEditor
+from .base import EditRequest, VLLMEditor, instance_jit
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,7 +68,7 @@ class FTvl(VLLMEditor):
 
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _execute_ft(self, params, embeds, kv_valid, label_ids, label_masks):
         """Jitted FT loop → new values for the target slices."""
         cfg = self.cfg

@@ -73,6 +73,11 @@ def fit_domain_classifier(records: Sequence[dict], encoder,
     neg = [r["loc"] for r in records] + [r["m_loc_q"] for r in records]
     feats = _normalize(np.asarray(encoder(pos + neg), np.float32))
     labels = np.asarray([1] * len(pos) + [0] * len(neg))
+    # Shuffle before fitting: all-pos-then-all-neg ordering makes the
+    # ridge grid's 80/20 validation tail single-class, which can pick a
+    # degenerate lambda and under-fire the in-domain gate.
+    perm = np.random.default_rng(seed).permutation(len(labels))
+    feats, labels = feats[perm], labels[perm]
     clf = RidgeClassifier.create(feats.shape[1], M=M, seed=seed)
     return clf.fit(feats, labels)
 

@@ -25,7 +25,6 @@ Divergences (documented):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import List, Tuple
 
 import jax
@@ -36,7 +35,7 @@ import optax
 from ..core import decoder as dec
 from ..core.wrapper import JaxVLLM, QueryBatch
 from ..utils.config import BaseConfig
-from .base import EditRequest, VLLMEditor
+from .base import EditRequest, VLLMEditor, instance_jit
 
 NEG_INF = -1e30
 
@@ -106,7 +105,7 @@ class LEMoEvl(VLLMEditor):
 
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _logits_jit(self, state, vparams, embeds, kv_valid):
         vcfg = self.vllm.cfg
         h = dec.decoder_forward(
@@ -151,7 +150,7 @@ class LEMoEvl(VLLMEditor):
             self.state, self.vllm.params, new, rngs[4],
             qb.embeds, qb.kv_valid, qb.label_ids, qb.label_masks)
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _train_expert_jit(self, state, vparams, new, new_k, embeds, kv,
                           labels, masks):
         cfg = self.cfg

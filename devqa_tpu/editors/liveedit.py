@@ -31,7 +31,6 @@ TPU-native redesign:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -43,7 +42,7 @@ from ..core import decoder as dec
 from ..core.wrapper import JaxVLLM, QueryBatch
 from ..ops.layers import layer_norm
 from ..utils.config import BaseConfig
-from .base import EditRequest, VLLMEditor
+from .base import EditRequest, VLLMEditor, instance_jit
 from . import liveedit_modules as M
 
 
@@ -238,7 +237,7 @@ class LiveEdit(VLLMEditor):
 
     # ---------------- edit ----------------
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _edit_jit(self, lparams, state, vparams, embeds, kv_valid, query_ends):
         cfg = self.cfg
         vcfg = self.vllm.cfg
@@ -275,7 +274,7 @@ class LiveEdit(VLLMEditor):
     def if_can_batch_edit(self):
         return True
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _edit_batch_jit(self, lparams, state, vparams, embeds, kv_valid,
                         query_ends):
         cfg = self.cfg
@@ -299,6 +298,16 @@ class LiveEdit(VLLMEditor):
         }
 
     def edit_batch(self, requests):
+        cap = int(self.state["eqr"].shape[0])
+        if len(requests) > cap:
+            # More requests than pool capacity: only the LAST cap survive
+            # the ring anyway, and a wrapped scatter with duplicate
+            # indices has UNSPECIFIED winner order in JAX — the newest
+            # edits could silently lose to older ones from the same call.
+            self.state = dict(self.state,
+                              count=self.state["count"]
+                              + (len(requests) - cap))
+            requests = requests[-cap:]
         qb = self.vllm.encode_queries(
             [r["prompt"] for r in requests],
             [r.get("image") for r in requests],
@@ -309,7 +318,7 @@ class LiveEdit(VLLMEditor):
 
     # ---------------- inference ----------------
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _logits_jit(self, lparams, state, vparams, embeds, kv_valid,
                     query_ends, has_image):
         vcfg = self.vllm.cfg
@@ -338,15 +347,6 @@ def _per_row_label_loss(logits, label_ids, label_masks):
     picked = jnp.take_along_axis(logp, label_ids[..., None], axis=-1)[..., 0]
     m = label_masks.astype(jnp.float32)
     per_row = -(picked * m).sum(-1) / jnp.maximum(m.sum(-1), 1.0)
-    return per_row.mean()
-
-
-def _per_row_kl_loss(logits1, logits2, label_masks):
-    lp1 = jax.nn.log_softmax(logits1.astype(jnp.float32), axis=-1)
-    lp2 = jax.nn.log_softmax(logits2.astype(jnp.float32), axis=-1)
-    kl = (jnp.exp(lp1) * (lp1 - lp2)).sum(-1)
-    m = label_masks.astype(jnp.float32)
-    per_row = (kl * m).sum(-1) / jnp.maximum(m.sum(-1), 1.0)
     return per_row.mean()
 
 
@@ -438,7 +438,7 @@ class LiveEditTrainingMixin:
 
     # ---- device-side training step ----
 
-    @partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    @instance_jit(static_argnums=(4, 5, 6))
     def _train_step_jit(self, lparams, opt_state, vparams, batch, B, G, K):
         # vparams is an ARGUMENT, never a closure: closing over the
         # multi-GB backbone bakes it into the program as constants and

@@ -24,7 +24,6 @@ production via retrieval/encoders.py).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, List, Sequence, Tuple
 
 import jax
@@ -35,7 +34,7 @@ import optax
 from ..core import decoder as dec
 from ..core.wrapper import JaxVLLM, QueryBatch
 from ..utils.config import BaseConfig
-from .base import EditRequest, VLLMEditor
+from .base import EditRequest, VLLMEditor, instance_jit
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,20 +100,22 @@ class LTEvl(VLLMEditor):
         E = self.cfg.max_prefix_len
         emb = np.asarray(qb.embeds[0])
         msk = np.asarray(qb.kv_valid[0])
-        # Overlong prefixes keep the TAIL of the valid span: the prompt/
-        # target and the trailing '\n[Query]' marker the LTE fine-tune
-        # conditions on live at the end ("[Updated Information]"
-        # boilerplate at the head is the expendable part). The reference
-        # never truncates (dynamic shapes, lte_vl.py:112-118); E is this
-        # build's shape-stability cap.
-        v = int(msk.sum())
-        if v > E:
-            return emb[v - E:v], msk[v - E:v]
-        L = emb.shape[0]
-        if L >= E:
-            return emb[:E], msk[:E]
-        pad = ((0, E - L), (0, 0))
-        return np.pad(emb, pad), np.pad(msk, ((0, E - L),))
+        # Compact to the VALID positions first: no-image rows carry an
+        # invalid vision-slot hole mid-sequence, so windowing by
+        # sum(valid) on the uncompacted layout dropped the trailing
+        # target + '\n[Query]' marker. Overlong prefixes then keep the
+        # TAIL of the valid span: the prompt/target and the trailing
+        # marker the LTE fine-tune conditions on live at the end
+        # ("[Updated Information]" boilerplate at the head is the
+        # expendable part). The reference never truncates (dynamic
+        # shapes, lte_vl.py:112-118); E is this build's
+        # shape-stability cap.
+        emb = emb[msk == 1]
+        v = emb.shape[0]
+        if v >= E:
+            return emb[v - E:], np.ones(E, msk.dtype)
+        pad = ((0, E - v), (0, 0))
+        return np.pad(emb, pad), np.pad(np.ones(v, msk.dtype), ((0, E - v),))
 
     def edit_one_piece(self, request: EditRequest):
         emb, msk = self._edit_prefix(request)
@@ -147,7 +148,7 @@ class LTEvl(VLLMEditor):
         use = sim.max(1) > self.cfg.sim_threshold
         return best.astype(np.int32), use.astype(np.int32)
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _logits_jit(self, state, vparams, embeds, kv_valid, best, use):
         vcfg = self.vllm.cfg
         E = self.cfg.max_prefix_len
@@ -162,16 +163,22 @@ class LTEvl(VLLMEditor):
     def query_logits(self, qb: QueryBatch):
         if int(self.state["count"]) == 0:
             return self.vllm.logits(qb.embeds, qb.kv_valid)
-        # The harness passes prompts through build_query_batch; retrieval
-        # keys on the raw prompt text.
-        prompts = self._last_prompts
+        # Retrieval keys on the raw prompt text carried with the batch
+        # (fallback: the last build_query_batch call, for callers that
+        # reconstructed the QueryBatch through a jit boundary).
+        prompts = getattr(qb, "raw_prompts", None) or self._last_prompts
         best, use = self._retrieve(prompts)
         return self._logits_jit(self.state, self.vllm.params, qb.embeds,
                                 qb.kv_valid, jnp.asarray(best), jnp.asarray(use))
 
     def build_query_batch(self, prompts, image_paths, targets) -> QueryBatch:
         self._last_prompts = list(prompts)
-        return self.vllm.encode_queries(prompts, image_paths, targets)
+        qb = self.vllm.encode_queries(prompts, image_paths, targets)
+        # Carry the raw prompts WITH the batch: query_logits retrieves by
+        # prompt text, and falling back to call-order state silently
+        # retrieves against the wrong prompts if batches are pre-encoded.
+        qb.raw_prompts = list(prompts)
+        return qb
 
 
 class LTEvlTrainable(LTEvl):
@@ -222,7 +229,7 @@ class LTEvlTrainable(LTEvl):
         self.vllm.params = dict(self.vllm.params, decoder=dparams)
         return float(loss), {k: float(v) for k, v in logs.items()}
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _train_step_jit(self, dparams, opt_state, frozen, prefix, rel,
                         gens, locs):
         """One fused fwd+bwd+update program (every other trainable editor
@@ -237,6 +244,8 @@ class LTEvlTrainable(LTEvl):
             rel_l = self._prefixed_loss(dparams, prefix, rel)
             logs["rel_loss"] = rel_l
             total += rel_l * tc.relia_lambda
+            g = jnp.float32(0.0)        # cases may carry no generality /
+            kl1 = kl2 = jnp.float32(0.0)  # locality keys at all
             for k, qb in gens.items():
                 g = self._prefixed_loss(dparams, prefix, qb)
                 total += g * tc.gen_lambda

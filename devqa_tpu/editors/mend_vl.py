@@ -25,7 +25,6 @@ mask zeroing excluded rows after the transform and in the Welford stats.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, List, Tuple
 
 import jax
@@ -37,7 +36,7 @@ from ..core import decoder as dec
 from ..core.wrapper import JaxVLLM, QueryBatch
 from ..utils.config import BaseConfig
 from ..utils.surgery import ParamTarget, add_to_target, get_target
-from .base import EditRequest, VLLMEditor
+from .base import EditRequest, VLLMEditor, instance_jit
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,10 +136,17 @@ def gt_apply(params, norm, cfg: MENDvlConfig.AuxModelConfig,
     zeroed."""
     x_dim = u_rows.shape[-1]
     if cfg.norm:
+        # Untrained stats (k<2, Welford buffers all zero) would divide by
+        # u_std=0+1e-7 and scale inputs ~1e7 (deltas ~1e14) silently —
+        # fall back to identity until real stats exist. The reference
+        # normalizes unconditionally but never edits untrained.
+        trained = norm["k"] >= 2.0
         u_std = jnp.sqrt(norm["u_s"] / jnp.maximum(norm["k"] - 1, 1.0))
         v_std = jnp.sqrt(norm["v_s"] / jnp.maximum(norm["k"] - 1, 1.0))
-        u_in = (u_rows - norm["u_mean"]) / (u_std + 1e-7)
-        v_in = (v_rows - norm["v_mean"]) / (v_std + 1e-7)
+        u_in = jnp.where(trained,
+                         (u_rows - norm["u_mean"]) / (u_std + 1e-7), u_rows)
+        v_in = jnp.where(trained,
+                         (v_rows - norm["v_mean"]) / (v_std + 1e-7), v_rows)
     else:
         u_in, v_in = u_rows, v_rows
     h = jnp.concatenate([u_in, v_in], axis=-1)
@@ -216,10 +222,13 @@ class MENDvl(VLLMEditor):
 
     # ------------------------------------------------------------------
 
+    @instance_jit(static_argnums=(2,))
     def _capture(self, vparams, qb_arrays, train_norm: bool):
         """(x, δ, w) per target from the edit loss (the __edit_batch__
         gradient capture, mend_vl.py:186-195). Arch-generic via the
-        module-keyed linear probes."""
+        module-keyed linear probes. Jitted: train_step calls this on
+        every meta-step, and an eager 2.7b forward+backward dispatches
+        hundreds of individual ops through the remote tunnel."""
         embeds, kv, labels, masks = qb_arrays
         vcfg = self.vllm.cfg
         B, L, _ = embeds.shape
@@ -275,7 +284,7 @@ class MENDvl(VLLMEditor):
                 vparams, ParamTarget(("decoder", "layers", m, "w"), l), dw)
         return vparams
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _edit_jit(self, params, norm_state, vparams, deltas, embeds, kv,
                   labels, masks):
         captured = self._capture(vparams, (embeds, kv, labels, masks), False)
@@ -300,7 +309,7 @@ class MENDvl(VLLMEditor):
     def edit_one_piece(self, request: EditRequest):
         self.edit_batch([request])
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _logits_jit(self, vparams, deltas, embeds, kv):
         vcfg = self.vllm.cfg
         vp = self._edited_vparams(vparams, deltas)
@@ -393,7 +402,7 @@ class MENDvlTrainable(MENDvl):
             batch.get("GI_IMG", 0))
         return float(loss), {k: float(v) for k, v in logs.items()}
 
-    @partial(jax.jit, static_argnums=(0, 10, 11, 12, 13))
+    @instance_jit(static_argnums=(9, 10, 11, 12))
     def _meta_step_jit(self, params, opt_state, norm_state, vparams,
                        captured, rel, gens, locs, extras, B, G, K, GI_IMG):
         cfg = self.cfg

@@ -26,7 +26,6 @@ batches stay one fused forward.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, List, Sequence, Tuple
 
 import jax
@@ -39,7 +38,7 @@ from ..core import decoder as dec
 from ..core.wrapper import JaxVLLM, QueryBatch
 from ..ops.layers import linear
 from ..utils.config import BaseConfig
-from .base import EditRequest, VLLMEditor
+from .base import EditRequest, VLLMEditor, instance_jit
 
 NEG_INF = -1e30
 
@@ -198,7 +197,7 @@ class RECIPEvl(VLLMEditor):
         ids, mask = self._krm_tok(texts)
         return self._krm_encode_jit(self.params, ids, mask, kind)
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @instance_jit(static_argnums=(3,))
     def _krm_encode_jit(self, rparams, ids, mask, kind):
         return krm_encode_texts(rparams, self.cfg, ids, mask, kind)
 
@@ -223,7 +222,7 @@ class RECIPEvl(VLLMEditor):
 
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _logits_jit(self, rparams, state, vparams, embeds, kv_valid,
                     query_reps):
         """Retrieve + prepend prompt block + text-only forward."""
@@ -254,10 +253,15 @@ class RECIPEvl(VLLMEditor):
     def build_query_batch(self, prompts, image_paths, targets) -> QueryBatch:
         # recipe_vl.py:94: inference drops images (texts, None).
         self._last_prompts = list(prompts)
-        return self.vllm.encode_queries(prompts, [None] * len(prompts), targets)
+        qb = self.vllm.encode_queries(prompts, [None] * len(prompts), targets)
+        # Carry the raw prompts WITH the batch (see lte_vl.py): KRM
+        # retrieval must key on THIS batch's prompts, not call order.
+        qb.raw_prompts = list(prompts)
+        return qb
 
     def query_logits(self, qb: QueryBatch):
-        reps = self._encode_krm(self._last_prompts, "q")
+        prompts = getattr(qb, "raw_prompts", None) or self._last_prompts
+        reps = self._encode_krm(prompts, "q")
         return self._logits_jit(self.params, self.state, self.vllm.params,
                                 qb.embeds, qb.kv_valid, reps)
 
@@ -313,7 +317,7 @@ class RECIPEvlTrainable(RECIPEvl):
             "B": len(cases),
         }
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @instance_jit(static_argnums=(3,))
     def _train_step_jit(self, carry, vparams, batch, B):
         # vparams is an ARGUMENT — closing over the multi-GB backbone
         # bakes it into the program as constants (CLAUDE.md rule).

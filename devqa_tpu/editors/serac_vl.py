@@ -25,7 +25,6 @@ forward is cheap.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -38,7 +37,7 @@ from ..core import decoder as dec
 from ..core.wrapper import JaxVLLM, QueryBatch
 from ..ops.layers import layer_norm, linear
 from ..utils.config import BaseConfig
-from .base import EditRequest, VLLMEditor
+from .base import EditRequest, VLLMEditor, instance_jit
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,18 +178,23 @@ class SERACvl(VLLMEditor):
 
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _edit_jit(self, sparams, state, embeds, kv_valid):
         cfg = self.cfg
         reps = classifier_reps(sparams, cfg, embeds, kv_valid)
         L = embeds.shape[1]
         E = cfg.max_edit_len
         if L >= E:
-            # Overlong edits keep the LAST E valid positions (prompt tail
-            # + target) — a head window would chop off the target tokens,
-            # leaving the counterfactual model conditioned on a fact with
-            # no answer. Short rows reduce to the first-E window.
-            v = kv_valid.sum(1)                        # [B] valid lengths
+            # Overlong edits keep the window ENDING at the last valid
+            # position (prompt tail + target) — a head window would chop
+            # off the target tokens, leaving the counterfactual model
+            # conditioned on a fact with no answer. The end index must be
+            # last-valid+1, NOT sum(valid): no-image rows have an invalid
+            # vision-slot hole mid-sequence, so the valid count
+            # underestimates where the tail actually sits (hole positions
+            # inside the window stay masked out by em below).
+            pos = jnp.arange(L)[None, :]
+            v = jnp.max(jnp.where(kv_valid > 0, pos, -1), axis=1) + 1  # [B]
             start = jnp.maximum(v - E, 0)
             idx = start[:, None] + jnp.arange(E)[None, :]
             idxc = jnp.minimum(idx, L - 1)
@@ -215,7 +219,7 @@ class SERACvl(VLLMEditor):
 
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _logits_jit(self, sparams, state, vparams, embeds, kv_valid,
                     query_ends):
         cfg = self.cfg
@@ -291,7 +295,7 @@ class SERACvlTrainable(SERACvl):
             "B": len(cases), "G": len(gen_keys), "K": len(loc_keys),
         }
 
-    @partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    @instance_jit(static_argnums=(4, 5, 6))
     def _train_step_jit(self, sparams, opt_state, vparams, batch, B, G, K):
         # vparams is an ARGUMENT — closing over the multi-GB backbone
         # bakes it into the program as constants (CLAUDE.md rule).

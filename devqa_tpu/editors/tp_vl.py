@@ -23,7 +23,6 @@ generic sentences below) — pass real wikitext for strict parity.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -35,7 +34,7 @@ from ..core import decoder as dec
 from ..core.wrapper import JaxVLLM, QueryBatch
 from ..utils.config import BaseConfig
 from ..utils.pytree import tree_slice
-from .base import EditRequest, VLLMEditor
+from .base import EditRequest, VLLMEditor, instance_jit
 
 _DEFAULT_LOCALITY_TEXTS = [
     "the history of the region is marked by long periods of agricultural "
@@ -108,7 +107,7 @@ class TPvl(VLLMEditor):
     def _mlp_residual(self, state):
         return (self.cfg.edit_layer, lambda x: TPvl._patch_delta(state, x))
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _logits_jit(self, state, vparams, embeds, kv_valid):
         vcfg = self.vllm.cfg
         h = dec.decoder_forward(vparams["decoder"], vcfg.decoder, embeds,
@@ -121,7 +120,7 @@ class TPvl(VLLMEditor):
 
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,))
+    @instance_jit()
     def _edit_jit(self, state, vparams, e_embeds, e_kv, e_labels, e_masks,
                   loc_embeds, loc_kv):
         """Train one neuron and append it. ``loc_embeds`` [S, L, d] holds
