@@ -30,6 +30,8 @@ Prints ONE JSON line:
   forward, flash vs DEVQA_DISABLE_FLASH=1 tokens/s.
 - ``train``: jitted LiveEdit meta-training steps/s at blip2-2.7b scale,
   ONE compiled shape across steps (train_vllm_editor.py:52-89 role).
+- ``serve``: continuous-batching engine throughput (tokens/s at 8
+  concurrent decode slots on the 2.7b model — model_worker.py:44 role).
 - ``llava_pipeline``: the fused edit-eval pipeline at LLaVA geometry
   (full CLIP-L-336 tower, 576 image tokens, 640-token probe rows through
   a reduced-layer 4096-wide decoder) — the flash kernel on the actual
@@ -372,6 +374,41 @@ def bench_llava_pipeline(n_cases=8):
     return out
 
 
+def bench_serve(vllm, n_req=None, new_tokens=24):
+    """Continuous-batching serve throughput at blip2-2.7b scale
+    (serve/engine.py): concurrent requests share KV-cache decode slots,
+    one compiled single-token program, K-step scan per dispatch. Reports
+    generated tokens/s and requests/s (model_worker.py:44 serving role)."""
+    from devqa_tpu.serve.engine import BatchingEngine
+
+    n_req = n_req or int(os.environ.get("BENCH_SERVE_REQS", "24"))
+    eng = BatchingEngine(vllm, n_slots=8, max_len=160,
+                         steps_per_dispatch=4).start()
+    try:
+        # Warm both prefill widths (1 and n_slots) + the decode program.
+        eng.generate("warm the decode path of scene 0", "img_w0.jpg",
+                     max_new_tokens=4)
+        w = [eng.submit("warm %d" % i, "img_w1.jpg", 4) for i in range(8)]
+        for r in w:
+            r.done.wait(600)
+        tok0 = eng.tokens_generated
+        t0 = time.time()
+        reqs = [eng.submit("what is in the scene number %d" % i,
+                           "img_s%d.jpg" % (i % 4), new_tokens)
+                for i in range(n_req)]
+        for r in reqs:
+            r.done.wait(600)
+        dt = time.time() - t0
+        toks = eng.tokens_generated - tok0
+        out = {"requests_per_s": round(n_req / dt, 3),
+               "tokens_per_s": round(toks / dt, 2),
+               "concurrent_slots": 8, "tokens_generated": toks}
+        log("serve bench:", out)
+        return out
+    finally:
+        eng.shutdown()
+
+
 def bench_train_step(vllm, n_steps=6):
     """Jitted LiveEdit meta-training steps/s at blip2-2.7b scale, one
     compiled shape across steps (verified via the jit cache size)."""
@@ -404,7 +441,8 @@ def bench_train_step(vllm, n_steps=6):
     fetch_scalar(loss)
     dt = time.time() - t0
     try:  # the jit cache size proves ONE compiled shape across all steps
-        cache_size = type(editor)._train_step_jit._cache_size()
+        # (instance-held jit — editors/base.instance_jit binding)
+        cache_size = editor._train_step_jit._cache_size()
     except Exception:
         cache_size = -1
     out = {"liveedit_steps_per_s": round(n_steps / dt, 3),
@@ -633,14 +671,20 @@ def main():
                 return False
             return True
 
-        train_res, flash_res = {}, {}
+        train_res, flash_res, serve_res = {}, {}, {}
         if phase_on("BENCH_TRAIN", 150):
             try:
                 train_res = bench_train_step(vllm)
             except Exception as e:  # never lose the main metric
                 log("train bench failed:", repr(e))
                 train_res = {"error": str(e)[:200]}
-        # The train phase is the last user of the 2.7b model: free its
+        if phase_on("BENCH_SERVE", 150):
+            try:
+                serve_res = bench_serve(vllm)
+            except Exception as e:
+                log("serve bench failed:", repr(e))
+                serve_res = {"error": str(e)[:200]}
+        # The serve phase is the last user of the 2.7b model: free its
         # ~8GB of bf16 weights BEFORE the flash/llava phases init their
         # own 4096-wide models, or the llava phase RESOURCE_EXHAUSTs
         # next to the resident weights (observed on v5e: 8GB blip2 +
@@ -696,6 +740,8 @@ def main():
         out["llava_pipeline"] = llava_res
     if train_res:
         out["train"] = train_res
+    if serve_res:
+        out["serve"] = serve_res
     if os.environ.get("BENCH_REAL_DATA") == "1":
         out["real_data"] = True
     print(json.dumps(out))

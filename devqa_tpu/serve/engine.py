@@ -60,6 +60,7 @@ class BatchingEngine:
         self._out_ids: list = [[] for _ in range(n_slots)]
         self._budget = np.zeros(n_slots, np.int32)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self.tokens_generated = 0  # ops metric: total tokens across reqs
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._decode = jax.jit(self._decode_fn)
@@ -199,6 +200,7 @@ class BatchingEngine:
     def _finish(self, slot):
         req = self._slots[slot]
         req.text = self.vllm.tokenizer.decode(self._out_ids[slot])
+        self.tokens_generated += len(self._out_ids[slot])
         req.done.set()
         self._slots[slot] = None
 
