@@ -598,6 +598,14 @@ class LiveEditTrainingMixin:
             optax.scale(-1.0))
         self._opt_state = self._opt.init(self.params)
 
+    def reseed_host(self, seed: int):
+        """Host-RNG-only reseed for checkpoint resume (train/loop.py
+        load_ckpt): the device state is about to be replaced by
+        set_train_state, so re-running the full train_init would only
+        waste a second optimizer-state allocation."""
+        self._rng_data = np.random.default_rng(seed)
+        self._rng_train = np.random.default_rng(seed + 1)
+
     def get_train_state(self):
         return {"params": self.params, "opt_state": self._opt_state}
 

@@ -185,6 +185,12 @@ class LTEvlTrainable(LTEvl):
     """LTE training (lte_vl.py:205-240): fine-tunes the decoder to follow
     the '[Updated Information]…[Query]' prefix format."""
 
+    # The train state IS the full decoder + Adam state: snapshotting the
+    # EMA-best generation would double multi-GB HBM residency, so the
+    # trainer's throttled 'Best' save stores the flush-time state instead
+    # (train/loop.py _mark_ema_best).
+    snapshot_best_state = False
+
     def __init__(self, vllm, config, sentence_encoder, seed: int = 0):
         super().__init__(vllm, config, sentence_encoder)
         self.train_init_editor(seed)
@@ -283,6 +289,9 @@ class LTEvlTrainable(LTEvl):
     def get_train_state(self):
         return {"decoder": self.vllm.params["decoder"],
                 "opt_state": self._opt_state}
+
+    def reseed_host(self, seed: int):
+        pass  # no host RNG streams (resume path)
 
     def set_train_state(self, state):
         self.vllm.params = dict(self.vllm.params, decoder=state["decoder"])

@@ -497,6 +497,11 @@ class MENDvlTrainable(MENDvl):
         return {"params": self.params, "opt_state": self._opt_state,
                 "norm_state": self.norm_state}
 
+    def reseed_host(self, seed: int):
+        # resume path: no host RNG streams; device state is restored
+        # by set_train_state, so nothing to do.
+        pass
+
     def set_train_state(self, state):
         self.params = state["params"]
         self._opt_state = state["opt_state"]

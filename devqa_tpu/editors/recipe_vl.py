@@ -431,6 +431,10 @@ class RECIPEvlTrainable(RECIPEvl):
     def get_train_state(self):
         return {"params": self.params, "opt_state": self._opt_state}
 
+    def reseed_host(self, seed: int):
+        # resume path (train/loop.py load_ckpt): host RNG only
+        self._rng_data = np.random.default_rng(seed)
+
     def set_train_state(self, state):
         self.params = state["params"]
         self._opt_state = state["opt_state"]

@@ -65,7 +65,10 @@ def pack_samples_native(
         plens = np.asarray(prompt_lens, np.int32)
         raw = m.pack(flat.tobytes(), lens.tobytes(), plens.tobytes(),
                      int(pad_id), int(L))
-        arr = np.frombuffer(raw, np.int32).reshape(4, N, L)
+        # bytearray wrap → WRITABLE arrays, matching the NumPy fallback
+        # (frombuffer over bytes is read-only: in-place edits would work
+        # only on machines where the extension failed to build).
+        arr = np.frombuffer(bytearray(raw), np.int32).reshape(4, N, L)
         return arr[0], arr[1], arr[2], arr[3]
     # NumPy fallback (identical semantics)
     input_ids = np.full((N, L), pad_id, np.int32)

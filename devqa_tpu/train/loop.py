@@ -50,7 +50,13 @@ class TrainableEditor(Protocol):
 
 
 def default_val_step(editor: TrainableEditor, batch):
-    state = editor.get_train_state()
+    import jax
+
+    # tree_map-identity rebuilds the CONTAINERS: some editors reassign
+    # dict entries in place (MEND's Welford norm_state), and restoring a
+    # reference to the same mutated dict would be a no-op — validation
+    # batches would permanently pollute the training statistics.
+    state = jax.tree_util.tree_map(lambda x: x, editor.get_train_state())
     # Also pin any host RNG streams the step consumes (get_train_state
     # captures device pytrees only): validation must not perturb the
     # seeded training trajectory.
@@ -216,6 +222,8 @@ class EditorTrainer:
         self._pending_best = False
         self._best_snapshot = None
         self._best_meta: Optional[Dict] = None
+        self._val_batch_cache: Dict[int, object] = {}
+        self._resume_best_ema: Optional[float] = None
 
         if load_ckpt_path:
             self.load_ckpt(load_ckpt_path)
@@ -240,9 +248,18 @@ class EditorTrainer:
         for bi in range(n_full):
             if steps is not None and n >= steps:
                 break
-            lo = bi * self.batch_size
-            batch = self.editor.organize_batch_data(
-                cases[lo:lo + self.batch_size])
+            # Organize each val batch ONCE and reuse it: the val set is
+            # fixed, and organize_batch_data draws from the editor's host
+            # RNG streams — repeated calls would advance the seeded
+            # training trajectory on every validation (and race the
+            # prefetch producer thread on the same non-thread-safe
+            # Generators).
+            batch = self._val_batch_cache.get(bi)
+            if batch is None:
+                lo = bi * self.batch_size
+                batch = self.editor.organize_batch_data(
+                    cases[lo:lo + self.batch_size])
+                self._val_batch_cache[bi] = batch
             loss, logs = vs(batch)
             sums["loss"] = sums.get("loss", 0.0) + float(loss)
             for k, v in logs.items():
@@ -251,7 +268,12 @@ class EditorTrainer:
         return {k: v / max(n, 1) for k, v in sums.items()}
 
     def train(self, total_epochs: int, max_steps: Optional[int] = None):
-        best_ema = float("inf")
+        # A resumed run must NOT reset the best bookkeeping: the restored
+        # 'Best' checkpoint's EMA is the bar, or the first post-resume
+        # step on a plateaued loss re-marks a "best" and later overwrites
+        # the true Best with a worse state.
+        best_ema = (self._resume_best_ema
+                    if self._resume_best_ema is not None else float("inf"))
         start_epoch = self.train_epoch
         for self.train_epoch in range(start_epoch, total_epochs + 1):
             # Per-epoch augmentation refresh (the torch DataLoader
@@ -322,9 +344,19 @@ class EditorTrainer:
         must mean best). JAX arrays are immutable, so holding the pytree
         is a zero-copy device snapshot; tree_map-identity rebuilds the
         containers because some editors reassign dict entries in place
-        (MEND's Welford norm_state)."""
+        (MEND's Welford norm_state).
+
+        Editors whose train state IS the backbone (LTE's full decoder +
+        Adam state) set ``snapshot_best_state = False``: holding a stale
+        generation would double their multi-GB state in HBM, so their
+        throttled flush saves the flush-time state instead (documented
+        approximation)."""
         import jax
 
+        if not getattr(self.editor, "snapshot_best_state", True):
+            self._best_snapshot, self._best_meta = None, None
+            self._pending_best = True
+            return
         self._best_snapshot = jax.tree_util.tree_map(
             lambda x: x, self.editor.get_train_state())
         self._best_meta = {"i": self.train_i, "epoch": self.train_epoch,
@@ -348,6 +380,17 @@ class EditorTrainer:
         path = os.path.join(os.path.abspath(self.ckpt_dir), name)
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, state, force=True)
+        # Sidecar (NOT inside the orbax tree — older checkpoints must
+        # keep restoring): resume bookkeeping the meta tree can't carry.
+        try:
+            side = {"best_ema": float(state["meta"]["ema_loss"])}
+            if self.stopper is not None:
+                side["stopper_best"] = float(self.stopper.best_value)
+                side["stopper_key"] = self.stopper.key
+            with open(path + ".resume.json", "w") as f:
+                json.dump(side, f)
+        except Exception:
+            pass
         self._last_save_i = self.train_i
         self._pending_best = False
         self._best_snapshot = None  # release the held device arrays
@@ -355,11 +398,32 @@ class EditorTrainer:
 
     def load_ckpt(self, path: str):
         state = _restore_typed(self.editor, path)
-        self.editor.train_init_editor(int(state["meta"]["seed"]))
+        seed = int(state["meta"]["seed"])
+        # _restore_typed already ran one full train_init (typed skeleton);
+        # a second init here would allocate ANOTHER complete optimizer
+        # state next to the restored one (transient 2x opt-state HBM at
+        # 2.7b). Only the host RNG streams need the saved seed.
+        reseed = getattr(self.editor, "reseed_host", None)
+        if reseed is not None:
+            reseed(seed)
+        else:
+            self.editor.train_init_editor(seed)
         self.editor.set_train_state(state["editor"])
         self.train_i = int(state["meta"]["i"])
         self.train_epoch = int(state["meta"]["epoch"])
         self.ema_loss = float(state["meta"]["ema_loss"])
+        # Resume bookkeeping: the restored Best's EMA is the bar to beat.
+        self._resume_best_ema = self.ema_loss
+        try:
+            with open(path + ".resume.json") as f:
+                side = json.load(f)
+            self._resume_best_ema = float(side.get("best_ema",
+                                                   self.ema_loss))
+            if self.stopper is not None and "stopper_best" in side \
+                    and side.get("stopper_key") == self.stopper.key:
+                self.stopper.best_value = float(side["stopper_best"])
+        except FileNotFoundError:
+            pass
         # The state just restored IS on disk — treat it as the last save
         # so the first post-resume EMA best doesn't immediately re-write
         # it (a full device->host round trip).

@@ -82,7 +82,12 @@ def _pooled_feat(logits, vt_range) -> jnp.ndarray:
     count, which is exactly the slot layout's vt_range)."""
     lo, hi = vt_range
     s = jax.nn.sigmoid(logits)
-    img = s[:, lo:hi].mean(axis=1)
+    if hi > lo:
+        img = s[:, lo:hi].mean(axis=1)
+    else:
+        # Text-only configs (V=0): a mean over the empty vision block is
+        # NaN and silently poisons the contrastive loss — use zeros.
+        img = jnp.zeros_like(s[:, 0])
     txt = jnp.concatenate([s[:, :lo], s[:, hi:]], axis=1).mean(axis=1)
     return jnp.concatenate([img, txt], axis=-1)
 
