@@ -1,0 +1,501 @@
+"""Cross-framework oracle: run the reference's OWN torch implementation
+and assert this framework produces identical metric numbers.
+
+Drives /root/reference/DE-VQA's executable code — ``BLIP2OPTForEdit``
+(editor/vllms_for_edit/{base.py,blip2/blip2.py}), ``LiveEdit``
+(editor/vllm_editors/liveedit/{liveedit.py,modules.py}) and
+``VLLMEditorEvaluation`` (evaluation/vllm_editor_eval.py) — on a tiny
+random HF BLIP-2 on CPU, with a shared word-level tokenizer and real PNG
+image files, then runs this framework on the SAME weights (via
+core/convert_hf.py + editors/convert_reference.py), the SAME tokenizer
+and the SAME records, and compares:
+
+  1. xym label semantics (label ids / masks / embed layout),
+  2. per-probe pre-edit logits, argmax predictions and accuracy,
+  3. LiveEdit single-edit evaluation: every mean_results number,
+  4. LiveEdit sequential-edit evaluation (pool accumulation + routing
+     with multiple live experts): total_mean numbers.
+
+This is the strongest quality-parity evidence available without
+pretrained checkpoints: the reference is executed as an oracle (not
+re-derived from its source), so any drift in tokenization, label
+construction, probe accuracy math, editor routing/residual application
+or harness aggregation fails loudly here.
+"""
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+REF = "/root/reference/DE-VQA"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present")
+
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.append(REF)  # reference top-level pkgs: editor/dataset/evaluation
+
+import jax
+import jax.numpy as jnp
+
+from devqa_tpu.core import convert_hf, decoder as dec, vllm as vllm_mod
+from devqa_tpu.core.losses import token_accuracy
+from devqa_tpu.core.qformer import QFormerConfig
+from devqa_tpu.core.tokenizer import HFTokenizerAdapter
+from devqa_tpu.core.vit import ViTConfig
+from devqa_tpu.core.wrapper import JaxVLLM
+from devqa_tpu.data.images import FileImageProvider
+from devqa_tpu.data.schema import BaseVLLMEditData, TestCase
+from devqa_tpu.data.xym import build_xym
+from devqa_tpu.editors.convert_reference import load_reference_editor_ckpt
+from devqa_tpu.editors.liveedit import LiveEdit, LiveEditConfig
+from devqa_tpu.eval.harness import EditorEvaluation, case_probe_specs
+
+IMG_SIZE = 28
+
+WORDS = [
+    "what", "which", "animal", "color", "is", "the", "shown", "in",
+    "picture", "near", "tree", "river", "answer", "zebra", "lion", "red",
+    "blue", "green", "who", "wrote", "book", "about", "sky", "this",
+    "a", "big", "small", "cat", "dog", "bird", "it", "here",
+]
+
+
+def _make_tokenizer():
+    """Word-level HF tokenizer built offline (no downloads): the SAME
+    object drives the reference's ``tokenizer(text, return_tensors='pt')``
+    calls and our HFTokenizerAdapter."""
+    from tokenizers import Tokenizer as RawTok
+    from tokenizers import models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {"<pad>": 0, "<unk>": 1, "</s>": 2}
+    for w in WORDS:
+        vocab[w] = len(vocab)
+    raw = RawTok(models.WordLevel(vocab, unk_token="<unk>"))
+    raw.pre_tokenizer = pre_tokenizers.Whitespace()
+    return PreTrainedTokenizerFast(
+        tokenizer_object=raw, pad_token="<pad>", unk_token="<unk>",
+        eos_token="</s>")
+
+
+def _tiny_hf_blip2(vocab_size=64):
+    """Tiny random HF BLIP-2 (f32) + the matching devqa_tpu config —
+    same geometry as tests/test_hf_parity.py::tiny_blip2."""
+    from transformers import (Blip2Config, Blip2ForConditionalGeneration,
+                              Blip2QFormerConfig, Blip2VisionConfig,
+                              OPTConfig)
+
+    vision = Blip2VisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=IMG_SIZE, patch_size=7)
+    qformer = Blip2QFormerConfig(
+        vocab_size=30, hidden_size=24, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=48, encoder_hidden_size=32,
+        cross_attention_frequency=2)
+    text = OPTConfig(
+        vocab_size=vocab_size, hidden_size=16, ffn_dim=32,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=64, do_layer_norm_before=True,
+        word_embed_proj_dim=16)
+    cfg = Blip2Config.from_vision_qformer_text_configs(
+        vision, qformer, text, num_query_tokens=4)
+    torch.manual_seed(7)
+    model = Blip2ForConditionalGeneration(cfg).eval().requires_grad_(False)
+
+    ours = vllm_mod.VLLMConfig(
+        name="tiny-blip2", bridge="qformer", img_slot_pos=0, n_img_tokens=4,
+        vit=ViTConfig(image_size=IMG_SIZE, patch_size=7, d_model=32,
+                      n_layers=2, n_heads=2, d_ffn=64, fused_qkv=True,
+                      pre_layernorm=False),
+        qformer=QFormerConfig(d_model=24, n_layers=2, n_heads=2, d_ffn=48,
+                              n_query_tokens=4, encoder_width=32,
+                              cross_attention_frequency=2),
+        decoder=dec.DecoderConfig(
+            arch="opt", vocab_size=vocab_size, d_model=16, n_layers=2,
+            n_heads=2, d_ffn=32, max_positions=64, activation="relu",
+            tie_word_embeddings=True),
+    )
+    return model, ours
+
+
+def _write_pngs(tmp, n=10):
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    paths = []
+    for i in range(n):
+        arr = rng.integers(0, 256, (IMG_SIZE, IMG_SIZE, 3), dtype=np.uint8)
+        p = os.path.join(tmp, "img_%d.png" % i)
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+def _make_cases(img):
+    """Three full-probe-grid cases. Field names match both frameworks'
+    record structure (dataset/vllm.py:10-37 == data/schema.TestCase)."""
+
+    def case(i):
+        w = WORDS
+        req = {"prompt": "what animal is shown in the picture %s" % w[i],
+               "image": img[i], "target_new": "zebra %s" % w[i + 1]}
+        gen = {
+            "text_rephrase": [{"prompt": "which animal is in this %s" % w[i],
+                               "image": img[i], "target": "zebra %s" % w[i + 1]}],
+            "image_rephrase": [{"prompt": req["prompt"],
+                                "image": img[i + 3],
+                                "target": "zebra %s" % w[i + 1]}],
+        }
+        loc = {
+            "text_loc": [{"prompt": "who wrote the book about the %s" % w[i],
+                          "image": None, "target": "lion"}],
+            "t1i4": [{"prompt": req["prompt"], "image": None,
+                      "target": "red %s" % w[i]}],
+            "t2i4": [{"prompt": "which %s is near the river" % w[i],
+                      "image": None, "target": "blue"}],
+            "t1i2": [{"prompt": req["prompt"], "image": img[i + 4],
+                      "target": "red"}],
+            "t1i3": [{"prompt": req["prompt"], "image": img[i + 5],
+                      "target": "green"}],
+            "t2i1": [{"prompt": "which %s is near the river" % w[i],
+                      "image": img[i], "target": "blue %s" % w[i]}],
+            "t2i2": [{"prompt": "which %s is near the river" % w[i],
+                      "image": img[i + 4], "target": "blue"}],
+            "t3i1": [{"prompt": "what color is the sky here", "image": img[i],
+                      "target": "blue"}],
+            "t3i3": [{"prompt": "what color is the sky here",
+                      "image": img[i + 5], "target": "blue"}],
+        }
+        return req, gen, loc
+
+    ours, theirs = [], []
+    for i in range(3):
+        req, gen, loc = case(i)
+        ours.append(TestCase(requests=[dict(req)],
+                             generality=copy.deepcopy(gen),
+                             locality=copy.deepcopy(loc)))
+        theirs.append({"requests": [dict(req)],
+                       "generality": copy.deepcopy(gen),
+                       "locality": copy.deepcopy(loc)})
+    return ours, theirs
+
+
+@pytest.fixture(scope="module")
+def rig(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("oracle"))
+    hf_tok = _make_tokenizer()
+    model, cfg = _tiny_hf_blip2()
+    img = _write_pngs(tmp)
+
+    # --- reference wrapper (skip from_pretrained: build the processor
+    # from local parts, then run the REAL __init__ tail) ---
+    from transformers import Blip2Processor, BlipImageProcessor
+
+    from editor.vllms_for_edit.base import BaseVLLMForEdit
+    from editor.vllms_for_edit.blip2.blip2 import BLIP2OPTForEdit
+
+    proc = Blip2Processor(
+        image_processor=BlipImageProcessor(
+            size={"height": IMG_SIZE, "width": IMG_SIZE}),
+        tokenizer=hf_tok)
+    ref_vllm = BLIP2OPTForEdit.__new__(BLIP2OPTForEdit)
+    ref_vllm.model = model
+    ref_vllm.processor = proc
+    BaseVLLMForEdit.__init__(ref_vllm, model, "cpu", False)
+
+    # --- our wrapper on the converted weights + the same tokenizer ---
+    params = convert_hf.convert_blip2(
+        convert_hf.torch_state_dict_to_numpy(model), cfg)
+    vllm = JaxVLLM(cfg, params, HFTokenizerAdapter(hf_tok),
+                   FileImageProvider(IMG_SIZE), bucket_multiple=8)
+
+    our_cases, ref_cases = _make_cases(img)
+    return dict(tmp=tmp, hf_tok=hf_tok, model=model, cfg=cfg,
+                ref_vllm=ref_vllm, vllm=vllm, img=img,
+                our_cases=our_cases, ref_cases=ref_cases)
+
+
+class TestXymParity:
+    def test_text_only_batch(self, rig):
+        """Batched text-only xym: label ids/masks and the
+        min_prompt_tok_n slice match base.py:75-109 bit-for-bit."""
+        prompts = ["what animal is shown in the picture here",
+                   "who wrote the book"]
+        targets = ["zebra", "lion red"]
+        (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+            prompts, [None, None], targets)
+        assert vt is None
+        ids, lab, msk, mpt = build_xym(
+            HFTokenizerAdapter(rig["hf_tok"]), prompts, targets)
+        np.testing.assert_array_equal(lab, y.numpy())
+        np.testing.assert_array_equal(msk, m.numpy())
+        # embed layout: [B, Ltext, d]
+        assert tuple(x["inputs_embeds"].shape)[:2] == ids.shape
+
+    def test_image_xym(self, rig):
+        p, t = "what animal is shown in the picture", "zebra"
+        (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+            [p], [rig["img"][0]], [t])
+        assert list(vt) == [0, 4]
+        ids, lab, msk, _ = build_xym(
+            HFTokenizerAdapter(rig["hf_tok"]), [p], [t])
+        np.testing.assert_array_equal(lab, y.numpy())
+        np.testing.assert_array_equal(msk, m.numpy())
+        assert x["inputs_embeds"].shape[1] == 4 + ids.shape[1]
+
+
+def _ref_probe_acc(ref_vllm, prompt, image, target):
+    """The reference harness's accuracy_and_prediction
+    (vllm_editor_eval.py:143-150), pre-edit."""
+    (x, vt), y, m = ref_vllm.prompts_imgs_target_to_xym(
+        [prompt], [image], [target])
+    logits = ref_vllm.get_llm_outpt(x, vt).logits.detach()
+    pre_y = torch.softmax(logits, -1).argmax(-1)[:, -y.shape[1]:]
+    acc = float(((pre_y == y) * m).sum() / m.sum())
+    return acc, pre_y[m.to(bool)].numpy(), logits.numpy()
+
+
+class TestProbeParity:
+    def test_pre_edit_accuracy_and_logits(self, rig):
+        """Every probe of case 0: accuracy, masked argmax ids AND raw
+        logits match the reference executable."""
+        vllm = rig["vllm"]
+        case = rig["our_cases"][0]
+        for s in case_probe_specs(case):
+            acc_ref, pred_ref, logits_ref = _ref_probe_acc(
+                rig["ref_vllm"], s.prompt, s.image, s.target)
+            qb = vllm.encode_queries([s.prompt], [s.image], [s.target])
+            logits = vllm.logits(qb.embeds, qb.kv_valid)
+            acc, pred = token_accuracy(logits, qb.label_ids, qb.label_masks)
+            assert float(acc[0]) == pytest.approx(acc_ref, abs=1e-6), s
+            ours_pred = np.asarray(pred)[np.asarray(qb.label_masks, bool)]
+            np.testing.assert_array_equal(ours_pred, pred_ref)
+            # Raw logits on the valid region. Our layout keeps (masked)
+            # vision slots even for text-only rows; mask-derived
+            # positions make that equivalent to an absent prefix, so
+            # select by kv_valid to align with the reference's dense
+            # [V|text] / [text] layout.
+            valid = np.asarray(qb.kv_valid[0], bool)
+            ours_valid = np.asarray(logits[0], np.float32)[valid]
+            assert ours_valid.shape == logits_ref[0].shape
+            np.testing.assert_allclose(ours_valid, logits_ref[0],
+                                       rtol=2e-3, atol=2e-3)
+
+
+def _tiny_ref_liveedit_cfg():
+    from editor.vllm_editors.liveedit.liveedit import \
+        LiveEditConfig as RefCfg
+
+    return RefCfg(
+        edit_model_name="tiny-blip2",
+        retrieval_editor=RefCfg.RetrievalEditor(
+            module_dim=16, cross_att_head_n=2, lora_rank=2, lora_scale=5.0,
+            eqe_n=2),
+        train_cfg=RefCfg.TrainConfig(
+            lr=1e-4, lr_cut_it=[10], lr_cut_rate=0.1, rel_lambda=1,
+            gen_lambda=1, loc_lambda=1, soft_routing_lambda=1,
+            hard_routing_lambda=1),
+        llm_mid_dim=16,
+        llm_layer_tmp="language_model.model.decoder.layers.{}",
+        edit_layer_i=1)
+
+
+def _tiny_our_liveedit_cfg():
+    return LiveEditConfig(
+        edit_model_name="tiny-blip2",
+        retrieval_editor=LiveEditConfig.RetrievalEditor(
+            module_dim=16, cross_att_head_n=2, lora_rank=2, lora_scale=5.0,
+            eqe_n=2),
+        llm_mid_dim=16, edit_layer_i=1, max_edits=8)
+
+
+@pytest.fixture(scope="module")
+def editors(rig):
+    """Reference LiveEdit (random torch init) + our LiveEdit loaded from
+    its exact state via the reference 'Best' checkpoint format."""
+    from editor.vllm_editors.liveedit.liveedit import LiveEdit as RefEdit
+
+    torch.manual_seed(21)
+    ref_ed = RefEdit(rig["ref_vllm"], _tiny_ref_liveedit_cfg(), device="cpu")
+    ckpt = {"i": 0, "epoch": 0, "loss": 0.0, "ema_loss": None,
+            "train_modules": {
+                k: v.state_dict()
+                for k, v in ref_ed.get_modules_for_training().items()}}
+    path = os.path.join(rig["tmp"], "Best")
+    torch.save(ckpt, path)
+
+    our_ed = LiveEdit(rig["vllm"], _tiny_our_liveedit_cfg(), seed=0)
+    load_reference_editor_ckpt(our_ed, path)
+    return ref_ed, our_ed
+
+
+def _acc_leaves(d, prefix=""):
+    """Flatten a mean_results dict to {path: value} keeping only the
+    cross-framework-comparable numbers (acc; not edit_time)."""
+    out = {}
+    for k, v in d.items():
+        p = "%s/%s" % (prefix, k)
+        if isinstance(v, dict):
+            out.update(_acc_leaves(v, p))
+        elif isinstance(v, (int, float)) and k == "acc":
+            out[p] = float(v)
+    return out
+
+
+def _ref_edit_data(cases):
+    """Concrete BaseVLLMEditData (the ABC requires dataset_name)."""
+    from dataset.vllm import BaseVLLMEditData as RefEditData
+
+    class OracleData(RefEditData):
+        def dataset_name(self):
+            return "ORACLE"
+
+    return OracleData(copy.deepcopy(cases), copy.deepcopy(cases))
+
+
+class TestLiveEditOracle:
+    def test_single_edit_mean_results(self, rig, editors, tmp_path):
+        from evaluation.vllm_editor_eval import VLLMEditorEvaluation
+
+        ref_ed, our_ed = editors
+        ref_data_ns = _ref_edit_data(rig["ref_cases"])
+        ref_ev = VLLMEditorEvaluation(
+            ref_ed, ref_data_ns, "oracle", str(tmp_path / "ref"))
+        ref_ev.evaluate_single_edit()
+        import json
+
+        with open(os.path.join(ref_ev.result_dir, "single_edit",
+                               "mean_results.json")) as f:
+            ref_mean = json.load(f)
+
+        our_ev = EditorEvaluation(
+            our_ed, BaseVLLMEditData(rig["our_cases"]), "oracle",
+            str(tmp_path / "ours"))
+        our_ev.evaluate_single_edit()
+        with open(os.path.join(our_ev.result_dir, "single_edit",
+                               "mean_results.json")) as f:
+            our_mean = json.load(f)
+
+        ref_accs = _acc_leaves(ref_mean)
+        our_accs = _acc_leaves(our_mean)
+        assert set(ref_accs) <= set(our_accs)
+        for k, v in ref_accs.items():
+            assert our_accs[k] == pytest.approx(v, abs=1e-4), k
+
+    def test_post_edit_logits(self, rig, editors):
+        """One edit, then the edited-query logits themselves (not just
+        accs) match: routing + fused-coefficient + relu-LoRA residual
+        numerics cross-checked against the reference executable."""
+        ref_ed, our_ed = editors
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        case = rig["our_cases"][0]
+        req = case.requests[0]
+        ref_ed.edit_one_piece(dict(req))
+        our_ed.edit_one_piece(dict(req))
+        # the reference applies the residual only when a query_range is
+        # attached (the harness's get_eval_xym does this)
+        s = [s for s in case_probe_specs(case) if s.kind == "reliability"][0]
+        (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+            [s.prompt], [s.image], [s.target])
+        x["query_range"] = (0, x["inputs_embeds"].shape[1] - m.shape[1] + 1)
+        ref_logits = ref_ed.vllm.get_llm_outpt(x, vt).logits.detach().numpy()
+
+        qb = our_ed.build_query_batch([s.prompt], [s.image], [s.target])
+        logits = np.asarray(our_ed.query_logits(qb), np.float32)
+        valid = np.asarray(qb.kv_valid[0], bool)
+        np.testing.assert_allclose(logits[0][valid], ref_logits[0],
+                                   rtol=5e-3, atol=5e-3)
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+
+    def test_sequential_edit_total_mean(self, rig, editors, tmp_path):
+        """edit_n=3 accumulates all three edits before measuring: the
+        routing sees m=3 live experts — pool semantics, hard routing vs
+        prototype and soft fusion all cross-checked."""
+        from evaluation.vllm_editor_eval import VLLMEditorEvaluation
+
+        ref_ed, our_ed = editors
+        ref_data_ns = _ref_edit_data(rig["ref_cases"])
+        ref_ev = VLLMEditorEvaluation(
+            ref_ed, ref_data_ns, "oracle-seq", str(tmp_path / "ref"))
+        ref_ev.evaluate_sequential_edit(edit_n=3)
+        import json
+
+        with open(os.path.join(ref_ev.result_dir, "sequential_edit_3",
+                               "mean_results.json")) as f:
+            ref_mean = json.load(f)["total_mean"]
+
+        our_ev = EditorEvaluation(
+            our_ed, BaseVLLMEditData(rig["our_cases"]), "oracle-seq",
+            str(tmp_path / "ours"))
+        our_ev.evaluate_sequential_edit(edit_n=3)
+        with open(os.path.join(our_ev.result_dir, "sequential_edit_3",
+                               "mean_results.json")) as f:
+            our_mean = json.load(f)["total_mean"]
+
+        ref_accs = _acc_leaves(ref_mean)
+        our_accs = _acc_leaves(our_mean)
+        assert set(ref_accs) <= set(our_accs)
+        for k, v in ref_accs.items():
+            assert our_accs[k] == pytest.approx(v, abs=1e-4), k
+
+
+class TestFTvlOracle:
+    """FT_VL cross-framework parity: same AdamW trajectory (lr, wd=0,
+    per-step loss gate) on the same converted fc2 weight → same edited
+    logits. Pins optimizer equivalence (torch AdamW vs optax.adamw) and
+    the delta-apply/restore semantics (ft_vl.py:66-158)."""
+
+    def test_edit_logits_and_restore(self, rig):
+        from editor.vllm_editors.ft_vl.ft_vl import FTvl as RefFT
+        from editor.vllm_editors.ft_vl.ft_vl import FTvlConfig as RefFTCfg
+
+        from devqa_tpu.editors.ft_vl import FTvl, FTvlConfig
+
+        tmp = "language_model.model.decoder.layers.{}.fc2.weight"
+        ref_cfg = RefFTCfg(edit_model_name="tiny-blip2",
+                           rewrite_module_tmp=tmp, layers=[1], num_steps=5,
+                           lr=1e-3, weight_decay=0.0, norm_constraint=False,
+                           batch_size=1)
+        ref_ed = RefFT(rig["ref_vllm"], ref_cfg, device="cpu")
+        our_ed = FTvl(rig["vllm"], FTvlConfig(
+            edit_model_name="tiny-blip2", rewrite_module_tmp=tmp,
+            layers=[1], num_steps=5, lr=1e-3, weight_decay=0.0,
+            norm_constraint=None))
+
+        case = rig["our_cases"][1]
+        req = dict(case.requests[0])
+        s = [p for p in case_probe_specs(case)
+             if p.kind == "reliability"][0]
+
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        ref_ed.edit_one_piece(dict(req))
+        our_ed.edit_one_piece(dict(req))
+
+        (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+            [s.prompt], [s.image], [s.target])
+        ref_logits = ref_ed.vllm.get_llm_outpt(x, vt).logits.detach().numpy()
+        qb = our_ed.build_query_batch([s.prompt], [s.image], [s.target])
+        logits = np.asarray(our_ed.query_logits(qb), np.float32)
+        valid = np.asarray(qb.kv_valid[0], bool)
+        np.testing.assert_allclose(logits[0][valid], ref_logits[0],
+                                   rtol=5e-3, atol=5e-3)
+
+        # restore: both sides return to the pre-edit model exactly
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        acc_ref, pred_ref, logits_ref = _ref_probe_acc(
+            rig["ref_vllm"], s.prompt, s.image, s.target)
+        qb2 = rig["vllm"].encode_queries([s.prompt], [s.image], [s.target])
+        ours2 = np.asarray(
+            rig["vllm"].logits(qb2.embeds, qb2.kv_valid), np.float32)
+        valid2 = np.asarray(qb2.kv_valid[0], bool)
+        np.testing.assert_allclose(ours2[0][valid2], logits_ref[0],
+                                   rtol=2e-3, atol=2e-3)
