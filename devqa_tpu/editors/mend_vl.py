@@ -287,7 +287,12 @@ class MENDvl(VLLMEditor):
     @instance_jit()
     def _edit_jit(self, params, norm_state, vparams, deltas, embeds, kv,
                   labels, masks):
-        captured = self._capture(vparams, (embeds, kv, labels, masks), False)
+        # Sequential-edit capture runs through the ALREADY-edited model:
+        # the reference's forward_edit_hook stays registered during
+        # __edit_batch__ (mend_vl.py:63-98), so edit k's x and δ see the
+        # running-mean deltas of edits 1..k-1 (no-op on the first edit).
+        vp = self._edited_vparams(vparams, deltas)
+        captured = self._capture(vp, (embeds, kv, labels, masks), False)
         new = self._transform(params, norm_state, captured)
         out = {}
         for key, st in deltas.items():

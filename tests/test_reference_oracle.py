@@ -446,6 +446,126 @@ class TestLiveEditOracle:
             assert our_accs[k] == pytest.approx(v, abs=1e-4), k
 
 
+def _make_ref_mend(rig, tmp):
+    """Reference MENDvl with perturbed aux nets + consistently-filled
+    Welford buffers, saved as a 'Best' checkpoint (the state-dict format
+    base.py:237-255 produces)."""
+    from editor.vllm_editors.mend_vl.mend_vl import MENDvl as RefMEND
+    from editor.vllm_editors.mend_vl.mend_vl import \
+        MENDvlConfig as RefMENDCfg
+
+    tmpl = "language_model.model.decoder.layers.%d.%s"
+    ref_cfg = RefMENDCfg(
+        edit_modules=[tmpl % (l, m) for l in (0, 1) for m in ("fc1", "fc2")],
+        init_edit_lr=1e-2, edit_lr_lr=1e-4,
+        aux_model=RefMENDCfg.AuxModelConfig(
+            n_hidden=1, hidden_dim=0, init="id", norm=True, act="relu",
+            rank=8, shared=True, lr=1e-6),
+        edit_model_name="tiny-blip2",
+        relia_lambda=1.0, gen_lambda=1.0, loc_lambda=1.0)
+    torch.manual_seed(33)
+    ref_ed = RefMEND(rig["ref_vllm"], ref_cfg, device="cpu")
+    gen = torch.Generator().manual_seed(5)
+    for gt in ref_ed.aux_models.values():
+        k = 5.0
+        gt.k.fill_(k)
+        gt.u_mean.copy_(torch.randn(gt.x_dim, generator=gen) * 0.1)
+        gt.v_mean.copy_(torch.randn(gt.delta_dim, generator=gen) * 0.1)
+        u_std = torch.rand(gt.x_dim, generator=gen) * 0.5 + 0.75
+        v_std = torch.rand(gt.delta_dim, generator=gen) * 0.5 + 0.75
+        gt.u_std.copy_(u_std)
+        gt.v_std.copy_(v_std)
+        # converter derives std from (s, k): keep them consistent
+        gt.u_s.copy_(u_std ** 2 * (k - 1))
+        gt.v_s.copy_(v_std ** 2 * (k - 1))
+        for lin in gt.mlp.layers:
+            lin.u.data.normal_(0, 0.05, generator=gen)
+            lin.bias.data.normal_(0, 0.01, generator=gen)
+            lin.mode_scale.weight.data.normal_(1.0, 0.05, generator=gen)
+            lin.mode_shift.weight.data.normal_(0.0, 0.05, generator=gen)
+    for i, p in enumerate(ref_ed.edit_lrs):
+        p.data.fill_(1e-2 * (i + 1))
+    ckpt = {"i": 0, "epoch": 0, "loss": 0.0, "ema_loss": None,
+            "train_modules": {
+                k: v.state_dict()
+                for k, v in ref_ed.get_modules_for_training().items()}}
+    path = os.path.join(tmp, "BestMEND")
+    torch.save(ckpt, path)
+    return ref_ed, path
+
+
+@pytest.fixture(scope="module")
+def mend_editors(rig):
+    """Reference MENDvl + ours loaded from its exact state via the
+    'Best' checkpoint converter."""
+    from devqa_tpu.editors.mend_vl import MENDvl, MENDvlConfig
+
+    ref_ed, path = _make_ref_mend(rig, rig["tmp"])
+    our_ed = MENDvl(rig["vllm"], MENDvlConfig(
+        edit_model_name="tiny-blip2", edit_layers=(0, 1),
+        edit_modules=("fc1", "fc2"), init_edit_lr=1e-2,
+        aux_model=MENDvlConfig.AuxModelConfig(
+            n_hidden=1, init="id", norm=True, act="relu", rank=8)))
+    load_reference_editor_ckpt(our_ed, path)
+    return ref_ed, our_ed
+
+
+class TestMENDvlOracle:
+    """MEND_VL cross-framework parity: the torch-hook x/δ capture +
+    GradientTransform + running-mean rank-1 deltas vs our vjp-probe
+    capture (decoder_forward_with_linear_probes) on identical aux-net
+    weights and Welford stats. The subtlest surface in the zoo: any
+    drift in probe placement, normalization, mode indexing, outer-
+    product layout or sequential averaging shows up in the logits."""
+
+    def _our_probe_logits(self, our_ed, s):
+        qb = our_ed.vllm.encode_queries([s.prompt], [s.image], [s.target])
+        logits = np.asarray(our_ed.query_logits(qb), np.float32)
+        valid = np.asarray(qb.kv_valid[0], bool)
+        return logits[0][valid]
+
+    def test_single_and_sequential_edit_logits(self, rig, mend_editors):
+        ref_ed, our_ed = mend_editors
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        case0, case1 = rig["our_cases"][0], rig["our_cases"][1]
+        rel0 = [s for s in case_probe_specs(case0)
+                if s.kind == "reliability"][0]
+        rel1 = [s for s in case_probe_specs(case1)
+                if s.kind == "reliability"][0]
+
+        # edit 1
+        ref_ed.edit_one_piece(dict(case0.requests[0]))
+        our_ed.edit_one_piece(dict(case0.requests[0]))
+        (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+            [rel0.prompt], [rel0.image], [rel0.target])
+        ref_logits = rig["ref_vllm"].get_llm_outpt(x, vt).logits
+        ref_logits = ref_logits.detach().numpy()
+        ours = self._our_probe_logits(our_ed, rel0)
+        np.testing.assert_allclose(ours, ref_logits[0], rtol=5e-3, atol=5e-3)
+
+        # edit 2 (sequential): capture runs through the edited model and
+        # the running-mean delta accumulates across both edits
+        ref_ed.edit_one_piece(dict(case1.requests[0]))
+        our_ed.edit_one_piece(dict(case1.requests[0]))
+        for s in (rel0, rel1):
+            (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+                [s.prompt], [s.image], [s.target])
+            ref_logits = rig["ref_vllm"].get_llm_outpt(x, vt).logits
+            ref_logits = ref_logits.detach().numpy()
+            ours = self._our_probe_logits(our_ed, s)
+            np.testing.assert_allclose(ours, ref_logits[0],
+                                       rtol=5e-3, atol=5e-3)
+
+        # restore: both sides back to the pre-edit model
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        acc_ref, pred_ref, logits_ref = _ref_probe_acc(
+            rig["ref_vllm"], rel0.prompt, rel0.image, rel0.target)
+        ours = self._our_probe_logits(our_ed, rel0)
+        np.testing.assert_allclose(ours, logits_ref[0], rtol=2e-3, atol=2e-3)
+
+
 class TestFTvlOracle:
     """FT_VL cross-framework parity: same AdamW trajectory (lr, wd=0,
     per-step loss gate) on the same converted fc2 weight → same edited
