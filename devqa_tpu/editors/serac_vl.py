@@ -111,9 +111,22 @@ def init_serac_params(cfg: SERACvlConfig, key):
     }
 
 
+def _compact_valid(embeds, mask):
+    """Stable-sort valid tokens to a dense prefix. The reference feeds
+    the classifier UNPADDED batch-1 rows (modules.py:44-47); this build's
+    layout keeps masked vision-slot holes (text-only rows) and query-span
+    masks mid-sequence, and BERT adds ABSOLUTE position embeddings — a
+    hole must not shift the real tokens' positions."""
+    order = jnp.argsort((mask <= 0).astype(jnp.int32), axis=1, stable=True)
+    e = jnp.take_along_axis(embeds, order[..., None], axis=1)
+    m = jnp.take_along_axis(mask, order, axis=1)
+    return e * (m > 0)[..., None], m
+
+
 def classifier_reps(params, cfg: SERACvlConfig, embeds, mask):
     """``get_sim_reps`` (modules.py:41-50), batched: [B, L, D] → [B, 3d]."""
     p = params["classifier"]
+    embeds, mask = _compact_valid(embeds, mask)
     # The reference truncates to the LAST 512 embeddings of an UNPADDED
     # batch-1 row (modules.py:44-47) — i.e. all tokens whenever the row
     # is ≤512 long. This build right-pads (valid tokens first), so the
@@ -146,6 +159,11 @@ def counterfact_logits(params, cfg: SERACvlConfig, vllm_params, vcfg,
     x = _resblock(p["proj_in"], inpt)
     kv = jnp.concatenate([edit_mask, query_mask], axis=1).astype(jnp.int32)
     h = dec.decoder_forward(p["lm"], cfg.counterfact, x, kv)
+    # HF's hidden_states[-1] is post-final-norm (OPTDecoder.forward norms
+    # BEFORE appending the last entry) — the reference reads exactly that
+    # (modules.py:78-80), so the small LM's own final norm applies here.
+    h = layer_norm(h, p["lm"]["final_norm"]["scale"],
+                   p["lm"]["final_norm"]["bias"], cfg.counterfact.norm_eps)
     h = _resblock(p["proj_out"], h)[:, edit_embeds.shape[1]:]
     # frozen LLM final-norm + head (reps_to_word_predict, serac_vl.py:49-50)
     return dec.decoder_logits(vllm_params["decoder"], vcfg.decoder, h)

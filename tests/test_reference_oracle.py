@@ -566,6 +566,191 @@ class TestMENDvlOracle:
         np.testing.assert_allclose(ours, logits_ref[0], rtol=2e-3, atol=2e-3)
 
 
+def _make_ref_serac(rig, tmp):
+    """Reference SERACvl: tiny random HF BERT + OPT saved locally so the
+    reference's ``from_pretrained`` constructor paths (modules.py:34,64)
+    work offline; perturbed ResBlocks; saved as a 'Best' checkpoint."""
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel, OPTConfig, OPTForCausalLM
+
+    bert_dir = os.path.join(tmp, "tiny-bert")
+    cf_dir = os.path.join(tmp, "tiny-opt-cf")
+    if not os.path.isdir(bert_dir):
+        torch.manual_seed(41)
+        BertModel(HFBertConfig(
+            vocab_size=30, hidden_size=24, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=48,
+            max_position_embeddings=64)).save_pretrained(bert_dir)
+        OPTForCausalLM(OPTConfig(
+            vocab_size=32, hidden_size=20, ffn_dim=40, num_hidden_layers=2,
+            num_attention_heads=2, max_position_embeddings=96,
+            word_embed_proj_dim=20)).save_pretrained(cf_dir)
+
+    from editor.vllm_editors.serac_vl.serac_vl import SERACvl as RefSERAC
+    from editor.vllm_editors.serac_vl.serac_vl import \
+        SERACvlConfig as RefSERACCfg
+
+    ref_cfg = RefSERACCfg(
+        edit_model_name="tiny-blip2",
+        counterfact_model_path=cf_dir, counterfact_model_rep_dim=20,
+        classifier_path=bert_dir, classifier_rep_dim=24,
+        llm_hidden_size=16,
+        train_config=RefSERACCfg.TrainConfig(
+            lr=1e-4, relia_lambda=1.0, gen_lambda=1.0, loc_lambda=1.0),
+        llm_norm_path="language_model.model.decoder.final_layer_norm",
+        llm_voc_path="language_model.lm_head")
+    torch.manual_seed(43)
+    ref_ed = RefSERAC(rig["ref_vllm"], ref_cfg, device="cpu")
+    # Reference bug: restore_to_original_model sizes the pool
+    # [0, classifier_rep_dim] (serac_vl.py:98) but get_sim_reps returns
+    # 3×hidden since modules.py:48-50 pools mean|max|min — torch.cat on
+    # the FIRST edit crashes in the reference itself (any dims). Patch
+    # the pool width so the oracle can execute; our framework sizes the
+    # pool 3×d_model from the start.
+    orig_restore = ref_ed.restore_to_original_model
+
+    def _restore():
+        orig_restore()
+        ref_ed.sim_reps_pool = torch.zeros([0, 3 * 24])
+
+    ref_ed.restore_to_original_model = _restore
+    ref_ed.restore_to_original_model()
+    gen = torch.Generator().manual_seed(9)
+    for rb in (ref_ed.classifier.classifier_proj,
+               ref_ed.counterfact_model.counterfact_model_proj_in,
+               ref_ed.counterfact_model.counterfact_model_proj_out):
+        for lin in (rb.l_in, rb.l_mid, rb.l_out):
+            lin.weight.data.normal_(0, 0.2, generator=gen)
+            lin.bias.data.normal_(0, 0.05, generator=gen)
+    ckpt = {"i": 0, "epoch": 0, "loss": 0.0, "ema_loss": None,
+            "train_modules": {
+                k: v.state_dict()
+                for k, v in ref_ed.get_modules_for_training().items()}}
+    path = os.path.join(tmp, "BestSERAC")
+    torch.save(ckpt, path)
+    return ref_ed, path
+
+
+@pytest.fixture(scope="module")
+def serac_editors(rig):
+    from devqa_tpu.core.bert import BertConfig
+    from devqa_tpu.core.decoder import DecoderConfig
+    from devqa_tpu.editors.serac_vl import SERACvl, SERACvlConfig
+
+    ref_ed, path = _make_ref_serac(rig, rig["tmp"])
+    our_ed = SERACvl(rig["vllm"], SERACvlConfig(
+        edit_model_name="tiny-blip2", classifier_rep_dim=24,
+        counterfact_model_rep_dim=20, llm_hidden_size=16,
+        max_edits=8, max_edit_len=32,
+        classifier=BertConfig(vocab_size=30, d_model=24, n_layers=2,
+                              n_heads=2, d_ffn=48, max_positions=64),
+        counterfact=DecoderConfig(
+            arch="opt", vocab_size=32, d_model=20, n_layers=2, n_heads=2,
+            d_ffn=40, max_positions=96, activation="relu",
+            tie_word_embeddings=True)))
+    load_reference_editor_ckpt(our_ed, path)
+    return ref_ed, our_ed
+
+
+class TestSERACvlOracle:
+    """SERAC_VL cross-framework parity: the BERT scope classifier
+    (ResBlock proj → LN/32 → BertModel → mean|max|min pooling → dot/√d
+    sims), the counterfactual-LM branch (proj_in → tiny OPT →
+    post-final-norm → proj_out → frozen backbone head) and the ≥10
+    routing, against the reference executable on identical weights."""
+
+    def test_sim_reps_and_routing(self, rig, serac_editors):
+        ref_ed, our_ed = serac_editors
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        for c in rig["our_cases"][:2]:
+            ref_ed.edit_one_piece(dict(c.requests[0]))
+            our_ed.edit_one_piece(dict(c.requests[0]))
+        # pool reps parity (classifier over full prompt+target rows)
+        ref_pool = ref_ed.sim_reps_pool.detach().numpy()
+        our_pool = np.asarray(our_ed.state["sim_reps"][:2], np.float32)
+        np.testing.assert_allclose(our_pool, ref_pool, rtol=5e-3, atol=5e-3)
+
+        # per-probe query reps + sims + branch decision parity
+        from devqa_tpu.editors.serac_vl import classifier_reps, sim_matrix
+        case = rig["our_cases"][0]
+        for s in case_probe_specs(case):
+            (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+                [s.prompt], [s.image], [s.target])
+            qr = (0, x["inputs_embeds"].shape[1] - m.shape[1] + 1)
+            rep_ref = ref_ed.classifier.get_sim_reps(
+                x["inputs_embeds"][:, qr[0]:qr[1]],
+                x["attention_mask"][:, qr[0]:qr[1]])
+            sim_ref = ref_ed.classifier.get_sim(
+                rep_ref, ref_ed.sim_reps_pool).detach().numpy()
+
+            qb = our_ed.vllm.encode_queries([s.prompt], [s.image], [s.target])
+            qe = jnp.asarray(our_ed.vllm.query_end_positions(qb))
+            idx = jnp.arange(qb.embeds.shape[1])[None, :]
+            qmask = (idx < qe[:, None]) * qb.kv_valid
+            rep = classifier_reps(our_ed.params, our_ed.cfg,
+                                  qb.embeds, qmask)
+            sim = np.asarray(
+                sim_matrix(rep, our_ed.state["sim_reps"][:2]), np.float32)
+            np.testing.assert_allclose(sim, sim_ref, rtol=5e-3, atol=5e-3)
+            assert (sim.max() >= 10) == (sim_ref.max() >= 10), s
+
+    def test_counterfact_branch_logits(self, rig, serac_editors):
+        """Force the counterfactual branch on both sides and compare raw
+        logits (independent of whether the sims cross the threshold)."""
+        from devqa_tpu.editors.serac_vl import counterfact_logits
+        ref_ed, our_ed = serac_editors
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        case = rig["our_cases"][0]
+        ref_ed.edit_one_piece(dict(case.requests[0]))
+        our_ed.edit_one_piece(dict(case.requests[0]))
+        s = [p for p in case_probe_specs(case) if p.kind == "generality"][0]
+        (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+            [s.prompt], [s.image], [s.target])
+        ref_logits = ref_ed.counterfact_model.forward_with_request_embd(
+            [ref_ed.request_embed_pool[0]],
+            [x["inputs_embeds"]])[0].detach().numpy()
+
+        qb = our_ed.vllm.encode_queries([s.prompt], [s.image], [s.target])
+        n = int(our_ed.state["count"])
+        ours = counterfact_logits(
+            our_ed.params, our_ed.cfg, our_ed.vllm.params, our_ed.vllm.cfg,
+            our_ed.state["edit_embeds"][:n], our_ed.state["edit_mask"][:n],
+            qb.embeds, qb.kv_valid)
+        valid = np.asarray(qb.kv_valid[0], bool)
+        np.testing.assert_allclose(np.asarray(ours, np.float32)[0][valid],
+                                   ref_logits[0], rtol=5e-3, atol=5e-3)
+
+    def test_single_edit_mean_results(self, rig, serac_editors, tmp_path):
+        from evaluation.vllm_editor_eval import VLLMEditorEvaluation
+
+        ref_ed, our_ed = serac_editors
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        ref_ev = VLLMEditorEvaluation(
+            ref_ed, _ref_edit_data(rig["ref_cases"]), "oracle-serac",
+            str(tmp_path / "ref"))
+        ref_ev.evaluate_single_edit()
+        import json
+
+        with open(os.path.join(ref_ev.result_dir, "single_edit",
+                               "mean_results.json")) as f:
+            ref_mean = json.load(f)
+        our_ev = EditorEvaluation(
+            our_ed, BaseVLLMEditData(rig["our_cases"]), "oracle-serac",
+            str(tmp_path / "ours"))
+        our_ev.evaluate_single_edit()
+        with open(os.path.join(our_ev.result_dir, "single_edit",
+                               "mean_results.json")) as f:
+            our_mean = json.load(f)
+        ref_accs = _acc_leaves(ref_mean)
+        our_accs = _acc_leaves(our_mean)
+        assert set(ref_accs) <= set(our_accs)
+        for k, v in ref_accs.items():
+            assert our_accs[k] == pytest.approx(v, abs=1e-4), k
+
+
 class TestFTvlOracle:
     """FT_VL cross-framework parity: same AdamW trajectory (lr, wd=0,
     per-step loss gate) on the same converted fc2 weight → same edited
