@@ -163,6 +163,38 @@ def convert_serac_train_modules(tm: Dict[str, Dict], cfg) -> Dict:
     }
 
 
+def convert_recipe_train_modules(tm: Dict[str, Dict], cfg) -> Dict:
+    """ckpt['train_modules'] → RECIPE param pytree (recipe_vl.py:302-303
+    registers knowl_rep_model + prompt_transformer; the KRM sub-state-dict
+    embeds a full HF RobertaModel tree)."""
+    from ..core import bert as bert_mod
+
+    krm = tm["knowl_rep_model"]
+    pt = tm["prompt_transformer"]
+    enc = bert_mod.convert_hf_bert(krm, cfg.encoder, prefix="base_model.")
+    # RoBERTa position ids are pad-offset: valid tokens sit at 2,3,4,…
+    # (create_position_ids_from_input_ids, padding_idx=1). This build's
+    # encoder indexes positions from 0 over right-padded rows, so the
+    # faithful table is the HF one shifted by the 2-slot offset.
+    enc["pos_embed"] = enc["pos_embed"][2:]
+
+    def dense(sd, prefix):
+        return {"w": _arr(sd, prefix + ".weight").T,
+                "b": _arr(sd, prefix + ".bias")}
+
+    return {
+        "encoder": enc,
+        "pooler": dense(krm, "base_model.pooler.dense"),
+        "knowl_mlp1": dense(krm, "knowl_trans_mlp1"),
+        "knowl_mlp2": dense(krm, "knowl_trans_mlp2.0"),
+        "query_mlp1": dense(krm, "query_trans_mlp1"),
+        "query_mlp2": dense(krm, "query_trans_mlp2.0"),
+        "prot_tokens": _arr(krm, "prot_tokens"),
+        "prompt_l1": dense(pt, "l1.0"),
+        "prompt_l2": dense(pt, "l2"),
+    }
+
+
 def load_reference_editor_ckpt(editor, path: str) -> None:
     """torch-load a reference 'Best' checkpoint into ``editor``
     (LiveEdit / MENDvl instances; base.py:257-268 load_ckpt role)."""
@@ -181,5 +213,22 @@ def load_reference_editor_ckpt(editor, path: str) -> None:
         editor.norm_state = norm_state
     elif "SERAC" in name:
         editor.params = convert_serac_train_modules(tm, editor.cfg)
+    elif "RECIPE" in name:
+        editor.params = convert_recipe_train_modules(tm, editor.cfg)
+        editor.restore_to_original_model()  # prototype rep ← new params
+    elif "LTE" in name:
+        # LTE's trained state IS the fine-tuned language model
+        # (lte_vl.py:191-193 registers {'llm': find_module(...,
+        # fine_tune_modules_path)}, 'language_model' in every shipped
+        # config) — map it onto the wrapper's decoder params.
+        from ..core import convert_hf as C
+
+        dcfg = editor.vllm.cfg.decoder
+        if dcfg.arch != "opt":
+            raise NotImplementedError(
+                "LTE reference-ckpt load: arch %r" % dcfg.arch)
+        editor.vllm.params = dict(
+            editor.vllm.params,
+            decoder=C.convert_opt(tm["llm"], dcfg, "model.decoder."))
     else:
         raise NotImplementedError(name)

@@ -148,6 +148,12 @@ class RECIPEvl(VLLMEditor):
     """``text_tokenizer``: tokenizer for the knowledge-rep encoder
     (RoBERTa's in production; the toy tokenizer in tests)."""
 
+    # The reference snaps pre-edit locality predictions through the
+    # editor-wrapped forward (vllm_editor_eval.py:106-112), and RECIPE's
+    # wrapper drops images even with an empty pool (recipe_vl.py:94) —
+    # so the harness must route the pre-edit pass through this editor.
+    pre_edit_locality_via_editor = True
+
     def __init__(self, vllm: JaxVLLM, config: RECIPEvlConfig, text_tokenizer,
                  params=None, seed: int = 0):
         super().__init__(vllm)
@@ -252,16 +258,22 @@ class RECIPEvl(VLLMEditor):
 
     def build_query_batch(self, prompts, image_paths, targets) -> QueryBatch:
         # recipe_vl.py:94: inference drops images (texts, None).
-        self._last_prompts = list(prompts)
         qb = self.vllm.encode_queries(prompts, [None] * len(prompts), targets)
-        # Carry the raw prompts WITH the batch (see lte_vl.py): KRM
-        # retrieval must key on THIS batch's prompts, not call order.
-        qb.raw_prompts = list(prompts)
+        # Carry the KRM query texts WITH the batch (see lte_vl.py):
+        # retrieval must key on THIS batch, not call order. The reference
+        # harness reaches the wrapped get_llm_input_embeds through
+        # prompts_imgs_target_to_xym, whose `texts` are the JOINED
+        # prompt+target strings (base.py:89-96) — so eval-time KRM query
+        # reps see the target text too, and parity requires the same.
+        qb.krm_texts = [
+            p + (" " + t if p[-1] not in " \n" and t[0] not in " \n" else t)
+            for p, t in zip(prompts, targets)]
+        self._last_prompts = qb.krm_texts
         return qb
 
     def query_logits(self, qb: QueryBatch):
-        prompts = getattr(qb, "raw_prompts", None) or self._last_prompts
-        reps = self._encode_krm(prompts, "q")
+        texts = getattr(qb, "krm_texts", None) or self._last_prompts
+        reps = self._encode_krm(texts, "q")
         return self._logits_jit(self.params, self.state, self.vllm.params,
                                 qb.embeds, qb.kv_valid, reps)
 

@@ -201,10 +201,20 @@ class EditorEvaluation:
         specs = [s for s in case_probe_specs(case) if s.kind == "locality"]
         if not specs:  # e.g. locality-less text records — nothing to snap
             return {}
-        qb = vllm.encode_queries(
-            [s.prompt for s in specs], [s.image for s in specs],
-            [s.target for s in specs])
-        logits = vllm.logits(qb.embeds, qb.kv_valid)
+        prompts = [s.prompt for s in specs]
+        images = [s.image for s in specs]
+        targets = [s.target for s in specs]
+        if getattr(self.editor, "pre_edit_locality_via_editor", False):
+            # The reference snaps pre-edit locality through the
+            # editor-WRAPPED forward (vllm_editor_eval.py:106-112). For
+            # most editors that is identity on a restored pool; editors
+            # whose wrapper is not (RECIPE drops images unconditionally)
+            # opt in here.
+            qb = self.editor.build_query_batch(prompts, images, targets)
+            logits = self.editor.query_logits(qb)
+        else:
+            qb = vllm.encode_queries(prompts, images, targets)
+            logits = vllm.logits(qb.embeds, qb.kv_valid)
         _, preds = _metrics_jit(logits, qb.label_ids, qb.label_masks)
         topk = None
         if self.loc_topk:
@@ -423,6 +433,11 @@ class FusedEditorEvaluation(EditorEvaluation):
             if edited:
                 qb = self.editor.build_query_batch(prompts, images, targets)
                 logits = self._query_logits_counted(qb)
+            elif getattr(self.editor, "pre_edit_locality_via_editor", False):
+                # same editor-wrapped pre-edit routing as
+                # _before_edit_locality (fused must stay metric-identical)
+                qb = self.editor.build_query_batch(prompts, images, targets)
+                logits = self.editor.query_logits(qb)
             else:
                 qb = vllm.encode_queries(prompts, images, targets)
                 logits = vllm.logits(qb.embeds, qb.kv_valid)

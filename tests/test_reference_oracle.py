@@ -566,6 +566,67 @@ class TestMENDvlOracle:
         np.testing.assert_allclose(ours, logits_ref[0], rtol=2e-3, atol=2e-3)
 
 
+class TestFTvlOracle:
+    """FT_VL cross-framework parity: same AdamW trajectory (lr, wd=0,
+    per-step loss gate) on the same converted fc2 weight → same edited
+    logits. Pins optimizer equivalence (torch AdamW vs optax.adamw) and
+    the delta-apply/restore semantics (ft_vl.py:66-158)."""
+
+    def test_edit_logits_and_restore(self, rig):
+        from editor.vllm_editors.ft_vl.ft_vl import FTvl as RefFT
+        from editor.vllm_editors.ft_vl.ft_vl import FTvlConfig as RefFTCfg
+
+        from devqa_tpu.editors.ft_vl import FTvl, FTvlConfig
+
+        tmp = "language_model.model.decoder.layers.{}.fc2.weight"
+        ref_cfg = RefFTCfg(edit_model_name="tiny-blip2",
+                           rewrite_module_tmp=tmp, layers=[1], num_steps=5,
+                           lr=1e-3, weight_decay=0.0, norm_constraint=False,
+                           batch_size=1)
+        ref_ed = RefFT(rig["ref_vllm"], ref_cfg, device="cpu")
+        our_ed = FTvl(rig["vllm"], FTvlConfig(
+            edit_model_name="tiny-blip2", rewrite_module_tmp=tmp,
+            layers=[1], num_steps=5, lr=1e-3, weight_decay=0.0,
+            norm_constraint=None))
+
+        case = rig["our_cases"][1]
+        req = dict(case.requests[0])
+        s = [p for p in case_probe_specs(case)
+             if p.kind == "reliability"][0]
+
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        ref_ed.edit_one_piece(dict(req))
+        our_ed.edit_one_piece(dict(req))
+
+        (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+            [s.prompt], [s.image], [s.target])
+        ref_logits = ref_ed.vllm.get_llm_outpt(x, vt).logits.detach().numpy()
+        qb = our_ed.build_query_batch([s.prompt], [s.image], [s.target])
+        logits = np.asarray(our_ed.query_logits(qb), np.float32)
+        valid = np.asarray(qb.kv_valid[0], bool)
+        np.testing.assert_allclose(logits[0][valid], ref_logits[0],
+                                   rtol=5e-3, atol=5e-3)
+
+        # restore: both sides return to the pre-edit model exactly
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        acc_ref, pred_ref, logits_ref = _ref_probe_acc(
+            rig["ref_vllm"], s.prompt, s.image, s.target)
+        qb2 = rig["vllm"].encode_queries([s.prompt], [s.image], [s.target])
+        ours2 = np.asarray(
+            rig["vllm"].logits(qb2.embeds, qb2.kv_valid), np.float32)
+        valid2 = np.asarray(qb2.kv_valid[0], bool)
+        np.testing.assert_allclose(ours2[0][valid2], logits_ref[0],
+                                   rtol=2e-3, atol=2e-3)
+
+
+# NOTE: class order below IS execution order. The reference SERAC/RECIPE
+# editors WRAP the shared ref_vllm's get_llm_outpt / get_llm_input_embeds
+# (and RECIPE's wrapper drops images), so editors that need the bare
+# backbone (FT above) must run before their fixtures instantiate.
+
+
 def _make_ref_serac(rig, tmp):
     """Reference SERACvl: tiny random HF BERT + OPT saved locally so the
     reference's ``from_pretrained`` constructor paths (modules.py:34,64)
@@ -751,56 +812,291 @@ class TestSERACvlOracle:
             assert our_accs[k] == pytest.approx(v, abs=1e-4), k
 
 
-class TestFTvlOracle:
-    """FT_VL cross-framework parity: same AdamW trajectory (lr, wd=0,
-    per-step loss gate) on the same converted fc2 weight → same edited
-    logits. Pins optimizer equivalence (torch AdamW vs optax.adamw) and
-    the delta-apply/restore semantics (ft_vl.py:66-158)."""
+def _make_tiny_roberta(tmp):
+    """Tiny random HF RoBERTa (model + byte-level BPE tokenizer with no
+    merges) saved locally so the reference KRM's ``from_pretrained``
+    (recipe models.py:18-19) works offline."""
+    import json
 
-    def test_edit_logits_and_restore(self, rig):
-        from editor.vllm_editors.ft_vl.ft_vl import FTvl as RefFT
-        from editor.vllm_editors.ft_vl.ft_vl import FTvlConfig as RefFTCfg
+    from transformers import RobertaConfig, RobertaModel, RobertaTokenizer
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
 
-        from devqa_tpu.editors.ft_vl import FTvl, FTvlConfig
+    d = os.path.join(tmp, "tiny-roberta")
+    if os.path.isdir(d):
+        return d
+    os.makedirs(d)
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    for ch in bytes_to_unicode().values():
+        vocab.setdefault(ch, len(vocab))
+    vocab["<mask>"] = len(vocab)
+    with open(os.path.join(d, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(d, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    tok = RobertaTokenizer(os.path.join(d, "vocab.json"),
+                           os.path.join(d, "merges.txt"))
+    tok.save_pretrained(d)
+    torch.manual_seed(47)
+    # the reference KRM hard-codes 768 (prot_tokens + 4*768 MLP widths,
+    # models.py:20-25) regardless of krm_base_dim — the oracle encoder
+    # must be 768-wide (kept tiny via 2 layers / 64-d FFN)
+    RobertaModel(RobertaConfig(
+        vocab_size=len(vocab), hidden_size=768, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=130)).save_pretrained(d)
+    return d
 
-        tmp = "language_model.model.decoder.layers.{}.fc2.weight"
-        ref_cfg = RefFTCfg(edit_model_name="tiny-blip2",
-                           rewrite_module_tmp=tmp, layers=[1], num_steps=5,
-                           lr=1e-3, weight_decay=0.0, norm_constraint=False,
-                           batch_size=1)
-        ref_ed = RefFT(rig["ref_vllm"], ref_cfg, device="cpu")
-        our_ed = FTvl(rig["vllm"], FTvlConfig(
-            edit_model_name="tiny-blip2", rewrite_module_tmp=tmp,
-            layers=[1], num_steps=5, lr=1e-3, weight_decay=0.0,
-            norm_constraint=None))
 
-        case = rig["our_cases"][1]
-        req = dict(case.requests[0])
-        s = [p for p in case_probe_specs(case)
-             if p.kind == "reliability"][0]
+@pytest.fixture(scope="module")
+def recipe_editors(rig):
+    from transformers import RobertaTokenizer
 
+    from devqa_tpu.core.bert import BertConfig
+    from devqa_tpu.editors.recipe_vl import RECIPEvl, RECIPEvlConfig
+
+    rob_dir = _make_tiny_roberta(rig["tmp"])
+
+    from editor.vllm_editors.recipe_vl.recipe_vl import RECIPEvl as RefRECIPE
+    from editor.vllm_editors.recipe_vl.recipe_vl import \
+        RECIPEvlConfig as RefCfg
+
+    ref_cfg = RefCfg(
+        edit_model_name="tiny-blip2", model_hidden_size=16, retr_top_k=2,
+        train=RefCfg.TrainConfig(
+            krm_lr=1e-5, pt_lr=1e-5, relia_lambda=1.0, gen_lambda=1.0,
+            loc_lambda=1.0, contra_lambda=1.0, query_knowledge_t=1.0,
+            query_prototype_t=1.0, constra_hinge_scale=1.2,
+            edit_hinge_scale=1.2),
+        krm=RefCfg.KRMConfig(
+            krm_base_path=rob_dir, krm_base_dim=768, prompt_token_n=2,
+            knowledge_rep_dim=20, knowl_rep_prot_token_n=3))
+    torch.manual_seed(51)
+    ref_ed = RefRECIPE(rig["ref_vllm"], ref_cfg, device="cpu")
+    ckpt = {"i": 0, "epoch": 0, "loss": 0.0, "ema_loss": None,
+            "train_modules": {
+                k: v.state_dict()
+                for k, v in ref_ed.get_modules_for_training().items()}}
+    path = os.path.join(rig["tmp"], "BestRECIPE")
+    torch.save(ckpt, path)
+
+    our_ed = RECIPEvl(
+        rig["vllm"],
+        RECIPEvlConfig(
+            edit_model_name="tiny-blip2", model_hidden_size=16,
+            retr_top_k=2, max_edits=8,
+            krm=RECIPEvlConfig.KRMConfig(
+                krm_base_dim=768, prompt_token_n=2, knowledge_rep_dim=20,
+                knowl_rep_prot_token_n=3),
+            encoder=BertConfig(
+                vocab_size=ref_ed.knowl_rep_model.base_model.config.vocab_size,
+                d_model=768, n_layers=2, n_heads=2, d_ffn=64,
+                max_positions=128, type_vocab_size=1, norm_eps=1e-5)),
+        text_tokenizer=RobertaTokenizer.from_pretrained(rob_dir))
+    load_reference_editor_ckpt(our_ed, path)
+    return ref_ed, our_ed
+
+
+class TestRECIPEvlOracle:
+    """RECIPE_VL cross-framework parity: the RoBERTa-class KRM
+    (pooler|mean|max|min reps, k/q MLPs, encoder-only prototype), the
+    PromptTransformer, prototype-gated top-k retrieval and the
+    prompt-block-prepended text-only forward, vs the reference
+    executable on identical weights (incl. the RoBERTa pad-offset
+    position-table shift in the converter)."""
+
+    def test_pools_and_prototype(self, rig, recipe_editors):
+        ref_ed, our_ed = recipe_editors
         ref_ed.restore_to_original_model()
         our_ed.restore_to_original_model()
-        ref_ed.edit_one_piece(dict(req))
-        our_ed.edit_one_piece(dict(req))
+        proto_ref = ref_ed.knowl_reps_pool.detach().numpy()
+        np.testing.assert_allclose(
+            np.asarray(our_ed.state["knowl_reps"][:1], np.float32),
+            proto_ref, rtol=5e-3, atol=5e-3)
+        for c in rig["our_cases"][:2]:
+            ref_ed.edit_one_piece(dict(c.requests[0]))
+            our_ed.edit_one_piece(dict(c.requests[0]))
+        np.testing.assert_allclose(
+            np.asarray(our_ed.state["knowl_reps"][1:3], np.float32),
+            ref_ed.knowl_reps_pool.detach().numpy()[1:], rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(our_ed.state["prompts"][1:3], np.float32),
+            ref_ed.prompts_pool.detach().numpy()[1:], rtol=5e-3, atol=5e-3)
 
-        (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
-            [s.prompt], [s.image], [s.target])
-        ref_logits = ref_ed.vllm.get_llm_outpt(x, vt).logits.detach().numpy()
-        qb = our_ed.build_query_batch([s.prompt], [s.image], [s.target])
-        logits = np.asarray(our_ed.query_logits(qb), np.float32)
-        valid = np.asarray(qb.kv_valid[0], bool)
-        np.testing.assert_allclose(logits[0][valid], ref_logits[0],
-                                   rtol=5e-3, atol=5e-3)
+    def test_probe_logits(self, rig, recipe_editors):
+        """Every probe of case 0 after two edits: retrieval decisions and
+        final logits (prompt blocks prepended, images dropped) match."""
+        ref_ed, our_ed = recipe_editors
+        case = rig["our_cases"][0]
+        for s in case_probe_specs(case):
+            (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+                [s.prompt], [s.image], [s.target])
+            ref_logits = rig["ref_vllm"].get_llm_outpt(x, vt).logits
+            ref_logits = ref_logits.detach().numpy()
+            qb = our_ed.build_query_batch([s.prompt], [s.image], [s.target])
+            logits = np.asarray(our_ed.query_logits(qb), np.float32)
+            valid = np.asarray(qb.kv_valid[0], bool)
+            ours = logits[0][valid]
+            # reference logits are sliced to the ORIGINAL row length
+            # (recipe_vl.py:128-130), rows right-padded to batch max
+            assert ours.shape[0] >= ref_logits.shape[1]
+            np.testing.assert_allclose(ours[:ref_logits.shape[1]],
+                                       ref_logits[0], rtol=5e-3, atol=5e-3)
 
-        # restore: both sides return to the pre-edit model exactly
+    def test_single_edit_mean_results(self, rig, recipe_editors, tmp_path):
+        from evaluation.vllm_editor_eval import VLLMEditorEvaluation
+
+        ref_ed, our_ed = recipe_editors
         ref_ed.restore_to_original_model()
         our_ed.restore_to_original_model()
-        acc_ref, pred_ref, logits_ref = _ref_probe_acc(
-            rig["ref_vllm"], s.prompt, s.image, s.target)
-        qb2 = rig["vllm"].encode_queries([s.prompt], [s.image], [s.target])
-        ours2 = np.asarray(
-            rig["vllm"].logits(qb2.embeds, qb2.kv_valid), np.float32)
-        valid2 = np.asarray(qb2.kv_valid[0], bool)
-        np.testing.assert_allclose(ours2[0][valid2], logits_ref[0],
-                                   rtol=2e-3, atol=2e-3)
+        ref_ev = VLLMEditorEvaluation(
+            ref_ed, _ref_edit_data(rig["ref_cases"]), "oracle-recipe",
+            str(tmp_path / "ref"))
+        ref_ev.evaluate_single_edit()
+        import json
+
+        with open(os.path.join(ref_ev.result_dir, "single_edit",
+                               "mean_results.json")) as f:
+            ref_mean = json.load(f)
+        our_ev = EditorEvaluation(
+            our_ed, BaseVLLMEditData(rig["our_cases"]), "oracle-recipe",
+            str(tmp_path / "ours"))
+        our_ev.evaluate_single_edit()
+        with open(os.path.join(our_ev.result_dir, "single_edit",
+                               "mean_results.json")) as f:
+            our_mean = json.load(f)
+        ref_accs = _acc_leaves(ref_mean)
+        our_accs = _acc_leaves(our_mean)
+        assert set(ref_accs) <= set(our_accs)
+        for k, v in ref_accs.items():
+            assert our_accs[k] == pytest.approx(v, abs=1e-4), k
+
+
+def _make_tiny_st(rig):
+    """Tiny local SentenceTransformer dir: a bare HF BERT + the shared
+    word tokenizer (ST wraps bare dirs with mean pooling)."""
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel
+
+    d = os.path.join(rig["tmp"], "tiny-st")
+    if not os.path.isdir(d):
+        torch.manual_seed(61)
+        BertModel(HFBertConfig(
+            vocab_size=len(rig["hf_tok"].get_vocab()), hidden_size=24,
+            num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=48,
+            max_position_embeddings=64)).save_pretrained(d)
+        rig["hf_tok"].save_pretrained(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def lte_editors(rig):
+    from sentence_transformers import SentenceTransformer
+
+    from devqa_tpu.editors.lte_vl import LTEvl, LTEvlConfig
+
+    # Unwrap the shared ref_vllm first: the reference SERAC/RECIPE
+    # fixtures above wrapped get_llm_outpt / get_llm_input_embeds, and
+    # reference wrappers COMPOSE (each editor saves whatever fn is
+    # current) — LTE must wrap the bare backbone.
+    rv = rig["ref_vllm"]
+    if hasattr(rv, "original_get_llm_outpt"):
+        rv.get_llm_outpt = rv.original_get_llm_outpt
+    if hasattr(rv, "original_get_llm_input_embeds"):
+        rv.get_llm_input_embeds = rv.original_get_llm_input_embeds
+
+    st_dir = _make_tiny_st(rig)
+    st = SentenceTransformer(st_dir, device="cpu")
+
+    from editor.vllm_editors.lte_vl.lte_vl import LTEvl as RefLTE
+    from editor.vllm_editors.lte_vl.lte_vl import LTEvlConfig as RefLTECfg
+
+    ref_cfg = RefLTECfg(
+        edit_model_name="tiny-blip2",
+        train_config=RefLTECfg.TrainConfig(
+            lr=5e-6, relia_lambda=1.0, gen_lambda=1.0, loc_lambda=1.0),
+        fine_tune_modules_path="language_model",
+        retriever_path=st_dir, retrieval_embed_dim=24, sim_threshold=0.3)
+    ref_ed = RefLTE(rv, ref_cfg, device="cpu")
+    ckpt = {"i": 0, "epoch": 0, "loss": 0.0, "ema_loss": None,
+            "train_modules": {
+                k: v.state_dict()
+                for k, v in ref_ed.get_modules_for_training().items()}}
+    path = os.path.join(rig["tmp"], "BestLTE")
+    torch.save(ckpt, path)
+
+    our_ed = LTEvl(
+        rig["vllm"],
+        LTEvlConfig(edit_model_name="tiny-blip2", retrieval_embed_dim=24,
+                    sim_threshold=0.3, max_edits=8, max_prefix_len=32),
+        sentence_encoder=lambda texts: st.encode(list(texts)))
+    load_reference_editor_ckpt(our_ed, path)
+    return ref_ed, our_ed
+
+
+class TestLTEvlOracle:
+    """LTE_VL cross-framework parity: the '[Updated Information]…[Query]'
+    prefix construction (WITH the edit image), SentenceTransformer
+    cosine retrieval with the 0.3 threshold, prefix-prepended forward
+    with post-prefix logit slicing, and the fine-tuned-language-model
+    'Best' checkpoint mapping, vs the reference executable."""
+
+    def test_retrieval_and_probe_logits(self, rig, lte_editors):
+        ref_ed, our_ed = lte_editors
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        for c in rig["our_cases"][:2]:
+            ref_ed.edit_one_piece(dict(c.requests[0]))
+            our_ed.edit_one_piece(dict(c.requests[0]))
+        # retrieval pool + per-probe decisions
+        np.testing.assert_allclose(
+            our_ed.retr_pool[:2], ref_ed.text_retr_pool.detach().numpy(),
+            rtol=5e-3, atol=5e-3)
+        case = rig["our_cases"][0]
+        for s in case_probe_specs(case):
+            rr, rp, t_sim = ref_ed.retrieval([s.prompt])
+            best, use = our_ed._retrieve([s.prompt])
+            if rp[0] is not None:
+                assert use[0] == 1
+                assert int(best[0]) == int(t_sim[0].argmax())
+            else:
+                assert use[0] == 0
+            # end-to-end logits through the wrapped forward
+            (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+                [s.prompt], [s.image], [s.target])
+            x["query_triple"] = (s.prompt, s.image, s.target)
+            ref_logits = rig["ref_vllm"].get_llm_outpt(x, vt).logits
+            ref_logits = ref_logits.detach().numpy()
+            qb = our_ed.build_query_batch([s.prompt], [s.image], [s.target])
+            logits = np.asarray(our_ed.query_logits(qb), np.float32)
+            valid = np.asarray(qb.kv_valid[0], bool)
+            np.testing.assert_allclose(logits[0][valid], ref_logits[0],
+                                       rtol=5e-3, atol=5e-3)
+
+    def test_single_edit_mean_results(self, rig, lte_editors, tmp_path):
+        from evaluation.vllm_editor_eval import VLLMEditorEvaluation
+
+        ref_ed, our_ed = lte_editors
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        ref_ev = VLLMEditorEvaluation(
+            ref_ed, _ref_edit_data(rig["ref_cases"]), "oracle-lte",
+            str(tmp_path / "ref"))
+        ref_ev.evaluate_single_edit()
+        import json
+
+        with open(os.path.join(ref_ev.result_dir, "single_edit",
+                               "mean_results.json")) as f:
+            ref_mean = json.load(f)
+        our_ev = EditorEvaluation(
+            our_ed, BaseVLLMEditData(rig["our_cases"]), "oracle-lte",
+            str(tmp_path / "ours"))
+        our_ev.evaluate_single_edit()
+        with open(os.path.join(our_ev.result_dir, "single_edit",
+                               "mean_results.json")) as f:
+            our_mean = json.load(f)
+        ref_accs = _acc_leaves(ref_mean)
+        our_accs = _acc_leaves(our_mean)
+        assert set(ref_accs) <= set(our_accs)
+        for k, v in ref_accs.items():
+            assert our_accs[k] == pytest.approx(v, abs=1e-4), k
