@@ -16,6 +16,19 @@ Per-edit training (tp_vl.py:154-195), one jitted ``fori_loop``:
 - loss_m: ``exp(relu(pre_act)).mean()`` on a per-step random locality
   text — suppress firing on unrelated text.
 
+Reference quirk, reproduced behind ``faithful_loss_shadow`` (default
+True — it is the behavior the published numbers come from): the
+reference's training loop overwrites its ``input_embeds`` variable with
+the locality embeds at the end of every step (tp_vl.py:173-175, shadows
+the edit batch built at :156-157), so from step 2 onward loss_e and
+loss_a are computed on the PREVIOUS step's locality text — the edit
+sample is only ever seen at step 1. ``label_loss`` survives the length
+mismatch because it right-aligns labels (``logits[:, -l_short:]``,
+vllms_for_edit/base.py:111-119), gathering the edit's label ids against
+the tail of the locality sequence. ``faithful_loss_shadow=False`` gives
+the evidently intended semantics (loss_e/loss_a on the edit sample at
+every step).
+
 The reference streams wikitext-103 via HF datasets (tp_vl.py:40-44);
 offline we accept any ``locality_texts`` corpus (defaults to the built-in
 generic sentences below) — pass real wikitext for strict parity.
@@ -66,6 +79,10 @@ class TPvlConfig(BaseConfig):
     loss_m_lambda: float = 1e-4
     weight_decay: float = 0.0
     max_edits: int = 1024
+    # Reproduce the reference's input_embeds shadowing bug (module
+    # docstring): steps >= 2 compute loss_e/loss_a on the previous
+    # step's locality text instead of the edit sample.
+    faithful_loss_shadow: bool = True
 
 
 class TPvl(VLLMEditor):
@@ -120,61 +137,132 @@ class TPvl(VLLMEditor):
 
     # ------------------------------------------------------------------
 
-    @instance_jit()
-    def _edit_jit(self, state, vparams, e_embeds, e_kv, e_labels, e_masks,
-                  loc_embeds, loc_kv):
-        """Train one neuron and append it. ``loc_embeds`` [S, L, d] holds
-        one pre-encoded locality text per optimization step."""
-        cfg = self.cfg
+    def _edit_prep(self, vparams, e_embeds, e_kv, loc_embeds, loc_kv):
+        """Patch-independent constants of one edit: the below-layer
+        prefixes and the fc1 inputs (the patch lives in layer li's MLP,
+        so nothing under it can depend on the neuron being trained)."""
         vcfg = self.vllm.cfg
-        li = cfg.edit_layer
-
-        # Constant prefixes (the patch cannot affect layers < li).
+        li = self.cfg.edit_layer
         pre_e = jax.lax.stop_gradient(dec.decoder_forward(
             vparams["decoder"], vcfg.decoder, e_embeds, e_kv, lo=0, hi=li))
         pre_loc = jax.lax.stop_gradient(dec.decoder_forward(
             vparams["decoder"], vcfg.decoder, loc_embeds, loc_kv, lo=0, hi=li))
-
         layer_p = tree_slice(vparams["decoder"]["layers"], li)
         mlp_input = dec.mlp_input_at_layer  # single source of truth
-
         x_edit = jax.lax.stop_gradient(
             mlp_input(layer_p, vcfg.decoder, pre_e, e_kv))
         x_loc = jax.lax.stop_gradient(
             jax.vmap(lambda h, kv: mlp_input(
                 layer_p, vcfg.decoder, h[None], kv[None])[0])(
                 pre_loc, loc_kv))
+        return pre_e, x_edit, pre_loc, x_loc
 
-        def run_with_patch(state2, pre, kv):
-            h = dec.decoder_forward(
-                vparams["decoder"], vcfg.decoder, pre, kv, lo=li,
-                mlp_residual=(li, lambda x: TPvl._patch_delta(state2, x)))
-            return dec.decoder_logits(vparams["decoder"], vcfg.decoder, h)
+    @staticmethod
+    def _with_candidate(state, slot, new):
+        return {"K": state["K"].at[slot].set(new["k"]),
+                "B": state["B"].at[slot].set(new["b"][0]),
+                "V": state["V"].at[slot].set(new["v"]),
+                "count": state["count"] + 1}
 
+    def _neuron_loss(self, new, state, slot, vparams, pre_e, e_kv, e_labels,
+                     e_masks, x_edit, xl, lm_row):
+        """loss_e + λa·loss_a + λm·loss_m for candidate neuron ``new``
+        (tp_vl.py:154-195); ``xl``/``lm_row`` are ONE locality text's fc1
+        inputs and validity row."""
+        cfg = self.cfg
+        vcfg = self.vllm.cfg
+        li = cfg.edit_layer
+        k, b = new["k"], new["b"]
+        st2 = self._with_candidate(state, slot, new)
+        h = dec.decoder_forward(
+            vparams["decoder"], vcfg.decoder, pre_e, e_kv, lo=li,
+            mlp_residual=(li, lambda x: TPvl._patch_delta(st2, x)))
+        logits = dec.decoder_logits(vparams["decoder"], vcfg.decoder, h)
+        logp = jax.nn.log_softmax(logits, -1)
+        picked = jnp.take_along_axis(logp, e_labels[..., None], -1)[..., 0]
+        m = e_masks.astype(jnp.float32)
+        loss_e = -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
+        # new-neuron pre-activation on edit tokens (tp_vl.py:166-169)
+        em = e_kv.astype(jnp.float32)
+        pre_act_e = jnp.einsum("bld,d->bl", x_edit, k) + b[0]
+        loss_a = (jnp.exp(-pre_act_e) * em).sum() / jnp.maximum(em.sum(), 1.0)
+        # locality suppression on this step's random text (tp_vl.py:171-183)
+        lm = lm_row.astype(jnp.float32)
+        pre_act_l = jnp.einsum("ld,d->l", xl, k) + b[0]
+        loss_m = (jnp.exp(jax.nn.relu(pre_act_l)) * lm).sum() \
+            / jnp.maximum(lm.sum(), 1.0)
+        return loss_e + loss_a * cfg.loss_a_lambda + loss_m * cfg.loss_m_lambda
+
+    def _neuron_loss_shadow(self, new, state, slot, vparams, pre_prev,
+                            lk_prev, x_prev, e_kv, e_labels, e_masks,
+                            x_cur, lm_cur):
+        """The reference's step >= 2 loss (module docstring): loss_e and
+        loss_a run on the PREVIOUS step's locality text; the edit's label
+        ids are right-aligned onto its tail (label_loss slices
+        ``logits[:, -l_short:]``, vllms_for_edit/base.py:113). ``l_short``
+        is the edit's TEXT token count; a full-layout edit label at
+        position q is text index ``q - V``, and the reference's sliced
+        position ``n_loc - l_short + (q - V)`` maps back into our slotted
+        loc row as k if k < img_slot_pos else V + k."""
+        cfg = self.cfg
+        vcfg = self.vllm.cfg
+        li = cfg.edit_layer
+        k, b = new["k"], new["b"]
+        st2 = self._with_candidate(state, slot, new)
+        h = dec.decoder_forward(
+            vparams["decoder"], vcfg.decoder, pre_prev[None], lk_prev[None],
+            lo=li, mlp_residual=(li, lambda x: TPvl._patch_delta(st2, x)))
+        logits = dec.decoder_logits(vparams["decoder"], vcfg.decoder, h)
+        logp = jax.nn.log_softmax(logits, -1)[0]          # [L_loc, V]
+        V, p = vcfg.n_img_tokens, vcfg.img_slot_pos
+        vis_valid = e_kv[0, p]                            # 1 iff edit has image
+        n_text = e_kv[0].sum() - V * vis_valid            # reference l_short
+        n_loc = lk_prev.sum()                             # loc token count
+        q = jnp.arange(e_labels.shape[1])
+        ref_k = n_loc - n_text + (q - V)                  # text-seq index
+        loc_pos = jnp.clip(jnp.where(ref_k < p, ref_k, V + ref_k),
+                           0, logp.shape[0] - 1)
+        picked = jnp.take_along_axis(
+            logp[loc_pos], e_labels[0][:, None], -1)[:, 0]
+        m = e_masks[0].astype(jnp.float32)
+        loss_e = -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
+        # loss_a: new-neuron pre-activation on the prev loc text
+        lmp = lk_prev.astype(jnp.float32)
+        pre_act_a = jnp.einsum("ld,d->l", x_prev, k) + b[0]
+        loss_a = (jnp.exp(-pre_act_a) * lmp).sum() / jnp.maximum(lmp.sum(), 1.0)
+        lm = lm_cur.astype(jnp.float32)
+        pre_act_l = jnp.einsum("ld,d->l", x_cur, k) + b[0]
+        loss_m = (jnp.exp(jax.nn.relu(pre_act_l)) * lm).sum() \
+            / jnp.maximum(lm.sum(), 1.0)
+        return loss_e + loss_a * cfg.loss_a_lambda + loss_m * cfg.loss_m_lambda
+
+    @instance_jit()
+    def _edit_jit(self, state, vparams, e_embeds, e_kv, e_labels, e_masks,
+                  loc_embeds, loc_kv):
+        """Train one neuron and append it. ``loc_embeds`` [S, L, d] holds
+        one pre-encoded locality text per optimization step."""
+        cfg = self.cfg
+        pre_e, x_edit, pre_loc, x_loc = self._edit_prep(
+            vparams, e_embeds, e_kv, loc_embeds, loc_kv)
         slot = state["count"] % state["K"].shape[0]  # ring: wrap at cap
 
-        def loss_fn(new, step):
-            k, b, v = new["k"], new["b"], new["v"]
-            st2 = {"K": state["K"].at[slot].set(k),
-                   "B": state["B"].at[slot].set(b[0]),
-                   "V": state["V"].at[slot].set(v),
-                   "count": state["count"] + 1}
-            logits = run_with_patch(st2, pre_e, e_kv)
-            logp = jax.nn.log_softmax(logits, -1)
-            picked = jnp.take_along_axis(logp, e_labels[..., None], -1)[..., 0]
-            m = e_masks.astype(jnp.float32)
-            loss_e = -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
-            # new-neuron pre-activation on edit tokens (tp_vl.py:166-169)
-            em = e_kv.astype(jnp.float32)
-            pre_act_e = jnp.einsum("bld,d->bl", x_edit, k) + b[0]
-            loss_a = (jnp.exp(-pre_act_e) * em).sum() / jnp.maximum(em.sum(), 1.0)
-            # locality suppression on this step's random text (tp_vl.py:171-183)
-            xl = x_loc[step]
-            lm = loc_kv[step].astype(jnp.float32)
-            pre_act_l = jnp.einsum("ld,d->l", xl, k) + b[0]
-            loss_m = (jnp.exp(jax.nn.relu(pre_act_l)) * lm).sum() \
-                / jnp.maximum(lm.sum(), 1.0)
-            return loss_e + loss_a * cfg.loss_a_lambda + loss_m * cfg.loss_m_lambda
+        def edit_loss(new, step):
+            return self._neuron_loss(new, state, slot, vparams, pre_e, e_kv,
+                                     e_labels, e_masks, x_edit, x_loc[step],
+                                     loc_kv[step])
+
+        if cfg.faithful_loss_shadow:
+            def loss_fn(new, step):
+                prev = jnp.maximum(step - 1, 0)
+                return jax.lax.cond(
+                    step == 0,
+                    lambda: edit_loss(new, step),
+                    lambda: self._neuron_loss_shadow(
+                        new, state, slot, vparams, pre_loc[prev],
+                        loc_kv[prev], x_loc[prev], e_kv, e_labels, e_masks,
+                        x_loc[step], loc_kv[step]))
+        else:
+            loss_fn = edit_loss
 
         new = {"k": jnp.zeros((self.d_in,)), "b": jnp.zeros((1,)),
                "v": jnp.zeros((self.d_out,))}
@@ -212,3 +300,31 @@ class TPvl(VLLMEditor):
         self.state = self._edit_jit(
             self.state, self.vllm.params, qb.embeds, qb.kv_valid,
             qb.label_ids, qb.label_masks, ce[idx], ck[idx])
+
+    def neuron_loss_grads(self, request: EditRequest, new, loc_index: int = 0,
+                          shadowed: bool = False):
+        """Diagnostic: gradients of the per-edit neuron loss at candidate
+        ``new`` = {"k","b","v"} with the CURRENT pool state. Used by the
+        cross-framework oracle to pin the loss surface itself — Adam's
+        sign-normalized steps amplify ~1e-6 float drift to ±lr whenever
+        the first moment crosses zero (observed from step 2 of the
+        reference's own trajectory), so post-optimizer params are only
+        comparable for one step; gradients are comparable at any state.
+        ``shadowed`` selects the step >= 2 loss surface (the reference's
+        input_embeds shadowing bug — loss_e/loss_a on loc text
+        ``loc_index``, which also serves as the loss_m row)."""
+        qb = self.vllm.encode_queries(
+            [request["prompt"]], [request.get("image")], [request["target_new"]])
+        ce, ck = self._loc_corpus()
+        pre_e, x_edit, pre_loc, x_loc = self._edit_prep(
+            self.vllm.params, qb.embeds, qb.kv_valid, ce, ck)
+        slot = self.state["count"] % self.state["K"].shape[0]
+        i = loc_index
+        if shadowed:
+            return jax.grad(lambda n: self._neuron_loss_shadow(
+                n, self.state, slot, self.vllm.params, pre_loc[i], ck[i],
+                x_loc[i], qb.kv_valid, qb.label_ids, qb.label_masks,
+                x_loc[i], ck[i]))(new)
+        return jax.grad(lambda n: self._neuron_loss(
+            n, self.state, slot, self.vllm.params, pre_e, qb.kv_valid,
+            qb.label_ids, qb.label_masks, x_edit, x_loc[i], ck[i]))(new)

@@ -1100,3 +1100,177 @@ class TestLTEvlOracle:
         assert set(ref_accs) <= set(our_accs)
         for k, v in ref_accs.items():
             assert our_accs[k] == pytest.approx(v, abs=1e-4), k
+
+@pytest.fixture(scope="module")
+def tp_editors(rig):
+    from devqa_tpu.editors.tp_vl import TPvl, TPvlConfig
+
+    # Unwrap the shared ref_vllm (LTE/RECIPE wrappers above would route
+    # TP's training forwards through retrieval/prefix logic).
+    rv = rig["ref_vllm"]
+    if hasattr(rv, "original_get_llm_outpt"):
+        rv.get_llm_outpt = rv.original_get_llm_outpt
+    if hasattr(rv, "original_get_llm_input_embeds"):
+        rv.get_llm_input_embeds = rv.original_get_llm_input_embeds
+
+    # ONE locality sentence (>20 words, no '=' edges): the reference
+    # samples a random corpus row per optimization step (tp_vl.py:171);
+    # a single-row corpus makes the data stream identical on both sides
+    # without seed plumbing.
+    loc_text = " ".join(WORDS[:24])
+    import editor.vllm_editors.tp_vl.tp_vl as ref_tp_mod
+    ref_tp_mod.load_dataset = lambda *a, **k: {"text": [loc_text]}
+
+    tmpl = "language_model.model.decoder.layers.{}.%s"
+
+    def make_ref(num_steps):
+        return ref_tp_mod.TPvl(rv, ref_tp_mod.TPvlConfig(
+            edit_model_name="tiny-blip2", edit_layer=1, num_steps=num_steps,
+            lr=1e-2, loss_a_lambda=1e-4, loss_m_lambda=1e-4, weight_decay=0,
+            mlp_in_module_tmps=[tmpl % "fc1"],
+            mlp_out_module_tmps=[tmpl % "fc2"]), device="cpu")
+
+    def make_ours(num_steps):
+        return TPvl(rig["vllm"], TPvlConfig(
+            edit_model_name="tiny-blip2", edit_layer=1, num_steps=num_steps,
+            lr=1e-2, loss_a_lambda=1e-4, loss_m_lambda=1e-4,
+            weight_decay=0.0, max_edits=8), locality_texts=[loc_text])
+
+    def cleanup(ref_ed):
+        # the reference's register_hooks loses the fc2 pre-hook handle
+        # (the variable is overwritten before append) — clear directly
+        for h in ref_ed.hooks:
+            h.remove()
+        for l in list(ref_ed.edit_in_layers) + list(ref_ed.edit_out_layers):
+            l._forward_hooks.clear()
+            l._forward_pre_hooks.clear()
+
+    return make_ref, make_ours, cleanup
+
+
+class TestTPvlOracle:
+    """TP_VL cross-framework parity, in three Adam-chaos-free layers:
+    exact 1-step neuron trajectory, analytic loss-surface gradients at a
+    post-step-1 state, and widened-MLP inference on injected neuron
+    pools. Full multi-step trajectories are NOT comparable across
+    frameworks: measured on the reference's own run, the step-2 gradient
+    opposes step-1 (loss_a falls while loss_m rises), the Adam first
+    moment crosses zero and its sign-normalized update turns ~1e-6
+    float noise into ±lr divergence."""
+
+    def test_one_step_trajectory(self, rig, tp_editors):
+        make_ref, make_ours, cleanup = tp_editors
+        ref_ed, our_ed = make_ref(1), make_ours(1)
+        req = dict(rig["our_cases"][0].requests[0])
+        ref_ed.edit_one_piece(dict(req))
+        our_ed.edit_one_piece(dict(req))
+        k_ref = ref_ed.edit_in_layers[0].extra_weights.detach().numpy()[:, 0]
+        b_ref = ref_ed.edit_in_layers[0].extra_biases.detach().numpy()[0]
+        v_ref = ref_ed.edit_out_layers[0].extra_weights.detach().numpy()[0]
+        np.testing.assert_allclose(np.asarray(our_ed.state["K"][0]), k_ref,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(float(our_ed.state["B"][0]), b_ref,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(our_ed.state["V"][0]), v_ref,
+                                   rtol=1e-4, atol=1e-6)
+        cleanup(ref_ed)
+
+    def test_loss_surface_gradients(self, rig, tp_editors):
+        """Step-2 gradients at the (matching) post-step-1 state: pins
+        loss_e through the patched forward + loss_a/loss_m masking and
+        activation semantics, independent of optimizer chaos. Step 2 in
+        the reference runs under its input_embeds shadowing bug (loss_e/
+        loss_a on the locality text, labels right-aligned onto its tail
+        — tp_vl.py:173-175 + base.py:113), so the comparison drives our
+        faithful_loss_shadow surface (shadowed=True)."""
+        import jax.numpy as jnp
+
+        make_ref, make_ours, cleanup = tp_editors
+        ref_ed, our_ed = make_ref(2), make_ours(2)
+        req = dict(rig["our_cases"][0].requests[0])
+
+        grads = []
+        orig_step = torch.optim.Adam.step
+
+        def rec_step(self, *a, **k):
+            grads.append([p.grad.detach().clone().numpy()
+                          for g in self.param_groups for p in g["params"]])
+            return orig_step(self, *a, **k)
+
+        torch.optim.Adam.step = rec_step
+        try:
+            ref_ed.edit_one_piece(dict(req))
+        finally:
+            torch.optim.Adam.step = orig_step
+        cleanup(ref_ed)
+        assert len(grads) == 2
+        g2_kin, g2_b, g2_vout = grads[1]
+
+        # our candidate state after step 1 == the reference's (the
+        # one-step trajectory test above proves the equivalence)
+        our_ed.edit_one_piece(dict(req))  # runs 2 steps; only prep reused
+        new = {"k": jnp.zeros((our_ed.d_in,)), "b": jnp.zeros((1,)),
+               "v": jnp.zeros((our_ed.d_out,))}
+        ref1 = make_ref(1)
+        ref1.edit_one_piece(dict(req))
+        k1 = ref1.edit_in_layers[0].extra_weights.detach().numpy()[:, 0]
+        b1 = ref1.edit_in_layers[0].extra_biases.detach().numpy()
+        v1 = ref1.edit_out_layers[0].extra_weights.detach().numpy()[0]
+        cleanup(ref1)
+        new = {"k": jnp.asarray(k1), "b": jnp.asarray(b1),
+               "v": jnp.asarray(v1)}
+        our_ed.restore_to_original_model()  # empty pool = ref's state
+        g = our_ed.neuron_loss_grads(dict(req), new, loc_index=0,
+                                     shadowed=True)
+        np.testing.assert_allclose(np.asarray(g["k"]), g2_kin[:, 0],
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g["b"]), g2_b,
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g["v"]), g2_vout[0],
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_injected_pool_inference(self, rig, tp_editors):
+        """Two handcrafted neurons injected into both frameworks' pools:
+        every probe's logits match — pins the widened-MLP application
+        (concat → decoder activation → value add) and restore."""
+        make_ref, make_ours, cleanup = tp_editors
+        ref_ed, our_ed = make_ref(1), make_ours(1)
+        rng = np.random.default_rng(17)
+        d = our_ed.d_in
+        K = rng.normal(0, 0.5, (2, d)).astype(np.float32)
+        B = rng.normal(0, 0.2, (2,)).astype(np.float32)
+        V = rng.normal(0, 0.3, (2, d)).astype(np.float32)
+
+        ref_ed.edit_in_layers[0].extra_weights = torch.tensor(K.T)
+        ref_ed.edit_in_layers[0].extra_biases = torch.tensor(B)
+        ref_ed.edit_out_layers[0].extra_weights = torch.tensor(V)
+        import jax.numpy as jnp
+        our_ed.state = {
+            "K": our_ed.state["K"].at[:2].set(jnp.asarray(K)),
+            "B": our_ed.state["B"].at[:2].set(jnp.asarray(B)),
+            "V": our_ed.state["V"].at[:2].set(jnp.asarray(V)),
+            "count": jnp.asarray(2, jnp.int32),
+        }
+        case = rig["our_cases"][0]
+        for s in case_probe_specs(case):
+            (x, vt), y, m = rig["ref_vllm"].prompts_imgs_target_to_xym(
+                [s.prompt], [s.image], [s.target])
+            ref_logits = rig["ref_vllm"].get_llm_outpt(x, vt).logits
+            ref_logits = ref_logits.detach().numpy()
+            qb = our_ed.build_query_batch([s.prompt], [s.image], [s.target])
+            logits = np.asarray(our_ed.query_logits(qb), np.float32)
+            valid = np.asarray(qb.kv_valid[0], bool)
+            np.testing.assert_allclose(logits[0][valid], ref_logits[0],
+                                       rtol=5e-3, atol=5e-3)
+        # restore: both sides identical to the bare backbone
+        ref_ed.restore_to_original_model()
+        our_ed.restore_to_original_model()
+        s = [p for p in case_probe_specs(case) if p.kind == "reliability"][0]
+        acc_ref, pred_ref, logits_ref = _ref_probe_acc(
+            rig["ref_vllm"], s.prompt, s.image, s.target)
+        qb = rig["vllm"].encode_queries([s.prompt], [s.image], [s.target])
+        ours = np.asarray(our_ed.query_logits(qb), np.float32)
+        valid = np.asarray(qb.kv_valid[0], bool)
+        np.testing.assert_allclose(ours[0][valid], logits_ref[0],
+                                   rtol=2e-3, atol=2e-3)
+        cleanup(ref_ed)
