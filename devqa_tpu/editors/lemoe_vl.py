@@ -10,17 +10,37 @@ lemoe_vl.py:55-83): given the MLP input x,
   gate:   v_n = silu(mean(x)·kd_n)·ku_n ; sim = softmax_n(v_n·k_n)
   delta:  Σ_n sim_n · (relu(x·c1_n·r1_nᵀ)·c2_n·r2_nᵀ)
 added to fc2's output — exactly the decoder's ``mlp_residual``
-intervention point. The gating key ``k`` is random and NOT optimized
-(faithful to lemoe_vl.py:122 which omits ``new_k`` from the optimizer).
+intervention point. Each expert is a rank-``lora_rank`` factorized
+d1 → d2 → d1 MLP (d2 = the decoder FFN width, lemoe_vl.py:115-118:
+``new_r1``/``new_c2`` carry ``llm_hidden_dim2``). The gating key ``k``
+is random and NOT optimized (faithful to lemoe_vl.py:122 which omits
+``new_k`` from the optimizer).
+
+Reference quirks, reproduced (oracle-pinned in
+tests/test_reference_oracle.py::TestLEMoEvlOracle):
+- the kept expert is the last EVALUATED candidate, not the last stepped
+  one: the reference cats the candidate into the pool at the top of
+  each loop iteration (a value copy, lemoe_vl.py:134-140), so
+  ``opt.step``'s in-place mutations never reach the kept tensors — the
+  final optimization step is always discarded, and a ``min_loss`` break
+  keeps exactly the state that met the threshold;
+- the routing key ``new_k`` is never optimized (lemoe_vl.py:122).
 
 Divergences (documented):
 - the reference's expert-training resume path calls
   ``forward_from_mid_layer`` with a layer template lacking a ``{}``
   placeholder and a mismatched layer index (config
-  ``edit_layer_i_of_inpt: 18`` vs edit layer 30) — an inert/broken
-  combination; we resume exactly at the edit layer;
+  ``edit_layer_i_of_inpt: 18`` vs edit layer 30) — the TraceDicts all
+  land on the layers CONTAINER whose forward is never invoked, so the
+  reference silently runs a FULL forward every step; we resume at the
+  edit layer, which is mathematically identical (experts only touch
+  layer ``edit_layer``) and actually skips the lower layers;
 - the gate mean over positions is masked (the reference's batch=1 rows
-  have no padding; ours do).
+  have no padding; ours do);
+- batched editing (``lora_edit_batch_size`` > 1) CRASHES the reference
+  on blip2: its wrapper encodes ``imgs[-1]`` only (blip2.py:54-57) and
+  dies concatenating batch-1 vision tokens onto batch-N text embeds —
+  our batched path is the repaired behavior (all images encoded).
 """
 from __future__ import annotations
 
@@ -45,6 +65,7 @@ class LEMoEvlConfig(BaseConfig):
     edit_model_name: str = ""
     edit_layer: int = 30
     llm_hidden_dim1: int = 2560   # d_model (fc1 input / fc2 output)
+    llm_hidden_dim2: int = 10240  # d_ffn (the expert's hidden width)
     lora_rank: int = 32
     lora_edit_batch_size: int = 20
     max_steps: int = 100
@@ -55,11 +76,11 @@ class LEMoEvlConfig(BaseConfig):
 
 
 def _expert_zeros(cfg: LEMoEvlConfig):
-    d1, r = cfg.llm_hidden_dim1, cfg.lora_rank
+    d1, d2, r = cfg.llm_hidden_dim1, cfg.llm_hidden_dim2, cfg.lora_rank
     m = cfg.max_experts
     return {
-        "c1": jnp.zeros((m, d1, r)), "r1": jnp.zeros((m, d1, r)),
-        "c2": jnp.zeros((m, d1, r)), "r2": jnp.zeros((m, d1, r)),
+        "c1": jnp.zeros((m, d1, r)), "r1": jnp.zeros((m, d2, r)),
+        "c2": jnp.zeros((m, d2, r)), "r2": jnp.zeros((m, d1, r)),
         "k": jnp.zeros((m, d1)),
         "kd": jnp.zeros((m, d1, d1 // 4)), "ku": jnp.zeros((m, d1 // 4, d1)),
         "count": jnp.zeros((), jnp.int32),
@@ -140,15 +161,44 @@ class LEMoEvl(VLLMEditor):
             [r.get("image") for r in requests],
             [r["target_new"] for r in requests])
         cfg = self.cfg
-        d1, r = cfg.llm_hidden_dim1, cfg.lora_rank
+        d1, d2, r = cfg.llm_hidden_dim1, cfg.llm_hidden_dim2, cfg.lora_rank
+        # randn*0.01 in the reference's creation order (lemoe_vl.py:115-121)
         rngs = [jnp.asarray(self.rng.normal(size=s) * 0.01, jnp.float32)
-                for s in [(d1, r), (d1, r), (d1, r), (d1, r), (d1,),
+                for s in [(d1, r), (d2, r), (d2, r), (d1, r), (d1,),
                           (d1, d1 // 4), (d1 // 4, d1)]]
         new = {"c1": rngs[0], "r1": rngs[1], "c2": rngs[2], "r2": rngs[3],
                "kd": rngs[5], "ku": rngs[6]}
         self.state = self._train_expert_jit(
             self.state, self.vllm.params, new, rngs[4],
             qb.embeds, qb.kv_valid, qb.label_ids, qb.label_masks)
+
+    def _with_new(self, state, new, new_k):
+        # ring: wrap at expert capacity (an out-of-bounds .at[].set
+        # would be silently dropped by JAX)
+        i = state["count"] % state["k"].shape[0]
+        st = dict(state)
+        for name in ("c1", "r1", "c2", "r2", "kd", "ku"):
+            st[name] = state[name].at[i].set(new[name])
+        st["k"] = state["k"].at[i].set(new_k)
+        st["count"] = state["count"] + 1
+        return st
+
+    def _expert_loss(self, new, new_k, state, vparams, pre, kv, labels, masks):
+        """Masked-mean label CE with candidate expert (new, new_k) joined
+        to the pool, resuming from the layer-``edit_layer`` prefix
+        ``pre`` (the reference's forward_from_mid_layer resume,
+        lemoe_vl.py:141-143 — inert there, see module docstring)."""
+        vcfg = self.vllm.cfg
+        li = self.cfg.edit_layer
+        st = self._with_new(state, new, new_k)
+        h = dec.decoder_forward(
+            vparams["decoder"], vcfg.decoder, pre, kv, lo=li,
+            mlp_residual=(li, lambda x: expert_delta(st, x, kv)))
+        logits = dec.decoder_logits(vparams["decoder"], vcfg.decoder, h)
+        logp = jax.nn.log_softmax(logits, -1)
+        picked = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+        m = masks.astype(jnp.float32)
+        return -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
 
     @instance_jit()
     def _train_expert_jit(self, state, vparams, new, new_k, embeds, kv,
@@ -159,40 +209,48 @@ class LEMoEvl(VLLMEditor):
         pre = jax.lax.stop_gradient(dec.decoder_forward(
             vparams["decoder"], vcfg.decoder, embeds, kv, lo=0, hi=li))
 
-        def with_new(new):
-            # ring: wrap at expert capacity (an out-of-bounds .at[].set
-            # would be silently dropped by JAX)
-            i = state["count"] % state["k"].shape[0]
-            st = dict(state)
-            for name in ("c1", "r1", "c2", "r2", "kd", "ku"):
-                st[name] = state[name].at[i].set(new[name])
-            st["k"] = state["k"].at[i].set(new_k)
-            st["count"] = state["count"] + 1
-            return st
-
         def loss_fn(new):
-            st = with_new(new)
-            h = dec.decoder_forward(
-                vparams["decoder"], vcfg.decoder, pre, kv, lo=li,
-                mlp_residual=(li, lambda x: expert_delta(st, x, kv)))
-            logits = dec.decoder_logits(vparams["decoder"], vcfg.decoder, h)
-            logp = jax.nn.log_softmax(logits, -1)
-            picked = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
-            m = masks.astype(jnp.float32)
-            return -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
+            return self._expert_loss(new, new_k, state, vparams, pre, kv,
+                                     labels, masks)
 
         opt_state = self._opt.init(new)
 
         def cond(carry):
-            _, _, i, loss = carry
+            _, _, i, loss, _ = carry
             return jnp.logical_and(i < cfg.max_steps, loss >= cfg.min_loss)
 
         def body(carry):
-            new, opt_state, i, _ = carry
+            new, opt_state, i, _, _ = carry
             loss, grads = jax.value_and_grad(loss_fn)(new)
             updates, opt_state = self._opt.update(grads, opt_state, new)
-            return optax.apply_updates(new, updates), opt_state, i + 1, loss
+            # carry the EVALUATED state alongside the stepped one: the
+            # pool keeps the last candidate whose loss was measured (see
+            # module docstring — the reference's in-loop torch.cat copies
+            # mean opt.step never reaches the kept tensors, so its final
+            # step is always discarded, and a min_loss break keeps
+            # exactly the state that met the threshold).
+            return (optax.apply_updates(new, updates), opt_state, i + 1,
+                    loss, new)
 
-        new, _, _, _ = jax.lax.while_loop(
-            cond, body, (new, opt_state, jnp.asarray(0), jnp.asarray(jnp.inf)))
-        return with_new(new)
+        _, _, _, _, kept = jax.lax.while_loop(
+            cond, body,
+            (new, opt_state, jnp.asarray(0), jnp.asarray(jnp.inf), new))
+        return self._with_new(state, kept, new_k)
+
+    def expert_loss_grads(self, requests: List[EditRequest], new, new_k):
+        """Diagnostic: (loss, grads) of the expert-training objective at
+        candidate ``new`` (dict of c1/r1/c2/r2/kd/ku) with routing key
+        ``new_k`` and the CURRENT pool. Used by the cross-framework
+        oracle to pin the loss surface independent of Adam's
+        sign-normalized step chaos (see tp_vl.neuron_loss_grads)."""
+        qb = self.vllm.encode_queries(
+            [r["prompt"] for r in requests],
+            [r.get("image") for r in requests],
+            [r["target_new"] for r in requests])
+        vcfg = self.vllm.cfg
+        pre = dec.decoder_forward(
+            self.vllm.params["decoder"], vcfg.decoder, qb.embeds,
+            qb.kv_valid, lo=0, hi=self.cfg.edit_layer)
+        return jax.value_and_grad(lambda n: self._expert_loss(
+            n, new_k, self.state, self.vllm.params, pre, qb.kv_valid,
+            qb.label_ids, qb.label_masks))(new)

@@ -51,6 +51,7 @@ class TestTPvl:
 class TestLEMoE:
     def test_batched_edit_trigger(self, vllm):
         cfg = LEMoEvlConfig(edit_layer=3, llm_hidden_dim1=vllm.cfg.decoder.d_model,
+                            llm_hidden_dim2=vllm.cfg.decoder.d_ffn,
                             lora_rank=2, lora_edit_batch_size=2, max_steps=30,
                             min_loss=0.05, lr=5e-3, max_experts=4)
         editor = LEMoEvl(vllm, cfg)
@@ -61,6 +62,7 @@ class TestLEMoE:
 
     def test_expert_changes_logits_and_flush(self, vllm):
         cfg = LEMoEvlConfig(edit_layer=3, llm_hidden_dim1=vllm.cfg.decoder.d_model,
+                            llm_hidden_dim2=vllm.cfg.decoder.d_ffn,
                             lora_rank=2, lora_edit_batch_size=5, max_steps=30,
                             min_loss=0.05, lr=5e-3, max_experts=4)
         editor = LEMoEvl(vllm, cfg)
@@ -77,7 +79,7 @@ class TestLEMoE:
         assert not np.allclose(np.asarray(out), np.asarray(base), atol=1e-4)
 
     def test_expert_delta_masks_inactive(self, vllm):
-        cfg = LEMoEvlConfig(llm_hidden_dim1=8, lora_rank=2, max_experts=4)
+        cfg = LEMoEvlConfig(llm_hidden_dim1=8, llm_hidden_dim2=12, lora_rank=2, max_experts=4)
         state = _expert_zeros(cfg)
         x = jnp.ones((2, 5, 8))
         mask = jnp.ones((2, 5), jnp.int32)
