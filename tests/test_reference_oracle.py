@@ -1500,3 +1500,260 @@ class TestLEMoEvlOracle:
         np.testing.assert_allclose(ours[0][valid], logits_ref[0],
                                    rtol=2e-3, atol=2e-3)
         L["cleanup"](ref_ed)
+
+
+# ---------------------------------------------------------------------------
+# GRACE (text-LLM) oracle: reference easyeditor/models/grace/GRACE.py on a
+# tiny HF OPT vs our GraceEditor on the converted weights + same tokenizer.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def grace_rig():
+    # tiny LLaMA, not OPT: HF OPT flattens the decoder-layer MLP input
+    # to [B*L, d] and the reference adapter's args[0][:, t, :] indexing
+    # needs 3-D — reference GRACE only runs on GPT2/llama-shaped models.
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from devqa_tpu.editors.llm.grace import GraceEditor, GRACEHyperParams
+    from devqa_tpu.editors.llm.session import TextModel
+
+    hf_tok = _make_tokenizer()
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    torch.manual_seed(13)
+    model = LlamaForCausalLM(cfg).eval().requires_grad_(False)
+
+    ours_cfg = dec.DecoderConfig(
+        arch="llama", vocab_size=64, d_model=16, n_layers=3, n_heads=2,
+        d_ffn=32, max_positions=64, activation="silu",
+        tie_word_embeddings=False, norm_eps=cfg.rms_norm_eps)
+    params = convert_hf.convert_llama(
+        convert_hf.torch_state_dict_to_numpy(model), ours_cfg)
+    text_model = TextModel(params, ours_cfg, HFTokenizerAdapter(hf_tok),
+                           bucket_multiple=8)
+
+    # load the reference GRACE module standalone: the easyeditor package
+    # __init__ chain pulls trainer deps (higher, omegaconf) that are not
+    # installed — GRACE.py itself only needs torch/transformers
+    import importlib.util
+    import types as _types
+
+    gdir = os.path.join(REF, "easyeditor/models/grace")
+    if "refgrace" not in sys.modules:
+        pkg = _types.ModuleType("refgrace")
+        pkg.__path__ = [gdir]
+        sys.modules["refgrace"] = pkg
+        for name in ("utils", "GRACE"):
+            spec = importlib.util.spec_from_file_location(
+                f"refgrace.{name}", os.path.join(gdir, name + ".py"))
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[f"refgrace.{name}"] = mod
+            spec.loader.exec_module(mod)
+    ref_grace_mod = sys.modules["refgrace.GRACE"]
+    ref_tokenize = sys.modules["refgrace.utils"].tokenize
+
+    def make_ref(replacement="replace_all", n_iter=1, val_init="warm",
+                 eps=1.0):
+        class HP:  # GraceHyperParams surface the GRACE class reads
+            inner_params = ["model.layers[1].mlp.down_proj.weight"]
+            dist_fn = "euc"
+            val_train = "none"
+            num_pert = 1
+            eps_expand = "coverage"
+        hp = HP()
+        hp.replacement = replacement
+        hp.n_iter = n_iter
+        hp.val_init = val_init
+        hp.eps = eps
+        hp.edit_lr = 1e-2
+        ed = ref_grace_mod.GRACE(config=hp, model=model, device="cpu")
+        return ed, hp
+
+    def make_ours(replacement="replace_all", n_iter=1, val_init="warm",
+                  eps=1.0):
+        return GraceEditor(text_model, GRACEHyperParams(
+            layer=1, eps=eps, edit_lr=1e-2, n_iter=n_iter,
+            val_init=val_init, replacement=replacement, max_keys=16))
+
+    def ref_edit(ed, hp, request):
+        # the reference appends " <|endoftext|>" to the target
+        # (grace/utils.py:70) — its pieces are deterministic unks under
+        # the word-level tokenizer
+        tokens = ref_tokenize(dict(request), tokenizer=hf_tok, device="cpu")
+        ed.edit(config=hp, tokens=tokens)
+        return tokens
+
+    def our_request(request):
+        # mirror the reference's eos suffix so spans + label rows match
+        return {**request, "target_new": request["target_new"]
+                + " <|endoftext|>"}
+
+    def cleanup():
+        # un-wrap the adapter: restore the original fc2 module
+        mlp = model.model.layers[1].mlp
+        if hasattr(mlp.down_proj, "layer"):
+            mlp.down_proj = mlp.down_proj.layer
+
+    return dict(model=model, hf_tok=hf_tok, text_model=text_model,
+                make_ref=make_ref, make_ours=make_ours, ref_edit=ref_edit,
+                our_request=our_request, cleanup=cleanup)
+
+
+class TestGRACEOracle:
+    """Three Adam-chaos-free layers: value-loss gradients at the warm
+    init, the value-independent codebook trajectory over a sequence of
+    edits (keys / eps / count — these never touch the trained value, so
+    they are exactly comparable across many edits), and injected-codebook
+    inference across the reference's three replacement modes."""
+
+    REQS = [
+        {"prompt": "what animal is shown here", "target_new": "zebra"},
+        {"prompt": "what animal is shown here", "target_new": "zebra"},
+        {"prompt": "who wrote the book", "target_new": "lion"},
+        {"prompt": "which color is the sky near the river", "target_new": "blue"},
+    ]
+
+    def _codebook(self, ref_ed):
+        ad = ref_ed.model.model.layers[1].mlp.down_proj
+        return (ad.keys.detach().numpy(), ad.epsilons.detach().numpy()[:, 0],
+                ad.values.detach().numpy())
+
+    def test_codebook_trajectory(self, grace_rig):
+        """4 edits: add, same-label retrain, different-label split, far
+        add — keys, eps and count must match element-wise (the trained
+        values are excluded: Adam sign-chaos, see TestTPvlOracle)."""
+        G = grace_rig
+        G["cleanup"]()
+        ref_ed, hp = G["make_ref"](eps=1.0, n_iter=2)
+        our_ed = G["make_ours"](eps=1.0, n_iter=2)
+        for rq in self.REQS:
+            G["ref_edit"](ref_ed, hp, rq)
+            our_ed.edit(G["our_request"](rq))
+        keys, eps, _ = self._codebook(ref_ed)
+        n = keys.shape[0]
+        assert int(our_ed.state["count"]) == n
+        np.testing.assert_allclose(np.asarray(our_ed.state["keys"][:n]),
+                                   keys, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(our_ed.state["eps"][:n]),
+                                   eps, rtol=1e-4, atol=1e-7)
+        # same-label second edit retrained in place: count < #edits
+        assert n < len(self.REQS)
+        G["cleanup"]()
+
+    def test_value_loss_gradients(self, grace_rig):
+        """First-iteration gradient of the edit NLL wrt the trained
+        value, replace_all mode, at the shared warm init."""
+        import jax.numpy as jnp
+        from devqa_tpu.core import decoder as jdec
+
+        G = grace_rig
+        G["cleanup"]()
+        ref_ed, hp = G["make_ref"](n_iter=2, val_init="warm")
+        rq = self.REQS[0]
+
+        grads, orig_step = [], torch.optim.Adam.step
+
+        def rec_step(self, *a, **k):
+            grads.append([p.grad.detach().clone().numpy()
+                          for g in self.param_groups for p in g["params"]
+                          if p.grad is not None])
+            return orig_step(self, *a, **k)
+
+        torch.optim.Adam.step = rec_step
+        try:
+            G["ref_edit"](ref_ed, hp, rq)
+        finally:
+            torch.optim.Adam.step = orig_step
+        assert len(grads) == 2 and len(grads[0]) == 1
+        g_ref = grads[0][0][0]  # [d_model] grad of the single value row
+
+        our_ed = G["make_ours"](n_iter=2, val_init="warm")
+        req = G["our_request"](rq)
+        tb = our_ed.model.batch([req["prompt"]], [req["target_new"]])
+        ids = jnp.asarray(tb.input_ids)
+        mask = jnp.asarray(tb.attn_mask)
+        labels = jnp.asarray(tb.label_ids)
+        lmask = jnp.asarray(tb.label_masks)
+        edit_tok = int(np.nonzero(np.asarray(tb.label_masks)[0])[0][0])
+
+        from devqa_tpu.editors.llm.mlp_common import (
+            capture_down_inputs, down_input_from_mlp_input, down_out,
+            down_weight_bias)
+        params, cfg = our_ed.model.params, our_ed.model.cfg
+        embeds = jdec.embed_tokens(params, cfg, ids)
+        _, xs = capture_down_inputs(params, cfg, embeds, mask, (1,))
+        w, b = down_weight_bias(params, cfg, 1)
+        warm = down_out(xs[1][0, edit_tok], w, b)
+        repl = jnp.ones((ids.shape[1],))[None, :, None]
+
+        def loss_fn(v):
+            def fn(x1):
+                q = down_input_from_mlp_input(params, cfg, 1, x1)
+                return repl * (v - down_out(q, w, b))
+            logits = jdec.decoder_apply(params, cfg, embeds, mask,
+                                        mlp_residual=(1, fn))
+            logp = jax.nn.log_softmax(logits, -1)
+            picked = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+            m = lmask.astype(jnp.float32)
+            return -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+        g_ours = np.asarray(jax.grad(loss_fn)(warm))
+        np.testing.assert_allclose(g_ours, g_ref, rtol=1e-3, atol=1e-7)
+        G["cleanup"]()
+
+    def test_injected_codebook_inference(self, grace_rig):
+        """Identical handcrafted codebooks on both sides: probe logits
+        match for every replacement mode, including the stale
+        edit-token-index query semantics."""
+        import jax.numpy as jnp
+
+        G = grace_rig
+        rng = np.random.default_rng(31)
+        d_ffn, d_model = 32, 16
+        K = rng.normal(0, 1.0, (2, d_ffn)).astype(np.float32)
+        V = rng.normal(0, 0.5, (2, d_model)).astype(np.float32)
+        EPS = np.array([3.0, 7.0], np.float32)
+        probes = [("what animal is near the tree", "zebra"),
+                  ("who wrote this book about the sky", "lion")]
+
+        for mode in ["replace_all", "replace_last", "replace_prompt"]:
+            G["cleanup"]()
+            ref_ed, hp = G["make_ref"](replacement=mode)
+            ad = ref_ed.model.model.layers[1].mlp.down_proj
+            ad.keys = torch.from_numpy(K)
+            ad.values = torch.nn.Parameter(torch.from_numpy(V))
+            ad.epsilons = torch.from_numpy(EPS[:, None])
+            ad.key_labels = [torch.zeros(1), torch.zeros(1)]
+            ad.key_id = 4
+            # iter != 0: a reference adapter whose last edit ended on
+            # iter 0 mutates its codebook on EVERY eval forward
+            # (GRACE.py:163 runs outside training mode)
+            ad.iter = 1
+            ad.edit_label = torch.zeros(1)
+            our_ed = G["make_ours"](replacement=mode)
+            st = dict(our_ed.state)
+            st["keys"] = st["keys"].at[:2].set(jnp.asarray(K))
+            st["values"] = st["values"].at[:2].set(jnp.asarray(V))
+            st["eps"] = st["eps"].at[:2].set(jnp.asarray(EPS))
+            st["count"] = jnp.asarray(2, jnp.int32)
+            st["edit_tok"] = jnp.asarray(4, jnp.int32)
+            our_ed.state = st
+
+            for prompt, target in probes:
+                tokens = G["hf_tok"]([f"{prompt} {target}"],
+                                     return_tensors="pt")
+                with torch.no_grad():
+                    ref_logits = ref_ed.model(
+                        input_ids=tokens["input_ids"],
+                        attention_mask=tokens["attention_mask"],
+                    ).logits.numpy()
+                tb = our_ed.model.batch([prompt], [target])
+                ours = np.asarray(our_ed.logits(
+                    jnp.asarray(tb.input_ids), jnp.asarray(tb.attn_mask)))
+                n = tokens["input_ids"].shape[1]
+                np.testing.assert_allclose(
+                    ours[0][:n], ref_logits[0], rtol=2e-3, atol=2e-3,
+                    err_msg=f"{mode}:{prompt}")
+            G["cleanup"]()
