@@ -1757,3 +1757,209 @@ class TestGRACEOracle:
                     ours[0][:n], ref_logits[0], rtol=2e-3, atol=2e-3,
                     err_msg=f"{mode}:{prompt}")
             G["cleanup"]()
+
+
+# ---------------------------------------------------------------------------
+# ROME oracle: reference easyeditor/models/rome on the tiny llama vs our
+# apply_rome on the converted weights — full edited-weight comparison.
+# ---------------------------------------------------------------------------
+
+def _load_ref_easyeditor_pkg():
+    """Load easyeditor's util/ and models/rome as a synthetic package —
+    the top-level easyeditor __init__ chain pulls uninstalled deps
+    (higher, omegaconf, timm, iopath, torchvision)."""
+    import importlib
+    import importlib.machinery
+    import importlib.util
+
+    if "refee.models.rome" in sys.modules:
+        return sys.modules["refee.models.rome"]
+    base = os.path.join(REF, "easyeditor")
+
+    def load_ns(name):
+        spec = importlib.machinery.ModuleSpec(name, None, is_package=True)
+        m = importlib.util.module_from_spec(spec)
+        m.__path__ = []
+        sys.modules[name] = m
+
+    def load_real(name, dirpath):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(dirpath, "__init__.py"),
+            submodule_search_locations=[dirpath])
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[name] = m
+        spec.loader.exec_module(m)
+        return m
+
+    load_ns("refee")
+    load_real("refee.util", os.path.join(base, "util"))
+    load_ns("refee.models")
+    return load_real("refee.models.rome", os.path.join(base, "models/rome"))
+
+
+class TestROMEOracle:
+    """Full-pipeline weight-delta parity: compute_u (template-averaged,
+    normalized k*), compute_v (delta optimization incl. the reference's
+    skip-last-backward loop and KL/weight-decay forms), and the bare-row
+    rank-one solve. v_num_grad_steps=2 → exactly ONE Adam step, so the
+    comparison is free of multi-step optimizer chaos (see
+    TestTPvlOracle's docstring)."""
+
+    def _hp(self, rome_pkg, steps):
+        return rome_pkg.rome_hparams.ROMEHyperParams(
+            layers=[1], fact_token="subject_last", v_num_grad_steps=steps,
+            v_lr=5e-1, v_loss_layer=2, v_weight_decay=0.5,
+            clamp_norm_factor=4.0, kl_factor=0.0625, mom2_adjustment=False,
+            context_template_length_params=[],
+            rewrite_module_tmp="model.layers.{}.mlp.down_proj",
+            layer_module_tmp="model.layers.{}",
+            mlp_module_tmp="model.layers.{}.mlp",
+            attn_module_tmp="model.layers.{}.self_attn",
+            ln_f_module="model.norm", lm_head_module="lm_head",
+            mom2_dataset="none", mom2_n_samples=0, mom2_dtype="float32",
+            alg_name="ROME", device=0, model_name="tiny", stats_dir="/tmp")
+
+    @staticmethod
+    def _cpu_device_patch():
+        """Context manager mapping the reference's hardcoded
+        f"cuda:{device}" strings to cpu (compute_v.py creates tensors
+        and moves BatchEncodings there unconditionally)."""
+        import contextlib
+
+        from transformers import BatchEncoding
+
+        def fix(d):
+            return "cpu" if isinstance(d, str) and d.startswith("cuda") else d
+
+        @contextlib.contextmanager
+        def cm():
+            o_tensor, o_zeros = torch.tensor, torch.zeros
+            o_be_to = BatchEncoding.to
+
+            def tensor(*a, **k):
+                if "device" in k:
+                    k["device"] = fix(k["device"])
+                return o_tensor(*a, **k)
+
+            def zeros(*a, **k):
+                if "device" in k:
+                    k["device"] = fix(k["device"])
+                return o_zeros(*a, **k)
+
+            def be_to(self, device, *a, **k):
+                return o_be_to(self, fix(device), *a, **k)
+
+            torch.tensor, torch.zeros = tensor, zeros
+            BatchEncoding.to = be_to
+            try:
+                yield
+            finally:
+                torch.tensor, torch.zeros = o_tensor, o_zeros
+                BatchEncoding.to = o_be_to
+        return cm()
+
+    @pytest.mark.parametrize("req", [
+        {"prompt": "the picture near the {} is shown", "subject": "river",
+         "target_new": "zebra"},
+        {"prompt": "who wrote about the {}", "subject": "big tree",
+         "target_new": "lion"},
+    ])
+    def test_weight_delta_parity(self, grace_rig, req):
+        from devqa_tpu.editors.llm.rome import ROMEHyperParams, apply_rome
+        from devqa_tpu.editors.llm.mlp_common import down_target
+        from devqa_tpu.utils.surgery import get_target
+
+        rome_pkg = _load_ref_easyeditor_pkg()
+        rm = sys.modules["refee.models.rome.rome_main"]
+        G = grace_rig
+        G["cleanup"]()  # no GRACE adapter left on the shared model
+        model, tok = G["model"], G["hf_tok"]
+        rm.CONTEXT_TEMPLATES_CACHE = None  # reset the module-level cache
+
+        w_name = "model.layers.1.mlp.down_proj.weight"
+        w_before = dict(model.named_parameters())[w_name].detach().clone()
+
+        hp = self._hp(rome_pkg, steps=2)
+        with self._cpu_device_patch():
+            edited, _ = rm.apply_rome_to_model(
+                model, tok, [dict(req, prompt=req["prompt"].format(
+                    req["subject"]))], hp,
+                return_orig_weights=True, keep_original_weight=True)
+        w_after = dict(model.named_parameters())[w_name].detach().clone()
+        with torch.no_grad():
+            dict(model.named_parameters())[w_name].copy_(w_before)
+        ref_dw = (w_after - w_before).numpy()  # [d_model, d_ffn]
+        assert np.abs(ref_dw).max() > 0
+
+        ours_hp = ROMEHyperParams(
+            layer=1, v_num_grad_steps=2, v_lr=5e-1, v_weight_decay=0.5,
+            clamp_norm_factor=4.0, kl_factor=0.0625)
+        our_req = dict(req, prompt=req["prompt"].format(req["subject"]))
+        new_params = apply_rome(G["text_model"], our_req, ours_hp,
+                                context_templates=["{}"])
+        tgt = down_target(G["text_model"].cfg, 1)
+        our_dw = np.asarray(get_target(new_params, tgt)) \
+            - np.asarray(get_target(G["text_model"].params, tgt))
+        np.testing.assert_allclose(our_dw.T, ref_dw, rtol=2e-3, atol=1e-7)
+
+    def test_v_loss_gradients_at_nonzero_delta(self, grace_rig):
+        """Pins the KL direction (KL(cur‖init), not the reverse) and the
+        un-squared ‖δ‖ weight-decay — both have zero gradient at δ=0, so
+        only a nonzero-δ comparison can distinguish them. The reference
+        runs 3 iterations (2 steps); its recorded step-2 gradient is
+        compared against our loss gradient at its recorded post-step-1
+        delta (clamp disabled via a huge clamp_norm_factor)."""
+        import jax.numpy as jnp
+        from devqa_tpu.editors.llm.rome import (ROMEHyperParams,
+                                                rome_v_loss_grads)
+
+        rome_pkg = _load_ref_easyeditor_pkg()
+        rm = sys.modules["refee.models.rome.rome_main"]
+        G = grace_rig
+        G["cleanup"]()
+        rm.CONTEXT_TEMPLATES_CACHE = None
+
+        hp = self._hp(rome_pkg, steps=3)
+        hp.v_lr = 0.05
+        hp.clamp_norm_factor = 1000.0
+        req = {"prompt": "the picture near the {} is shown",
+               "subject": "river", "target_new": "zebra"}
+
+        recs, orig_step = [], torch.optim.Adam.step
+
+        def rec_step(self, *a, **k):
+            g = [p.grad.detach().clone().numpy()
+                 for gr in self.param_groups for p in gr["params"]]
+            out = orig_step(self, *a, **k)
+            v = [p.detach().clone().numpy()
+                 for gr in self.param_groups for p in gr["params"]]
+            recs.append((g, v))
+            return out
+
+        w_name = "model.layers.1.mlp.down_proj.weight"
+        w_before = dict(G["model"].named_parameters())[w_name].detach().clone()
+        torch.optim.Adam.step = rec_step
+        try:
+            with self._cpu_device_patch():
+                rm.apply_rome_to_model(
+                    G["model"], G["hf_tok"],
+                    [dict(req, prompt=req["prompt"].format(req["subject"]))],
+                    hp, return_orig_weights=True, keep_original_weight=True)
+        finally:
+            torch.optim.Adam.step = orig_step
+            with torch.no_grad():
+                dict(G["model"].named_parameters())[w_name].copy_(w_before)
+        assert len(recs) == 2
+        delta1 = recs[0][1][0]     # post-step-1 delta (unclamped)
+        g2_ref = recs[1][0][0]     # gradient at delta1
+
+        ours_hp = ROMEHyperParams(
+            layer=1, v_num_grad_steps=3, v_lr=0.05, v_weight_decay=0.5,
+            clamp_norm_factor=1000.0, kl_factor=0.0625)
+        our_req = dict(req, prompt=req["prompt"].format(req["subject"]))
+        loss, g2 = rome_v_loss_grads(G["text_model"], our_req, ours_hp,
+                                     jnp.asarray(delta1),
+                                     context_templates=["{}"])
+        assert np.isfinite(float(loss))
+        np.testing.assert_allclose(np.asarray(g2), g2_ref, rtol=1e-3,
+                                   atol=1e-7)
