@@ -3,6 +3,8 @@
 decoders, plus the BaseEditor-style editing session."""
 from .session import LLMEditSession, EditRequestText  # noqa: F401
 from .rome import ROMEHyperParams, apply_rome  # noqa: F401
+from .memit import MEMITHyperParams, apply_memit  # noqa: F401
+from .kn import KNHyperParams, apply_kn  # noqa: F401
 from .grace import GRACEHyperParams, GraceEditor  # noqa: F401
 from .lora import LoRAHyperParams, apply_lora  # noqa: F401
 from .ft import FTHyperParams, apply_ft  # noqa: F401

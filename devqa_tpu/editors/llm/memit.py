@@ -4,18 +4,36 @@
 Generalizes ROME to many simultaneous edits spread over a layer range:
 
 1. per request, optimize a target hidden state ``z`` at the LAST critical
-   layer (compute_z.py — same objective as ROME's v*: target NLL +
-   essence-KL + norm clamp);
+   layer (compute_z.py). Faithful details, oracle-pinned
+   (tests/test_reference_oracle.py::TestMEMITOracle):
+   - the delta rides the LAYER output (hidden state) at ``z_layer``, at
+     the subject token of every row INCLUDING the essence-KL row
+     ("{subject} is a", compute_z.py:48-51,91-110);
+   - the NLL is measured at ``loss_layer = max(v_loss_layer, z_layer)``:
+     the hidden there goes straight through the final norm + LM head
+     (compute_z.py:146-152), while the KL term always reads the full
+     final logits (compute_z.py:133-140) — with ``v_loss_layer`` = last
+     layer both coincide;
+   - ``target_init`` is row 0's (bare "{}" template) hidden at the
+     subject token, recorded on the first forward (compute_z.py:96-102),
+     and the returned z is ``target_init + delta``;
+   - KL(current ‖ initial), weight decay ``‖δ‖ / ‖t₀‖²`` (un-squared
+     norm), and the skip-last-backward / loss<5e-2 early-break loop —
+     identical to ROME's compute_v (see rome.py);
 2. for each layer l in the range (in order), gather the down-projection
-   keys ``K_l`` (fc2 inputs at the subject token, compute_ks.py) and the
-   current z-layer states; distribute the remaining residual
-   ``R = (Z − Z_cur) / (#layers − i)`` onto layer l with the
-   covariance-regularized least squares
+   keys ``K_l`` (fc2 inputs at the subject token, template-averaged,
+   compute_ks.py) and the CURRENT bare-prompt z-layer state
+   (memit_main.py:171-181 — single bare row, NOT template-averaged);
+   distribute the remaining residual ``R = (Z − Z_cur) / (#layers − i)``
+   onto layer l with the covariance-regularized least squares
    ``ΔW = (λC + KᵀK)⁻¹ Kᵀ R`` (memit_main.py:150-200, get_cov :248);
 3. apply ΔW and continue — later layers see earlier updates.
 
-Covariance defaults to identity·λ (the offline no-stats branch);
-pass ``cov`` from utils/runningstats.SecondMoment for full parity.
+Covariance defaults to identity (the offline no-stats branch); pass
+``cov`` from utils/runningstats.SecondMoment for full parity. K is
+captured on the teacher-forced batch (target appended): under the causal
+mask the subject-token activations are identical to the reference's
+suffix-free prompts.
 """
 from __future__ import annotations
 
@@ -41,6 +59,7 @@ class MEMITHyperParams(BaseConfig):
     layers: Tuple[int, ...] = (3, 4, 5)
     v_num_grad_steps: int = 20
     v_lr: float = 5e-1
+    v_loss_layer: int = -1            # -1 → last layer (reference configs)
     v_weight_decay: float = 0.5
     clamp_norm_factor: float = 4.0
     kl_factor: float = 0.0625
@@ -73,14 +92,23 @@ def _hidden_at_layer(model: TextModel, params, ids, mask, sidx, layer):
     return _hidden_at_layer_jit(model.cfg, params, ids, mask, sidx, layer)
 
 
+def _loss_layer(cfg, hp: MEMITHyperParams, z_layer: int) -> int:
+    vl = hp.v_loss_layer if hp.v_loss_layer >= 0 else cfg.n_layers - 1
+    return max(vl, z_layer)  # compute_z.py:76
+
+
 def _optimize_z(model: TextModel, params, request, hp: MEMITHyperParams,
-                z_layer: int):
+                z_layer: int, context_templates=None):
     """compute_z.py — ROME's v* objective but the delta rides the LAYER
     output (hidden state), not the MLP output."""
     cfg = model.cfg
     tokenizer = model.tokenizer
     subject = request.get("subject") or request["prompt"].split()[-1]
-    prompts = [t.format(request["prompt"]) for t in CONTEXT_TEMPLATES]
+    # template "{}" always first: row 0 is the bare prompt, whose hidden
+    # is target_init and the insert-loop's cur_z (compute_z.py:96-102)
+    templates = ["{}"] + [t for t in (context_templates or CONTEXT_TEMPLATES)
+                          if t != "{}"]
+    prompts = [t.format(request["prompt"]) for t in templates]
     sidx = jnp.asarray([_subject_last_token_index(tokenizer, p, subject)
                         for p in prompts])
     tb = model.batch(prompts, [request["target_new"]] * len(prompts))
@@ -88,53 +116,110 @@ def _optimize_z(model: TextModel, params, request, hp: MEMITHyperParams,
     mask = jnp.asarray(tb.attn_mask)
     labels = jnp.asarray(tb.label_ids)
     lmask = jnp.asarray(tb.label_masks)
-    B, L = ids.shape
 
-    cur_z = _hidden_at_layer(model, params, ids, mask, sidx, z_layer).mean(0)
-    z = _optimize_z_jit(cfg, params, ids, mask, labels, lmask, sidx, cur_z,
-                        hp, z_layer)
+    # essence-KL row: "{subject} is a" (compute_z.py:48-51)
+    ess_prompt = "%s is a" % subject
+    ess_tb = model.batch([ess_prompt], [""])
+    ess_ids = jnp.asarray(ess_tb.input_ids)
+    ess_mask = jnp.asarray(ess_tb.attn_mask)
+    ess_sidx = jnp.asarray(
+        [_subject_last_token_index(tokenizer, ess_prompt, subject)])
+
+    z = _optimize_z_jit(cfg, params, ids, mask, labels, lmask, sidx,
+                        ess_ids, ess_mask, ess_sidx, hp, z_layer)
     return z, (ids, mask, sidx)
 
 
-@partial(jax.jit, static_argnums=(0, 8, 9))
-def _optimize_z_jit(cfg, params, ids, mask, labels, lmask, sidx, cur_z,
-                    hp: MEMITHyperParams, z_layer: int):
+def _fwd_hiddens(cfg, params, embeds, mask, onehot, delta, z_layer,
+                 loss_layer):
+    """Hidden after ``loss_layer`` and after the last layer, with
+    ``onehot·delta`` added to the layer-``z_layer`` output."""
+    h = dec.decoder_forward(params, cfg, embeds, mask, lo=0,
+                            hi=loss_layer + 1,
+                            layer_residual=(z_layer,
+                                            lambda x: x + onehot * delta))
+    h_final = dec.decoder_forward(params, cfg, h, mask, lo=loss_layer + 1)
+    return h, h_final
+
+
+@partial(jax.jit, static_argnums=(0, 10, 11))
+def _optimize_z_jit(cfg, params, ids, mask, labels, lmask, sidx,
+                    ess_ids, ess_mask, ess_sidx, hp: MEMITHyperParams,
+                    z_layer: int):
     L = ids.shape[1]
+    loss_layer = _loss_layer(cfg, hp, z_layer)
     embeds = dec.embed_tokens(params, cfg, ids)
-    onehot = jax.nn.one_hot(sidx, L)[..., None]
-    max_norm = hp.clamp_norm_factor * jnp.linalg.norm(cur_z)
+    ess_embeds = dec.embed_tokens(params, cfg, ess_ids)
+    onehot = jax.nn.one_hot(sidx, L)[..., None]          # [B, L, 1]
+    ess_onehot = jax.nn.one_hot(ess_sidx, ess_ids.shape[1])[..., None]
+
+    # target_init: row 0's bare-prompt hidden at z_layer, recorded on the
+    # first forward with delta = 0 (compute_z.py:96-102)
+    h0 = dec.decoder_forward(params, cfg, embeds, mask, lo=0,
+                             hi=z_layer + 1)
+    target_init = h0[0, sidx[0]]
+    max_norm = hp.clamp_norm_factor * jnp.linalg.norm(target_init)
+
+    # kl_distr_init: full final logits of the essence row with delta = 0
+    # through the delta'd graph (compute_z.py:133-142) — equal to a plain
+    # forward's distribution
+    _, ess_h0 = _fwd_hiddens(cfg, params, ess_embeds, ess_mask, ess_onehot,
+                             jnp.zeros((cfg.d_model,)), z_layer, loss_layer)
+    pre_ess_p = jax.nn.log_softmax(
+        dec.decoder_logits(params, cfg, ess_h0)[0, ess_sidx[0]])
 
     def loss_fn(delta):
-        logits = dec.decoder_apply(
-            params, cfg, embeds, mask,
-            layer_residual=(z_layer, lambda h: h + onehot * delta))
+        h_loss, _ = _fwd_hiddens(cfg, params, embeds, mask, onehot, delta,
+                                 z_layer, loss_layer)
+        logits = dec.decoder_logits(params, cfg, h_loss)
         logp = jax.nn.log_softmax(logits, -1)
         picked = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
         m = lmask.astype(jnp.float32)
         nll = -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
-        wd = hp.v_weight_decay * jnp.sum(delta * delta) \
-            / jnp.maximum(jnp.sum(cur_z * cur_z), 1e-12)
-        return nll + wd
+        _, ess_hf = _fwd_hiddens(cfg, params, ess_embeds, ess_mask,
+                                 ess_onehot, delta, z_layer, loss_layer)
+        ess_p = jax.nn.log_softmax(
+            dec.decoder_logits(params, cfg, ess_hf)[0, ess_sidx[0]])
+        # KL(current ‖ initial) (compute_z.py:162-164)
+        klv = (jnp.exp(ess_p) * (ess_p - pre_ess_p)).sum()
+        # ‖δ‖ / ‖t₀‖² — norm NOT squared (compute_z.py:165-167); safe
+        # sqrt subgradient at 0 (torch defines it as 0; δ starts at 0)
+        sq = jnp.sum(delta * delta)
+        dnorm = jnp.where(sq == 0.0, 0.0,
+                          jnp.sqrt(jnp.where(sq == 0.0, 1.0, sq)))
+        wd = hp.v_weight_decay * dnorm \
+            / jnp.maximum(jnp.sum(target_init * target_init), 1e-12)
+        return nll + hp.kl_factor * klv + wd
 
     opt = optax.adam(hp.v_lr)
 
-    def body(_, carry):
-        d, st = carry
-        g = jax.grad(loss_fn)(d)
-        up, st = opt.update(g, st, d)
-        d = optax.apply_updates(d, up)
-        n = jnp.linalg.norm(d)
-        return jnp.where(n > max_norm, d * max_norm / n, d), st
+    # the reference breaks BEFORE the backward on the last iteration and
+    # on loss < 5e-2 (compute_z.py:174-182): v_num_grad_steps iterations
+    # = v_num_grad_steps − 1 optimizer steps; an early break keeps the
+    # delta that achieved the loss un-stepped.
+    def cond(carry):
+        _, _, it, loss = carry
+        return jnp.logical_and(it < hp.v_num_grad_steps - 1, loss >= 5e-2)
+
+    def body(carry):
+        delta, st, it, _ = carry
+        loss, g = jax.value_and_grad(loss_fn)(delta)
+        up, st = opt.update(g, st, delta)
+        stepped = optax.apply_updates(delta, up)
+        n = jnp.linalg.norm(stepped)
+        stepped = jnp.where(n > max_norm, stepped * max_norm / n, stepped)
+        return (jnp.where(loss < 5e-2, delta, stepped), st, it + 1, loss)
 
     d0 = jnp.zeros((cfg.d_model,))
-    d, _ = jax.lax.fori_loop(0, hp.v_num_grad_steps, body,
-                             (d0, opt.init(d0)))
-    return cur_z + d
+    d, _, _, _ = jax.lax.while_loop(
+        cond, body, (d0, opt.init(d0), jnp.asarray(0), jnp.asarray(jnp.inf)))
+    return target_init + d
 
 
 def apply_memit(model: TextModel, requests: List[Dict],
                 hparams: MEMITHyperParams,
-                cov: Optional[Dict[int, jnp.ndarray]] = None):
+                cov: Optional[Dict[int, jnp.ndarray]] = None,
+                context_templates=None):
     """→ edited decoder params for a batch of requests."""
     cfg = model.cfg
     layers = tuple(hparams.layers)
@@ -143,7 +228,8 @@ def apply_memit(model: TextModel, requests: List[Dict],
 
     zs, contexts = [], []
     for r in requests:
-        z, ctx = _optimize_z(model, params, r, hparams, z_layer)
+        z, ctx = _optimize_z(model, params, r, hparams, z_layer,
+                             context_templates)
         zs.append(z)
         contexts.append(ctx)
     Z = jnp.stack(zs)  # [n, d]
@@ -151,9 +237,12 @@ def apply_memit(model: TextModel, requests: List[Dict],
     for i, l in enumerate(layers):
         Ks, cur = [], []
         for (ids, mask, sidx) in contexts:
+            # K: template-averaged (compute_ks.py); cur_z: the BARE
+            # prompt's current z-layer hidden — row 0, not the average
+            # (memit_main.py:171-181 passes only the raw prompt)
             Ks.append(_capture(model, params, ids, mask, sidx, l).mean(0))
             cur.append(_hidden_at_layer(model, params, ids, mask, sidx,
-                                        z_layer).mean(0))
+                                        z_layer)[0])
         K = jnp.stack(Ks)                     # [n, d_ffn]
         cur_z = jnp.stack(cur)                # [n, d]
         resid = (Z - cur_z) / (len(layers) - i)

@@ -1963,3 +1963,205 @@ class TestROMEOracle:
         assert np.isfinite(float(loss))
         np.testing.assert_allclose(np.asarray(g2), g2_ref, rtol=1e-3,
                                    atol=1e-7)
+
+
+class TestMEMITOracle:
+    """Full-pipeline weight-delta parity over a 2-layer range and 2
+    simultaneous requests: compute_z (layer-output delta, loss-layer tie,
+    essence-KL row, skip-last-backward loop), compute_ks (template-mean
+    keys), the bare-prompt cur_z capture, and the covariance-regularized
+    spread solve — with the SAME synthetic mom2 matrix seeded into the
+    reference's COV_CACHE and passed to ours. v_num_grad_steps=2 → one
+    Adam step (see TestROMEOracle's docstring)."""
+
+    REQS = [
+        {"prompt": "the picture near the {} is shown", "subject": "river",
+         "target_new": "zebra"},
+        {"prompt": "who wrote about the {}", "subject": "tree",
+         "target_new": "lion"},
+    ]
+
+    def _hp(self, memit_pkg, layers, steps):
+        return memit_pkg.MEMITHyperParams(
+            layers=list(layers), layer_selection="all",
+            fact_token="subject_last", v_num_grad_steps=steps, v_lr=5e-1,
+            v_loss_layer=2, v_weight_decay=0.5, clamp_norm_factor=4.0,
+            kl_factor=0.0625, mom2_adjustment=True, mom2_update_weight=0.7,
+            rewrite_module_tmp="model.layers.{}.mlp.down_proj",
+            layer_module_tmp="model.layers.{}",
+            mlp_module_tmp="model.layers.{}.mlp",
+            attn_module_tmp="model.layers.{}.self_attn",
+            ln_f_module="model.norm", lm_head_module="lm_head",
+            mom2_dataset="none", mom2_n_samples=0, mom2_dtype="float32",
+            alg_name="MEMIT", device=0, model_name="tiny", stats_dir="/tmp")
+
+    @staticmethod
+    def _cpu_patch_with_tensor_to():
+        """ROME's patch + Tensor.to: memit_main moves the cached cov and
+        deltas with tensor.to(f"cuda:{device}") (memit_main.py:49,283)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            o_to = torch.Tensor.to
+
+            def fix(d):
+                return "cpu" if isinstance(d, str) and d.startswith("cuda") \
+                    else d
+
+            def t_to(self, *a, **k):
+                a = tuple(fix(x) for x in a)
+                if "device" in k:
+                    k["device"] = fix(k["device"])
+                return o_to(self, *a, **k)
+
+            torch.Tensor.to = t_to
+            try:
+                with TestROMEOracle._cpu_device_patch():
+                    yield
+            finally:
+                torch.Tensor.to = o_to
+        return cm()
+
+    @staticmethod
+    def _tuple_layer_trace_patch():
+        """compute_z.py was written for transformers<4.44, where decoder
+        LAYER modules returned ``(hidden,)`` tuples: its edit_output_fn
+        indexes ``cur_out[0][i, idx]`` and its loss reads
+        ``tr[loss_layer].output[0]``. Installed transformers returns bare
+        tensors from LlamaDecoderLayer — this patch swaps in a Trace
+        subclass that presents decoder-layer outputs to edit/retention as
+        1-tuples (the old semantics) while returning the bare tensor to
+        the model. Non-layer modules (down_proj, mlp) are untouched, so
+        ROME's compute_v and repr_tools behave identically."""
+        import contextlib
+        import re
+
+        nh = sys.modules["refee.util.nethook"]
+
+        class TupleLayerTrace(nh.Trace):
+            def __init__(self, module, layer=None, retain_output=True,
+                         retain_input=False, clone=False, detach=False,
+                         retain_grad=False, edit_output=None, stop=False):
+                retainer = self
+                self.layer = layer
+                mod = nh.get_module(module, layer) if layer is not None \
+                    else module
+                is_layer = bool(layer) and bool(
+                    re.fullmatch(r"model\.layers\.\d+", layer))
+
+                def hook(m, inputs, output):
+                    wrap = is_layer and torch.is_tensor(output)
+                    out = (output,) if wrap else output
+                    if retain_input:
+                        retainer.input = nh.recursive_copy(
+                            inputs[0] if len(inputs) == 1 else inputs,
+                            clone=clone, detach=detach, retain_grad=False)
+                    if edit_output:
+                        out = nh.invoke_with_optional_args(
+                            edit_output, output=out, layer=self.layer)
+                    if retain_output:
+                        retainer.output = nh.recursive_copy(
+                            out, clone=clone, detach=detach,
+                            retain_grad=retain_grad)
+                        if retain_grad:
+                            out = nh.recursive_copy(retainer.output,
+                                                    clone=True, detach=False)
+                    if stop:
+                        raise nh.StopForward()
+                    return out[0] if wrap else out
+
+                self.registered_hook = mod.register_forward_hook(hook)
+                self.stop = stop
+
+        @contextlib.contextmanager
+        def cm():
+            orig = nh.Trace
+            nh.Trace = TupleLayerTrace
+            try:
+                yield
+            finally:
+                nh.Trace = orig
+        return cm()
+
+    def test_weight_delta_parity(self, grace_rig):
+        from devqa_tpu.editors.llm.memit import (MEMITHyperParams,
+                                                 apply_memit)
+        from devqa_tpu.editors.llm.mlp_common import down_target
+        from devqa_tpu.utils.surgery import get_target
+
+        _load_ref_easyeditor_pkg()
+        base = os.path.join(REF, "easyeditor")
+        if "refee.models.memit" not in sys.modules:
+            import importlib.util
+            mdir = os.path.join(base, "models/memit")
+            spec = importlib.util.spec_from_file_location(
+                "refee.models.memit", os.path.join(mdir, "__init__.py"),
+                submodule_search_locations=[mdir])
+            m = importlib.util.module_from_spec(spec)
+            sys.modules["refee.models.memit"] = m
+            spec.loader.exec_module(m)
+        memit_pkg = sys.modules["refee.models.memit"]
+        mm = sys.modules["refee.models.memit.memit_main"]
+
+        G = grace_rig
+        G["cleanup"]()
+        model, tok = G["model"], G["hf_tok"]
+        # z_layer (= layers[-1]) must sit BELOW the loss layer: at the
+        # last layer the subject-token hidden has no attention path to
+        # the label positions, the z-gradient is mathematically zero and
+        # Adam amplifies pure float noise (non-reproducible across
+        # frameworks). Reference configs always place it mid-stack.
+        layers = (0, 1)
+        d_ffn = G["text_model"].cfg.d_ffn
+
+        # identical synthetic mom2 on both sides (bypasses layer_stats —
+        # get_cov reads COV_CACHE keyed by (name, layer), memit_main:248)
+        rng = np.random.RandomState(7)
+        covs = {}
+        for l in layers:
+            R = rng.randn(d_ffn, d_ffn).astype(np.float32)
+            covs[l] = R @ R.T / d_ffn + np.eye(d_ffn, dtype=np.float32)
+        name = model.config._name_or_path.replace("/", "_")
+        mm.COV_CACHE.clear()
+        for l in layers:
+            mm.COV_CACHE[(name, f"model.layers.{l}.mlp.down_proj")] = \
+                torch.from_numpy(covs[l])
+        mm.CONTEXT_TEMPLATES_CACHE = [["{}"]]
+
+        w_names = [f"model.layers.{l}.mlp.down_proj.weight" for l in layers]
+        w_before = {w: dict(model.named_parameters())[w].detach().clone()
+                    for w in w_names}
+        reqs = [dict(r, prompt=r["prompt"].format(r["subject"]),
+                     case_id=i) for i, r in enumerate(self.REQS)]
+
+        hp = self._hp(memit_pkg, layers, steps=2)
+        try:
+            with self._cpu_patch_with_tensor_to(), \
+                    self._tuple_layer_trace_patch():
+                mm.apply_memit_to_model(
+                    model, tok, [dict(r) for r in reqs], hp,
+                    return_orig_weights=True, keep_original_weight=True)
+            ref_dw = {w: (dict(model.named_parameters())[w].detach()
+                          - w_before[w]).numpy() for w in w_names}
+        finally:
+            with torch.no_grad():
+                for w in w_names:
+                    dict(model.named_parameters())[w].copy_(w_before[w])
+        for w in w_names:
+            assert np.abs(ref_dw[w]).max() > 0
+
+        ours_hp = MEMITHyperParams(
+            layers=layers, v_num_grad_steps=2, v_lr=5e-1, v_loss_layer=2,
+            v_weight_decay=0.5, clamp_norm_factor=4.0, kl_factor=0.0625,
+            mom2_update_weight=0.7)
+        new_params = apply_memit(
+            G["text_model"], reqs, ours_hp,
+            cov={l: jnp.asarray(covs[l]) for l in layers},
+            context_templates=["{}"])
+        for l, w in zip(layers, w_names):
+            tgt = down_target(G["text_model"].cfg, l)
+            our_dw = np.asarray(get_target(new_params, tgt)) \
+                - np.asarray(get_target(G["text_model"].params, tgt))
+            np.testing.assert_allclose(our_dw.T, ref_dw[w], rtol=5e-3,
+                                       atol=2e-6, err_msg=f"layer {l}")
