@@ -1,124 +1,194 @@
 """KN — knowledge neurons (``easyeditor/models/kn/``; vendored
-knowledge-neurons package, knowledge_neurons.py:1-947).
+knowledge-neurons package, knowledge_neurons/knowledge_neurons.py).
 
-1. **Attribution** (integrated gradients over the fc1 activations): for a
-   prompt and its answer token, scores[l, j] ≈ act[l, j] · Σ_k ∂p(answer |
-   α_k·act) / ∂act[l, j] / m — the Riemann IG approximation
-   (knowledge_neurons.get_coarse_neurons).
-2. **Refinement**: neurons above ``threshold ·max score`` per prompt,
-   intersected/unioned across paraphrase prompts.
-3. **Edit** (patch.py): for each selected neuron, move its fc2 value row
-   toward the new target's embedding:
-   ``W_fc2[l][j] += λ(E[target_new] − E[target_old])``; suppression zeroes
-   the row.
+Faithful semantics (oracle-pinned, tests/test_reference_oracle.py):
+
+1. **Attribution** (integrated gradients, get_scores_for_layer): the
+   patched "activation" is the FIRST ff projection's raw output at the
+   LAST prompt token only — llama's pre-silu ``gate_proj`` output /
+   OPT-geometry's pre-activation fc1 (``input_ff_attr``,
+   knowledge_neurons.py:54-62; Patch.forward replaces
+   ``x[:, mask_idx, :]``, patch.py:125-131). One layer is patched per
+   score pass, α runs over ``linspace(0, 1, steps)`` (scaled_input,
+   :198-215), the objective is the softmax PROBABILITY of the target
+   token at the last position, and the score is
+   ``baseline · Σ_k grad_k / steps``. For multi-token targets the loop
+   re-runs per target token, extending the prompt with the model's
+   ARGMAX continuation (not the target; :502-640), and averages.
+2. **Coarse selection** (get_coarse_neurons :303-361): every neuron with
+   score > adaptive_threshold · max — unsorted, uncapped (``max_neurons``
+   here is an optional extension, default off).
+3. **Refinement** (get_refined_neurons :363-464): count each coarse
+   neuron across prompts; with ``refine`` keep count > p·n_prompts,
+   otherwise keep ALL distinct coarse neurons (first-seen order).
+4. **Edit** (modify_weights :769-913): each selected value row gets
+   ``+Σ_t E[target_t] − Σ_t E[argmax_t]`` (the greedy completion's
+   embeddings, not ground_truth's) — both scaled ×2 when the target is a
+   SINGLE token (the reference's literal ``* 2``); erase zeroes the row.
 """
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...core import decoder as dec
+from ...core.decoder import ACTIVATIONS
 from ...utils.config import BaseConfig
+from ...utils.pytree import tree_slice
 from ...utils.surgery import get_target, set_target
-from .mlp_common import capture_down_inputs, down_target
+from .mlp_common import down_target
 from .session import TextModel
 
 
 @dataclasses.dataclass(frozen=True)
 class KNHyperParams(BaseConfig):
     layers: Tuple[int, ...] = ()   # empty = all layers
-    steps: int = 20                # IG Riemann steps
+    steps: int = 20                # IG grid size (linspace 0..1)
     adaptive_threshold: float = 0.3
-    max_neurons: int = 32
-    edit_lambda: float = 1.0
+    p: float = 0.5                 # refine sharing threshold
+    refine: bool = False
+    max_neurons: Optional[int] = None  # extension: cap (reference: none)
+    edit_lambda: float = 1.0           # extension: scale (reference: 1)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _baseline_logits_jit(cfg, params, ids, mask):
+    embeds = dec.embed_tokens(params, cfg, ids)
+    return dec.decoder_apply(params, cfg, embeds, mask)
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7))
+def _layer_ig_jit(cfg, params, ids, mask, pred_pos, tgt_tok, layer: int,
+                  steps: int):
+    """IG score [d_ffn] for ONE layer at the last prompt token — the
+    reference patches exactly one layer per pass (module-level jit: a
+    fresh per-call closure would re-trace on every edit)."""
+    embeds = dec.embed_tokens(params, cfg, ids)
+    L = ids.shape[1]
+    act = ACTIVATIONS[cfg.activation]
+    p_l = tree_slice(params["layers"], layer)
+
+    # baseline first-projection output at the prediction position
+    h = dec.decoder_forward(params, cfg, embeds, mask, lo=0, hi=layer)
+    x = dec.mlp_input_at_layer(p_l, cfg, h, mask)[0, pred_pos]  # [d_model]
+    if cfg.arch == "llama":
+        g = x @ p_l["gate"]["w"]                                # pre-silu
+        u = x @ p_l["up"]["w"]
+        w2 = p_l["down"]["w"]
+
+        def mlp_delta(ghat):
+            return ((act(ghat) - act(g)) * u) @ w2
+    else:  # OPT geometry: fc1 pre-activation
+        g = x @ p_l["fc1"]["w"] + p_l["fc1"]["b"]
+        w2 = p_l["fc2"]["w"]
+
+        def mlp_delta(ghat):
+            return (act(ghat) - act(g)) @ w2
+
+    onehot = jax.nn.one_hot(jnp.asarray([pred_pos]), L)[..., None]
+
+    def f(ghat):
+        d = mlp_delta(ghat)
+        logits = dec.decoder_apply(
+            params, cfg, embeds, mask,
+            mlp_residual=(layer, lambda _x: onehot * d))
+        return jax.nn.softmax(logits[0, pred_pos])[tgt_tok]
+
+    def body(k, acc):
+        alpha = k / (steps - 1)          # torch.linspace(0, 1, steps)
+        return acc + jax.grad(f)(alpha * g)
+
+    total = jax.lax.fori_loop(0, steps, body, jnp.zeros_like(g))
+    return g * total / steps
 
 
 def attribution_scores(model: TextModel, prompt: str, target: str,
                        hparams: KNHyperParams) -> np.ndarray:
-    """→ scores [n_layers, d_ffn] for the first target token."""
+    """→ scores [n_layers, d_ffn]: per-target-token IG at the last prompt
+    position, the prompt extended by the greedy continuation between
+    tokens, averaged over tokens (get_scores_for_layer :466-628)."""
     cfg = model.cfg
     layers = tuple(hparams.layers) or tuple(range(cfg.n_layers))
-    tb = model.batch([prompt], [target])
-    ids = jnp.asarray(tb.input_ids)
-    mask = jnp.asarray(tb.attn_mask)
-    sup = np.nonzero(np.asarray(tb.label_masks)[0])[0]
-    pred_pos = jnp.asarray(int(sup[0]), jnp.int32)  # predicts target tok 1
-    tgt_tok = jnp.asarray(np.asarray(tb.label_ids)[0, int(sup[0])])
-
+    tgt_ids = list(model.tokenizer.encode(target))
     out = np.zeros((cfg.n_layers, cfg.d_ffn), np.float32)
-    s = np.asarray(_ig_jit(cfg, model.params, ids, mask, pred_pos, tgt_tok,
-                           layers, hparams))
-    for i, l in enumerate(layers):
-        out[l] = s[i]
-    return out
+
+    cur_prompt = prompt
+    for i, t in enumerate(tgt_ids):
+        tb = model.batch([cur_prompt], [""])
+        ids = jnp.asarray(tb.input_ids)
+        mask = jnp.asarray(tb.attn_mask)
+        pred_pos = jnp.asarray(int(np.asarray(tb.attn_mask)[0].sum()) - 1,
+                               jnp.int32)
+        for l in layers:
+            out[l] += np.asarray(_layer_ig_jit(
+                cfg, model.params, ids, mask, pred_pos, jnp.asarray(t), l,
+                hparams.steps))
+        if len(tgt_ids) > 1:
+            nxt = int(np.asarray(
+                _baseline_logits_jit(cfg, model.params, ids, mask)
+            )[0, int(pred_pos)].argmax())
+            cur_prompt += model.tokenizer.decode([nxt])
+    return out / len(tgt_ids)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7))
-def _ig_jit(cfg, params, ids, mask, pred_pos, tgt_tok, layers,
-            hp: KNHyperParams):
-    """Module-level jit (a fresh per-call closure re-traces every edit)."""
-    embeds = dec.embed_tokens(params, cfg, ids)
-    # baseline activations (down-projection inputs) at the prediction
-    # position
-    _, acts = capture_down_inputs(params, cfg, embeds, mask, layers)
-
-    # Scaling a neuron's activation by α is realized through the
-    # dummy-z output delta: down_out' = down_out + (α·acts_in −
-    # acts)@W_down, so at acts_in == acts the probed layer contributes
-    # α-scaled output and gradients flow through acts_in.
-    def grad_wrt_acts(alpha):
-        def f(acts_in):
-            def delta_for(l):
-                w2 = get_target(params, down_target(cfg, l))
-                return alpha * (acts_in[l] @ w2) - (acts[l] @ w2)
-
-            zd = {l: delta_for(l) for l in layers}
-            logits, _ = capture_down_inputs(
-                params, cfg, embeds, mask, layers, z_deltas=zd)
-            return jax.nn.softmax(logits[0, pred_pos])[tgt_tok]
-
-        return jax.grad(f)(acts)
-
-    def body(k, acc):
-        alpha = (k + 1) / hp.steps
-        g = grad_wrt_acts(alpha)
-        return jax.tree.map(lambda a, gg: a + gg, acc, g)
-
-    acc0 = jax.tree.map(jnp.zeros_like, acts)
-    total = jax.lax.fori_loop(0, hp.steps, body, acc0)
-    return jnp.stack([
-        (acts[l][0, pred_pos] * total[l][0, pred_pos]) / hp.steps
-        for l in layers])
+def greedy_tokens(model: TextModel, prompt: str, n: int) -> List[int]:
+    """The model's n-step greedy continuation (_generate :132-186) —
+    the embeddings subtracted by the edit come from THESE tokens."""
+    cfg = model.cfg
+    toks, cur = [], prompt
+    for _ in range(n):
+        tb = model.batch([cur], [""])
+        ids = jnp.asarray(tb.input_ids)
+        mask = jnp.asarray(tb.attn_mask)
+        pos = int(np.asarray(tb.attn_mask)[0].sum()) - 1
+        nxt = int(np.asarray(_baseline_logits_jit(
+            cfg, model.params, ids, mask))[0, pos].argmax())
+        toks.append(nxt)
+        cur += model.tokenizer.decode([nxt])
+    return toks
 
 
 def coarse_neurons(scores: np.ndarray, hparams: KNHyperParams
                    ) -> List[Tuple[int, int]]:
+    """All neurons above adaptive_threshold · max, in torch.nonzero's
+    row-major order (get_coarse_neurons :349-356); ``max_neurons`` is an
+    optional top-score cap on top (off by default)."""
     thr = hparams.adaptive_threshold * scores.max()
     ls, js = np.nonzero(scores > thr)
-    order = np.argsort(-scores[ls, js])
-    return [(int(ls[i]), int(js[i])) for i in order[:hparams.max_neurons]]
+    pairs = [(int(l), int(j)) for l, j in zip(ls, js)]
+    if hparams.max_neurons is not None and len(pairs) > hparams.max_neurons:
+        pairs.sort(key=lambda lj: -scores[lj])
+        pairs = sorted(pairs[:hparams.max_neurons])
+    return pairs
 
 
 def refine_neurons(model: TextModel, prompts: Sequence[str], target: str,
                    hparams: KNHyperParams) -> List[Tuple[int, int]]:
-    """Neurons shared across paraphrase prompts (the reference's refined
-    set; falls back to the union when the intersection is empty)."""
-    sets = []
+    """Counter over per-prompt coarse sets: with ``refine`` keep neurons
+    shared by > p·n_prompts prompts, else every distinct coarse neuron in
+    first-seen order (get_refined_neurons :446-455)."""
+    counts: dict = {}
     for p in prompts:
-        sets.append(set(coarse_neurons(
-            attribution_scores(model, p, target, hparams), hparams)))
-    inter = set.intersection(*sets) if sets else set()
-    return sorted(inter or set.union(*sets))
+        for n in coarse_neurons(
+                attribution_scores(model, p, target, hparams), hparams):
+            counts[n] = counts.get(n, 0) + 1
+    if hparams.refine:
+        t = len(prompts) * hparams.p
+        return [n for n, c in counts.items() if c > t]
+    return list(counts)
 
 
 def apply_kn(model: TextModel, request, hparams: KNHyperParams):
-    """→ edited params: selected neurons' fc2 value rows move toward the
-    new target's embedding."""
+    """→ edited params (kn_main.py:12-57 + modify_weights): neurons
+    refined on ``ground_truth`` attributions; each value row moves by the
+    target-token embeddings minus the greedy completion's embeddings
+    (×2 when the target is a single token — the reference's literal
+    factor, modify_weights :852-874)."""
     prompts = [request["prompt"]]
     if request.get("rephrase_prompt"):
         prompts.append(request["rephrase_prompt"])
@@ -126,24 +196,29 @@ def apply_kn(model: TextModel, request, hparams: KNHyperParams):
                              or request["target_new"], hparams)
     tok = model.tokenizer
     emb = model.params["embed_tokens"]
+    tgt_ids = list(tok.encode(request["target_new"]))
+    arg_ids = greedy_tokens(model, request["prompt"], len(tgt_ids))
     # Gather the needed rows ON DEVICE: np.asarray(emb) would pull the
     # whole vocab x d_model table host-side through the tunnel per edit.
-    new_ids = jnp.asarray(tok.encode(" " + request["target_new"]))
-    new_vec = jnp.take(emb, new_ids, axis=0).mean(0)
-    old = request.get("ground_truth")
-    old_vec = (jnp.take(emb, jnp.asarray(tok.encode(" " + old)),
-                        axis=0).mean(0) if old else 0.0)
+    # The x2 applies ONLY to the argmax side of a single-token edit:
+    # the reference indexes argmax with a scalar (1-D embedding -> the
+    # "* 2" branch) but the target with a LIST (2-D -> the sum branch),
+    # modify_weights :852-874 — an asymmetric quirk, oracle-pinned.
+    arg_scale = 2.0 if len(arg_ids) == 1 else 1.0
+    upd = (jnp.take(emb, jnp.asarray(tgt_ids), axis=0).sum(0)
+           - arg_scale * jnp.take(emb, jnp.asarray(arg_ids), axis=0).sum(0))
     params = model.params
     for (l, j) in neurons:
         t = down_target(model.cfg, l)
         w = get_target(params, t)
-        w = w.at[j].add(hparams.edit_lambda * (new_vec - old_vec))
+        w = w.at[j].add(hparams.edit_lambda * upd)
         params = set_target(params, t, w)
     return params
 
 
 def suppress_kn(model: TextModel, request, hparams: KNHyperParams):
-    """Zero the selected neurons' value rows (knowledge suppression)."""
+    """Zero the selected neurons' value rows (erase_knowledge,
+    erase_value="zero")."""
     neurons = refine_neurons(model, [request["prompt"]],
                              request.get("ground_truth")
                              or request["target_new"], hparams)

@@ -2165,3 +2165,101 @@ class TestMEMITOracle:
                 - np.asarray(get_target(G["text_model"].params, tgt))
             np.testing.assert_allclose(our_dw.T, ref_dw[w], rtol=5e-3,
                                        atol=2e-6, err_msg=f"layer {l}")
+
+
+class TestKNOracle:
+    """Integrated-gradients attribution, coarse/refined selection and the
+    embedding-delta edit vs the vendored knowledge-neurons package run on
+    the same weights/tokenizer. Pins the llama activation choice (raw
+    pre-silu gate_proj output), the single-position patch, the
+    linspace(0,1,steps) grid, the argmax-continuation multi-token loop,
+    and the x2 single-token edit factor."""
+
+    @staticmethod
+    def _ref_kn(G):
+        _load_ref_easyeditor_pkg()
+        base = os.path.join(REF, "easyeditor")
+        if "refee.models.kn" not in sys.modules:
+            import importlib.util
+            kdir = os.path.join(base, "models/kn")
+            spec = importlib.util.spec_from_file_location(
+                "refee.models.kn", os.path.join(kdir, "__init__.py"),
+                submodule_search_locations=[kdir])
+            m = importlib.util.module_from_spec(spec)
+            sys.modules["refee.models.kn"] = m
+            spec.loader.exec_module(m)
+        kn_mod = sys.modules[
+            "refee.models.kn.knowledge_neurons.knowledge_neurons"]
+        return kn_mod.KnowledgeNeurons(
+            G["model"], G["hf_tok"], model_type="llama", device="cpu")
+
+    def test_attribution_and_selection_parity(self, grace_rig):
+        from devqa_tpu.editors.llm.kn import (KNHyperParams,
+                                              attribution_scores,
+                                              coarse_neurons, refine_neurons)
+        G = grace_rig
+        G["cleanup"]()
+        kn = self._ref_kn(G)
+        prompt, gt = "the picture near the river is shown", "zebra lion"
+
+        ref_scores = np.stack([
+            kn.get_scores_for_layer(prompt, gt, layer_idx=l, batch_size=4,
+                                    steps=8).detach().numpy()
+            for l in range(3)])
+        hp = KNHyperParams(steps=8, adaptive_threshold=0.3)
+        ours = attribution_scores(G["text_model"], prompt, gt, hp)
+        np.testing.assert_allclose(ours, ref_scores, rtol=5e-3, atol=1e-9)
+
+        ref_coarse = kn.get_coarse_neurons(prompt, gt, batch_size=4, steps=8,
+                                           adaptive_threshold=0.3, pbar=False)
+        assert sorted(map(tuple, ref_coarse)) == sorted(
+            coarse_neurons(ours, hp))
+
+        prompts = [prompt, "which animal is shown near the river"]
+        ref_refined = kn.get_refined_neurons(
+            prompts, gt, p=0.5, batch_size=4, steps=8,
+            coarse_adaptive_threshold=0.3, quiet=True, refine=True)
+        hp_r = KNHyperParams(steps=8, adaptive_threshold=0.3, p=0.5,
+                             refine=True)
+        assert sorted(map(tuple, ref_refined)) == sorted(
+            refine_neurons(G["text_model"], prompts, gt, hp_r))
+
+    @pytest.mark.parametrize("target", ["zebra", "red lion"])
+    def test_edit_delta_parity(self, grace_rig, target):
+        from devqa_tpu.editors.llm.kn import KNHyperParams, apply_kn
+        from devqa_tpu.editors.llm.mlp_common import down_target
+        from devqa_tpu.utils.surgery import get_target
+
+        G = grace_rig
+        G["cleanup"]()
+        kn = self._ref_kn(G)
+        prompt, gt = "the picture near the river is shown", "zebra"
+        hp = KNHyperParams(steps=8, adaptive_threshold=0.3)
+
+        w_names = [f"model.layers.{l}.mlp.down_proj.weight"
+                   for l in range(3)]
+        w_before = {w: dict(G["model"].named_parameters())[w].detach()
+                    .clone() for w in w_names}
+        try:
+            neurons = kn.get_refined_neurons(
+                [prompt], gt, p=0.5, batch_size=4, steps=8,
+                coarse_adaptive_threshold=0.3, quiet=True, refine=False)
+            assert neurons
+            kn.edit_knowledge(prompt, target=target, neurons=neurons,
+                              undo_modification=False, quiet=True)
+            ref_dw = {w: (dict(G["model"].named_parameters())[w].detach()
+                          - w_before[w]).numpy() for w in w_names}
+        finally:
+            with torch.no_grad():
+                for w in w_names:
+                    dict(G["model"].named_parameters())[w].copy_(
+                        w_before[w])
+
+        req = {"prompt": prompt, "ground_truth": gt, "target_new": target}
+        new_params = apply_kn(G["text_model"], req, hp)
+        for l, w in enumerate(w_names):
+            tgt = down_target(G["text_model"].cfg, l)
+            our_dw = np.asarray(get_target(new_params, tgt)) \
+                - np.asarray(get_target(G["text_model"].params, tgt))
+            np.testing.assert_allclose(our_dw.T, ref_dw[w], rtol=1e-5,
+                                       atol=1e-7, err_msg=f"layer {l}")
