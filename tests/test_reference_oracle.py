@@ -2263,3 +2263,107 @@ class TestKNOracle:
                 - np.asarray(get_target(G["text_model"].params, tgt))
             np.testing.assert_allclose(our_dw.T, ref_dw[w], rtol=1e-5,
                                        atol=1e-7, err_msg=f"layer {l}")
+
+
+class TestFTOracle:
+    """Weight-delta parity for the constrained fine-tune: pins the
+    non-teacher-forced last-position objective, the pad-included
+    unk-only target mask, coupled Adam weight decay, the step-skip at
+    loss<1e-2 and the ±ε clamp-after-step."""
+
+    @staticmethod
+    def _cpu_patch_devices():
+        """Tensor.to / BatchEncoding.to accepting torch.device('cuda:0')
+        — execute_ft builds a torch.device and moves batches onto it."""
+        import contextlib
+
+        from transformers import BatchEncoding
+
+        def fix(d):
+            if isinstance(d, str) and d.startswith("cuda"):
+                return "cpu"
+            if isinstance(d, torch.device) and d.type == "cuda":
+                return torch.device("cpu")
+            return d
+
+        @contextlib.contextmanager
+        def cm():
+            o_to, o_be_to = torch.Tensor.to, BatchEncoding.to
+
+            def t_to(self, *a, **k):
+                a = tuple(fix(x) for x in a)
+                if "device" in k:
+                    k["device"] = fix(k["device"])
+                return o_to(self, *a, **k)
+
+            def be_to(self, device, *a, **k):
+                return o_be_to(self, fix(device), *a, **k)
+
+            torch.Tensor.to, BatchEncoding.to = t_to, be_to
+            try:
+                yield
+            finally:
+                torch.Tensor.to, BatchEncoding.to = o_to, o_be_to
+        return cm()
+
+    def test_weight_delta_parity(self, grace_rig):
+        from devqa_tpu.editors.llm.ft import FTHyperParams, apply_ft
+        from devqa_tpu.editors.llm.mlp_common import down_target
+        from devqa_tpu.utils.surgery import get_target
+
+        _load_ref_easyeditor_pkg()
+        base = os.path.join(REF, "easyeditor")
+        if "refee.models.ft" not in sys.modules:
+            import importlib.util
+            fdir = os.path.join(base, "models/ft")
+            spec = importlib.util.spec_from_file_location(
+                "refee.models.ft", os.path.join(fdir, "__init__.py"),
+                submodule_search_locations=[fdir])
+            m = importlib.util.module_from_spec(spec)
+            sys.modules["refee.models.ft"] = m
+            spec.loader.exec_module(m)
+        ft_pkg = sys.modules["refee.models.ft"]
+
+        G = grace_rig
+        G["cleanup"]()
+        model, tok = G["model"], G["hf_tok"]
+        reqs = [
+            {"prompt": "the picture near the river is shown",
+             "target_new": "zebra"},
+            {"prompt": "who wrote about the tree",
+             "target_new": "red lion"},   # 2 tokens: pads row 0's targets
+        ]
+        hp = ft_pkg.FTHyperParams(
+            layers=[1], num_steps=2, lr=1e-3, weight_decay=0.1,
+            kl_factor=0.0, norm_constraint=5e-4,
+            rewrite_module_tmp="model.layers.{}.mlp.down_proj",
+            layer_module_tmp="model.layers.{}",
+            mlp_module_tmp="model.layers.{}.mlp",
+            attn_module_tmp="model.layers.{}.self_attn",
+            ln_f_module="model.norm", lm_head_module="lm_head",
+            device=0, alg_name="FT", model_name="llama-tiny", batch_size=64)
+
+        w_name = "model.layers.1.mlp.down_proj.weight"
+        w_before = dict(model.named_parameters())[w_name].detach().clone()
+        try:
+            with self._cpu_patch_devices():
+                ft_pkg.apply_ft_to_model(
+                    model, tok, [dict(r) for r in reqs], hp,
+                    return_orig_weights=True, keep_original_weight=True)
+            ref_dw = (dict(model.named_parameters())[w_name].detach()
+                      - w_before).numpy()
+        finally:
+            with torch.no_grad():
+                dict(model.named_parameters())[w_name].copy_(w_before)
+            for _, p in model.named_parameters():
+                p.requires_grad_(False)   # execute_ft flips requires_grad
+        assert np.abs(ref_dw).max() > 0
+
+        ours_hp = FTHyperParams(layers=(1,), module="down", num_steps=2,
+                                lr=1e-3, weight_decay=0.1,
+                                norm_constraint=5e-4)
+        new_params = apply_ft(G["text_model"], reqs, ours_hp)
+        tgt = down_target(G["text_model"].cfg, 1)
+        our_dw = np.asarray(get_target(new_params, tgt)) \
+            - np.asarray(get_target(G["text_model"].params, tgt))
+        np.testing.assert_allclose(our_dw.T, ref_dw, rtol=2e-3, atol=1e-8)
