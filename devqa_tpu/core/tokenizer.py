@@ -89,6 +89,11 @@ class HFTokenizerAdapter:
         if self._tok.pad_token_id is None:
             self._tok.pad_token_id = self._tok.eos_token_id
         self.pad_token_id = int(self._tok.pad_token_id)
+        # pass the special ids through (None-safe): FT's unk-only target
+        # mask and LoRA's "{prompt} {target} {eos}" construction read them
+        self.eos_token_id = self._tok.eos_token_id
+        self.unk_token_id = self._tok.unk_token_id
+        self.bos_token_id = self._tok.bos_token_id
 
     def encode(self, text: str) -> List[int]:
         return list(self._tok(text)["input_ids"])

@@ -2367,3 +2367,125 @@ class TestFTOracle:
         our_dw = np.asarray(get_target(new_params, tgt)) \
             - np.asarray(get_target(G["text_model"].params, tgt))
         np.testing.assert_allclose(our_dw.T, ref_dw, rtol=2e-3, atol=1e-8)
+
+
+class TestLoRAOracle:
+    """The reference's "LoRA" is AdaLoRA: SVD adapters (E-gated), peft's
+    orthogonal regularization added to the CE loss, coupled Adam. Parity
+    is checked on the merged weight delta after 2 steps with the peft
+    init copied into our adapters."""
+
+    def test_weight_delta_parity(self, grace_rig):
+        from copy import deepcopy
+
+        from devqa_tpu.editors.llm.lora import LoRAHyperParams, apply_lora
+        from devqa_tpu.utils.surgery import ParamTarget, get_target
+
+        peft = pytest.importorskip("peft")
+        _load_ref_easyeditor_pkg()
+        base = os.path.join(REF, "easyeditor")
+        if "refee.models.lora" not in sys.modules:
+            import importlib.util
+            ldir = os.path.join(base, "models/lora")
+            spec = importlib.util.spec_from_file_location(
+                "refee.models.lora", os.path.join(ldir, "__init__.py"),
+                submodule_search_locations=[ldir])
+            m = importlib.util.module_from_spec(spec)
+            sys.modules["refee.models.lora"] = m
+            spec.loader.exec_module(m)
+        lora_pkg = sys.modules["refee.models.lora"]
+
+        G = grace_rig
+        G["cleanup"]()
+        reqs = [{"prompt": "the picture near the river is shown",
+                 "target_new": "zebra"}]
+        # NOTE: AdaLora layers are built at init_r (default 12); the r
+        # passed below is the TARGET rank and never takes effect because
+        # execute_lora never runs the rank allocator.
+        rank, init_r, alpha, lr, wd, steps = 2, 12, 4.0, 1e-3, 0.05, 2
+
+        # wrap a COPY so the shared rig model stays pristine
+        torch.manual_seed(31)
+        peft_model = peft.get_peft_model(
+            deepcopy(G["model"]).train().requires_grad_(False),
+            peft.AdaLoraConfig(
+                task_type=peft.TaskType.CAUSAL_LM, inference_mode=False,
+                r=rank, lora_alpha=alpha, lora_dropout=0.0,
+                layers_to_transform=[1],
+                target_modules=["q_proj", "v_proj"], total_step=10))
+
+        def peft_abe():
+            out = {}
+            for n, p in peft_model.named_parameters():
+                for kind in ("lora_A", "lora_B", "lora_E"):
+                    if kind in n and "layers.1." in n:
+                        mod = "q" if "q_proj" in n else "v"
+                        out.setdefault(mod, {})[kind[-1].lower()] = \
+                            p.detach().clone().numpy()
+            return out
+
+        init = peft_abe()
+        assert set(init) == {"q", "v"}
+
+        hp = lora_pkg.LoRAHyperParams(
+            layers=[1], num_steps=steps, lr=lr, weight_decay=wd,
+            kl_factor=0.0, norm_constraint=False,
+            target_modules=["q_proj", "v_proj"], rank=rank,
+            lora_alpha=alpha, lora_dropout=0.0, device=0, alg_name="LoRA",
+            model_name="llama-tiny", batch_size=128)
+
+        import contextlib
+
+        @contextlib.contextmanager
+        def module_to_cpu():
+            o_to = torch.nn.Module.to
+
+            def fix(d):
+                if isinstance(d, str) and d.startswith("cuda"):
+                    return "cpu"
+                if isinstance(d, torch.device) and d.type == "cuda":
+                    return torch.device("cpu")
+                return d
+
+            def m_to(self, *a, **k):
+                a = tuple(fix(x) for x in a)
+                if "device" in k:
+                    k["device"] = fix(k["device"])
+                return o_to(self, *a, **k)
+
+            torch.nn.Module.to = m_to
+            try:
+                with TestFTOracle._cpu_patch_devices():
+                    yield
+            finally:
+                torch.nn.Module.to = o_to
+
+        with module_to_cpu():
+            lora_pkg.execute_lora(peft_model, G["hf_tok"],
+                                  [dict(r) for r in reqs], hp,
+                                  keep_original_weight=False)
+        trained = peft_abe()
+
+        def merged(abe):
+            return (abe["b"] @ (abe["a"] * abe["e"])) * alpha \
+                / (init_r + 1e-5)
+
+        ref_dw = {m: merged(trained[m]) - merged(init[m]) for m in ("q", "v")}
+        assert all(np.abs(d).max() > 0 for d in ref_dw.values())
+
+        ours_hp = LoRAHyperParams(
+            rank=rank, init_r=init_r, lora_alpha=alpha,
+            target_modules=("q_proj", "v_proj"),
+            layers=(1,), num_steps=steps, lr=lr, weight_decay=wd)
+        adapters = {"1.%s" % m: {"a": jnp.asarray(init[m]["a"]),
+                                 "b": jnp.asarray(init[m]["b"]),
+                                 "e": jnp.asarray(init[m]["e"])}
+                    for m in ("q", "v")}
+        new_params = apply_lora(G["text_model"], reqs, ours_hp,
+                                adapters=adapters)
+        for m in ("q", "v"):
+            tgt = ParamTarget(("layers", m, "w"), 1)
+            our_dw = np.asarray(get_target(new_params, tgt)) \
+                - np.asarray(get_target(G["text_model"].params, tgt))
+            np.testing.assert_allclose(our_dw.T, ref_dw[m], rtol=2e-3,
+                                       atol=5e-9, err_msg=m)
