@@ -2489,3 +2489,4 @@ class TestLoRAOracle:
                 - np.asarray(get_target(G["text_model"].params, tgt))
             np.testing.assert_allclose(our_dw.T, ref_dw[m], rtol=2e-3,
                                        atol=5e-9, err_msg=m)
+
