@@ -18,9 +18,6 @@ def alg_dict():
     text algorithms (``easyeditor/util/alg_dict.py`` ALG_DICT role —
     stateful algorithms GRACE/MEND are classes, see GraceEditor /
     MENDText; IKE/SERAC live on the multimodal side)."""
-    from .kn import apply_kn
-    from .memit import apply_memit
-
     return {
         "ROME": (ROMEHyperParams, apply_rome),
         "MEMIT": (MEMITHyperParams, apply_memit),

@@ -23,8 +23,12 @@ Faithful semantics (oracle-pinned, tests/test_reference_oracle.py):
    otherwise keep ALL distinct coarse neurons (first-seen order).
 4. **Edit** (modify_weights :769-913): each selected value row gets
    ``+Σ_t E[target_t] − Σ_t E[argmax_t]`` (the greedy completion's
-   embeddings, not ground_truth's) — both scaled ×2 when the target is a
-   SINGLE token (the reference's literal ``* 2``); erase zeroes the row.
+   embeddings, not ground_truth's). For SINGLE-token targets only the
+   ARGMAX side is scaled ×2 — the reference indexes the argmax with a
+   scalar (1-D embedding → its ``* 2`` branch) but the target with a
+   list (2-D → the un-scaled sum branch); erase zeroes the row. Neuron
+   refinement runs on ``[request['prompt']]`` alone — kn_main.py:34-41
+   never passes the rephrase.
 """
 from __future__ import annotations
 
@@ -128,7 +132,7 @@ def attribution_scores(model: TextModel, prompt: str, target: str,
             out[l] += np.asarray(_layer_ig_jit(
                 cfg, model.params, ids, mask, pred_pos, jnp.asarray(t), l,
                 hparams.steps))
-        if len(tgt_ids) > 1:
+        if i < len(tgt_ids) - 1:   # no wasted forward after the last token
             nxt = int(np.asarray(
                 _baseline_logits_jit(cfg, model.params, ids, mask)
             )[0, int(pred_pos)].argmax())
@@ -161,6 +165,13 @@ def coarse_neurons(scores: np.ndarray, hparams: KNHyperParams
     thr = hparams.adaptive_threshold * scores.max()
     ls, js = np.nonzero(scores > thr)
     pairs = [(int(l), int(j)) for l, j in zip(ls, js)]
+    if hparams.layers:
+        # layer-restricted attribution leaves structural zeros in the
+        # unprobed rows; a NEGATIVE threshold (all-negative IG scores)
+        # would admit every one of them — the reference has no layer
+        # restriction, so zeros never exist on its side
+        probed = set(hparams.layers)
+        pairs = [(l, j) for (l, j) in pairs if l in probed]
     if hparams.max_neurons is not None and len(pairs) > hparams.max_neurons:
         pairs.sort(key=lambda lj: -scores[lj])
         pairs = sorted(pairs[:hparams.max_neurons])
@@ -189,10 +200,8 @@ def apply_kn(model: TextModel, request, hparams: KNHyperParams):
     target-token embeddings minus the greedy completion's embeddings
     (×2 when the target is a single token — the reference's literal
     factor, modify_weights :852-874)."""
-    prompts = [request["prompt"]]
-    if request.get("rephrase_prompt"):
-        prompts.append(request["rephrase_prompt"])
-    neurons = refine_neurons(model, prompts, request.get("ground_truth")
+    neurons = refine_neurons(model, [request["prompt"]],
+                             request.get("ground_truth")
                              or request["target_new"], hparams)
     tok = model.tokenizer
     emb = model.params["embed_tokens"]

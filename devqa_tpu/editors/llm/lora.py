@@ -28,6 +28,7 @@ un-editing = dropping the returned tree.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -89,11 +90,15 @@ def _prep_chunk(model: TextModel, requests):
         ids[i, :len(e)] = e
         mask[i, :len(e)] = 1
     labels = ids.copy()
-    # the reference's pad count comes from ragged lengths WITHIN its
-    # batch — not from our bucket padding (which is masked wholesale)
+    # the reference's num_pad_toks is the count of pad-id tokens over its
+    # OWN padded row: ragged structural pads PLUS any content token equal
+    # to the pad id — with the standard llama/GPT-2 pad=eos fallback the
+    # appended " {eos}" counts too, shifting the masked window by one.
+    # Our bucket padding beyond the reference's width must NOT count.
     for i, r in enumerate(requests):
         n_prompt = len(tok.encode(r["prompt"]))
-        n_pad = max(len(e) for e in enc) - len(enc[i])
+        n_pad = (max(len(e) for e in enc) - len(enc[i])
+                 + sum(1 for t in enc[i] if t == pad))
         labels[i, n_pad:n_pad + n_prompt] = -100
     labels[mask == 0] = -100
     labels[ids == pad] = -100
@@ -121,6 +126,71 @@ def init_adapters(model: TextModel, hparams: LoRAHyperParams, seed=0
     return ab
 
 
+def _targets_for(cfg, hparams: LoRAHyperParams):
+    layers = tuple(hparams.layers) or tuple(range(cfg.n_layers))
+    mods = tuple(_norm_module(m) for m in hparams.target_modules)
+    return tuple((l, m) for l in layers for m in mods)
+
+
+def _with_lora(cfg, hparams, params, ab):
+    scale = hparams.lora_alpha if hparams.lora_alpha > 0 else float(
+        hparams.init_r)
+    denom = hparams.init_r + 1e-5
+    for (l, m) in _targets_for(cfg, hparams):
+        lo = ab["%d.%s" % (l, m)]
+        delta = ((lo["a"] * lo["e"]).T @ lo["b"].T) * scale / denom
+        params = add_to_target(params,
+                               ParamTarget(("layers", m, "w"), l), delta)
+    return params
+
+
+def _opt(hparams: LoRAHyperParams):
+    return optax.chain(optax.add_decayed_weights(hparams.weight_decay),
+                       optax.adam(hparams.lr))
+
+
+def _step(cfg, hparams, params, ab, st, ids, mask, labels):
+    targets = _targets_for(cfg, hparams)
+
+    def loss_fn(ab):
+        p = _with_lora(cfg, hparams, params, ab)
+        logits = dec.decoder_apply(p, cfg,
+                                   dec.embed_tokens(p, cfg, ids), mask)
+        lp = jax.nn.log_softmax(logits[:, :-1], -1)
+        lab = labels[:, 1:]
+        m = (lab != -100).astype(jnp.float32)
+        picked = jnp.take_along_axis(
+            lp, jnp.where(lab == -100, 0, lab)[..., None], -1)[..., 0]
+        ce = -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
+        regu, n = 0.0, 0
+        for (l, mo) in targets:
+            lo = ab["%d.%s" % (l, mo)]
+            eye = jnp.eye(lo["a"].shape[0])
+            regu = regu + _fro(lo["a"] @ lo["a"].T - eye) \
+                + _fro(lo["b"].T @ lo["b"] - eye)
+            n += 2
+        return ce + hparams.orth_reg_weight * regu / n
+
+    g = jax.grad(loss_fn)(ab)
+    up, st = _opt(hparams).update(g, st, ab)
+    return optax.apply_updates(ab, up), st
+
+
+# Module-level jits keyed on (cfg, hparams) statics: fresh per-call
+# @jax.jit closures would re-trace on every sequential edit.
+_step_jit = partial(jax.jit, static_argnums=(0, 1))(_step)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _run_single_chunk_jit(cfg, hparams, params, ab, st, ids, mask, labels):
+    def body(_, c):
+        ab, st = c
+        return _step(cfg, hparams, params, ab, st, ids, mask, labels)
+
+    ab, _ = jax.lax.fori_loop(0, hparams.num_steps, body, (ab, st))
+    return _with_lora(cfg, hparams, params, ab)
+
+
 def apply_lora(model: TextModel, requests, hparams: LoRAHyperParams,
                seed=0, adapters: Optional[Dict] = None):
     """→ edited decoder params. Accepts one request or a list;
@@ -129,72 +199,19 @@ def apply_lora(model: TextModel, requests, hparams: LoRAHyperParams,
     if isinstance(requests, dict):
         requests = [requests]
     cfg = model.cfg
-    layers = tuple(hparams.layers) or tuple(range(cfg.n_layers))
-    mods = tuple(_norm_module(m) for m in hparams.target_modules)
-    targets = [(l, m) for l in layers for m in mods]
-    scale = hparams.lora_alpha if hparams.lora_alpha > 0 else float(
-        hparams.init_r)
-    denom = hparams.init_r + 1e-5
-
     ab = adapters if adapters is not None else init_adapters(
         model, hparams, seed)
-    opt = optax.chain(optax.add_decayed_weights(hparams.weight_decay),
-                      optax.adam(hparams.lr))
-
-    def with_lora(params, ab):
-        for (l, m) in targets:
-            lo = ab["%d.%s" % (l, m)]
-            delta = ((lo["a"] * lo["e"]).T @ lo["b"].T) * scale / denom
-            params = add_to_target(params,
-                                   ParamTarget(("layers", m, "w"), l), delta)
-        return params
-
-    @jax.jit
-    def step(params, ab, st, ids, mask, labels):
-        def loss_fn(ab):
-            p = with_lora(params, ab)
-            logits = dec.decoder_apply(p, cfg,
-                                       dec.embed_tokens(p, cfg, ids), mask)
-            lp = jax.nn.log_softmax(logits[:, :-1], -1)
-            lab = labels[:, 1:]
-            m = (lab != -100).astype(jnp.float32)
-            picked = jnp.take_along_axis(
-                lp, jnp.where(lab == -100, 0, lab)[..., None], -1)[..., 0]
-            ce = -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
-            regu, n = 0.0, 0
-            for (l, mo) in targets:
-                lo = ab["%d.%s" % (l, mo)]
-                r = lo["a"].shape[0]
-                eye = jnp.eye(r)
-                regu = regu + _fro(lo["a"] @ lo["a"].T - eye) \
-                    + _fro(lo["b"].T @ lo["b"] - eye)
-                n += 2
-            return ce + hparams.orth_reg_weight * regu / n
-
-        g = jax.grad(loss_fn)(ab)
-        up, st = opt.update(g, st, ab)
-        return optax.apply_updates(ab, up), st
 
     chunks = [requests[i:i + hparams.batch_size]
               for i in range(0, len(requests), hparams.batch_size)]
     batches = [_prep_chunk(model, c) for c in chunks]
-    st = opt.init(ab)
+    st = _opt(hparams).init(ab)
 
     if len(batches) == 1:
-        ids, mask, labels = batches[0]
-
-        @jax.jit
-        def run(params, ab, st):
-            def body(_, c):
-                ab, st = c
-                return step(params, ab, st, ids, mask, labels)
-
-            ab, _ = jax.lax.fori_loop(0, hparams.num_steps, body, (ab, st))
-            return with_lora(params, ab)
-
-        return run(model.params, ab, st)
+        return _run_single_chunk_jit(cfg, hparams, model.params, ab, st,
+                                     *batches[0])
 
     for _ in range(hparams.num_steps):
         for b in batches:
-            ab, st = step(model.params, ab, st, *b)
-    return with_lora(model.params, ab)
+            ab, st = _step_jit(cfg, hparams, model.params, ab, st, *b)
+    return _with_lora(cfg, hparams, model.params, ab)

@@ -21,8 +21,10 @@ Generalizes ROME to many simultaneous edits spread over a layer range:
      norm), and the skip-last-backward / loss<5e-2 early-break loop —
      identical to ROME's compute_v (see rome.py);
 2. for each layer l in the range (in order), gather the down-projection
-   keys ``K_l`` (fc2 inputs at the subject token, template-averaged,
-   compute_ks.py) and the CURRENT bare-prompt z-layer state
+   keys ``K_l`` (fc2 inputs at the subject token — averaged per template
+   GROUP first, then across groups, compute_ks.py:40-50: the reference's
+   cache is ``[["{}"], [N generated]]`` so the bare prompt carries 1/2
+   weight, not 1/(N+1)) and the CURRENT bare-prompt z-layer state
    (memit_main.py:171-181 — single bare row, NOT template-averaged);
    distribute the remaining residual ``R = (Z − Z_cur) / (#layers − i)``
    onto layer l with the covariance-regularized least squares
@@ -92,6 +94,20 @@ def _hidden_at_layer(model: TextModel, params, ids, mask, sidx, layer):
     return _hidden_at_layer_jit(model.cfg, params, ids, mask, sidx, layer)
 
 
+def _template_groups(context_templates):
+    """Normalize to the reference's nested shape (memit_main.py:305-318):
+    group 0 is always ``["{}"]``; a flat list becomes
+    ``[["{}"], [rest]]`` (mirroring ``[["{}"]] + [[generated]]``); a
+    nested list passes through."""
+    if context_templates is None:
+        rest = [t for t in CONTEXT_TEMPLATES if t != "{}"]
+        return [["{}"]] + ([rest] if rest else [])
+    if isinstance(context_templates[0], (list, tuple)):
+        return [list(g) for g in context_templates]
+    rest = [t for t in context_templates if t != "{}"]
+    return [["{}"]] + ([rest] if rest else [])
+
+
 def _loss_layer(cfg, hp: MEMITHyperParams, z_layer: int) -> int:
     vl = hp.v_loss_layer if hp.v_loss_layer >= 0 else cfg.n_layers - 1
     return max(vl, z_layer)  # compute_z.py:76
@@ -104,10 +120,12 @@ def _optimize_z(model: TextModel, params, request, hp: MEMITHyperParams,
     cfg = model.cfg
     tokenizer = model.tokenizer
     subject = request.get("subject") or request["prompt"].split()[-1]
-    # template "{}" always first: row 0 is the bare prompt, whose hidden
-    # is target_init and the insert-loop's cur_z (compute_z.py:96-102)
-    templates = ["{}"] + [t for t in (context_templates or CONTEXT_TEMPLATES)
-                          if t != "{}"]
+    # groups flatten in order: row 0 is the bare "{}" prompt, whose
+    # hidden is target_init and the insert-loop's cur_z
+    # (compute_z.py:96-102); group sizes feed the K mean-of-means
+    groups = _template_groups(context_templates)
+    gsizes = tuple(len(g) for g in groups)
+    templates = [t for g in groups for t in g]
     prompts = [t.format(request["prompt"]) for t in templates]
     sidx = jnp.asarray([_subject_last_token_index(tokenizer, p, subject)
                         for p in prompts])
@@ -127,7 +145,7 @@ def _optimize_z(model: TextModel, params, request, hp: MEMITHyperParams,
 
     z = _optimize_z_jit(cfg, params, ids, mask, labels, lmask, sidx,
                         ess_ids, ess_mask, ess_sidx, hp, z_layer)
-    return z, (ids, mask, sidx)
+    return z, (ids, mask, sidx, gsizes)
 
 
 def _fwd_hiddens(cfg, params, embeds, mask, onehot, delta, z_layer,
@@ -236,11 +254,16 @@ def apply_memit(model: TextModel, requests: List[Dict],
 
     for i, l in enumerate(layers):
         Ks, cur = [], []
-        for (ids, mask, sidx) in contexts:
-            # K: template-averaged (compute_ks.py); cur_z: the BARE
-            # prompt's current z-layer hidden — row 0, not the average
-            # (memit_main.py:171-181 passes only the raw prompt)
-            Ks.append(_capture(model, params, ids, mask, sidx, l).mean(0))
+        for (ids, mask, sidx, gsizes) in contexts:
+            # K: mean of per-GROUP means (compute_ks.py:40-50); cur_z:
+            # the BARE prompt's current z-layer hidden — row 0, not the
+            # average (memit_main.py:171-181 passes only the raw prompt)
+            rows = _capture(model, params, ids, mask, sidx, l)
+            parts, i0 = [], 0
+            for gs in gsizes:
+                parts.append(rows[i0:i0 + gs].mean(0))
+                i0 += gs
+            Ks.append(jnp.stack(parts).mean(0))
             cur.append(_hidden_at_layer(model, params, ids, mask, sidx,
                                         z_layer)[0])
         K = jnp.stack(Ks)                     # [n, d_ffn]

@@ -2127,7 +2127,10 @@ class TestMEMITOracle:
         for l in layers:
             mm.COV_CACHE[(name, f"model.layers.{l}.mlp.down_proj")] = \
                 torch.from_numpy(covs[l])
-        mm.CONTEXT_TEMPLATES_CACHE = [["{}"]]
+        # two UNEQUAL groups pin compute_ks's mean-of-group-means: the
+        # bare prompt carries 1/2 weight, not 1/3
+        groups = [["{}"], ["it is {}", "here {}"]]
+        mm.CONTEXT_TEMPLATES_CACHE = groups
 
         w_names = [f"model.layers.{l}.mlp.down_proj.weight" for l in layers]
         w_before = {w: dict(model.named_parameters())[w].detach().clone()
@@ -2158,7 +2161,7 @@ class TestMEMITOracle:
         new_params = apply_memit(
             G["text_model"], reqs, ours_hp,
             cov={l: jnp.asarray(covs[l]) for l in layers},
-            context_templates=["{}"])
+            context_templates=groups)
         for l, w in zip(layers, w_names):
             tgt = down_target(G["text_model"].cfg, l)
             our_dw = np.asarray(get_target(new_params, tgt)) \
@@ -2375,10 +2378,13 @@ class TestLoRAOracle:
     is checked on the merged weight delta after 2 steps with the peft
     init copied into our adapters."""
 
-    def test_weight_delta_parity(self, grace_rig):
+    @pytest.mark.parametrize("pad_is_eos", [False, True])
+    def test_weight_delta_parity(self, grace_rig, pad_is_eos):
         from copy import deepcopy
 
+        from devqa_tpu.core.tokenizer import HFTokenizerAdapter
         from devqa_tpu.editors.llm.lora import LoRAHyperParams, apply_lora
+        from devqa_tpu.editors.llm.session import TextModel
         from devqa_tpu.utils.surgery import ParamTarget, get_target
 
         peft = pytest.importorskip("peft")
@@ -2397,8 +2403,26 @@ class TestLoRAOracle:
 
         G = grace_rig
         G["cleanup"]()
+        if pad_is_eos:
+            # llama/GPT-2 easyeditor setup: pad falls back to eos, so the
+            # appended " {eos}" counts into num_pad_toks and shifts the
+            # reference's masked label window by one
+            tok = _make_tokenizer()
+            tok.pad_token = tok.eos_token
+            text_model = TextModel(G["text_model"].params,
+                                   G["text_model"].cfg,
+                                   HFTokenizerAdapter(tok),
+                                   bucket_multiple=8)
+        else:
+            tok = G["hf_tok"]
+            text_model = G["text_model"]
+        # pad==eos needs a MULTI-token target: the shifted window eats
+        # the first target token and the pad rule masks the eos, so a
+        # 1-token target leaves nothing supervised and the reference
+        # itself NaNs out (loss over zero labels)
+        tgt = "red zebra lion" if pad_is_eos else "zebra"
         reqs = [{"prompt": "the picture near the river is shown",
-                 "target_new": "zebra"}]
+                 "target_new": tgt}]
         # NOTE: AdaLora layers are built at init_r (default 12); the r
         # passed below is the TARGET rank and never takes effect because
         # execute_lora never runs the rank allocator.
@@ -2461,7 +2485,7 @@ class TestLoRAOracle:
                 torch.nn.Module.to = o_to
 
         with module_to_cpu():
-            lora_pkg.execute_lora(peft_model, G["hf_tok"],
+            lora_pkg.execute_lora(peft_model, tok,
                                   [dict(r) for r in reqs], hp,
                                   keep_original_weight=False)
         trained = peft_abe()
@@ -2481,12 +2505,12 @@ class TestLoRAOracle:
                                  "b": jnp.asarray(init[m]["b"]),
                                  "e": jnp.asarray(init[m]["e"])}
                     for m in ("q", "v")}
-        new_params = apply_lora(G["text_model"], reqs, ours_hp,
+        new_params = apply_lora(text_model, reqs, ours_hp,
                                 adapters=adapters)
         for m in ("q", "v"):
             tgt = ParamTarget(("layers", m, "w"), 1)
             our_dw = np.asarray(get_target(new_params, tgt)) \
-                - np.asarray(get_target(G["text_model"].params, tgt))
+                - np.asarray(get_target(text_model.params, tgt))
             np.testing.assert_allclose(our_dw.T, ref_dw[m], rtol=2e-3,
                                        atol=5e-9, err_msg=m)
 
