@@ -1,0 +1,67 @@
+"""External-benchmark CLI — the reference's mPLUG-Owl2 evaluate scripts.
+
+    python -m devqa_tpu.cli.eval_benchmark -bm mme -bd <MME dir> \\
+        -mn blip2 [-wd /path/to/converted-ckpt] [-ir <image root>]
+
+The reference drives MME/MMBench/MMMU/VQA through per-benchmark torch
+DataLoader scripts (``mPLUG_Owl2/mplug_owl2/evaluate/evaluate_mme.py``);
+here one CLI feeds the benchmark's questions through the
+continuous-batching serve engine and reproduces the reference's scoring
+(see eval/benchmarks.py). MME is implemented; the other runners share
+its generate-and-parse shape and can reuse ``run_mme``'s engine loop
+with their own scorers.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def get_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-bm", "--benchmark", type=str, default="mme",
+                   choices=["mme"])
+    p.add_argument("-bd", "--benchmark_dir", type=str, required=True,
+                   help="MME-format dir of <task>.txt files")
+    p.add_argument("-mn", "--edit_model_name", type=str, required=True)
+    p.add_argument("-wd", "--weights_dir", type=str, default=None)
+    p.add_argument("-ir", "--img_root_dir", type=str, default="")
+    p.add_argument("-mnt", "--max_new_tokens", type=int, default=10)
+    p.add_argument("-ns", "--n_slots", type=int, default=8)
+    p.add_argument("-ml", "--max_len", type=int, default=160)
+    p.add_argument("-o", "--out_path", type=str, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    from ..eval.benchmarks import load_mme, mme_scores, run_mme
+    from ..serve.engine import BatchingEngine
+    from ..utils.registry import load_vllm_for_edit
+
+    vllm = load_vllm_for_edit(args.edit_model_name,
+                              weights_dir=args.weights_dir)
+    items = load_mme(args.benchmark_dir)
+    if not items:
+        raise SystemExit("no <task>.txt files under %s" % args.benchmark_dir)
+    engine = BatchingEngine(vllm, n_slots=args.n_slots,
+                            max_len=args.max_len).start()
+    try:
+        run_mme(engine, items, max_new_tokens=args.max_new_tokens,
+                image_root=args.img_root_dir)
+    finally:
+        engine.shutdown()
+    scores = mme_scores(items)
+    for etype, total in scores["totals"].items():
+        print("=========== %s: %.2f ===========" % (etype, total))
+        for task, m in scores["tasks"].items():
+            print("\t%s score: %.2f (acc %.3f, acc+ %.3f)"
+                  % (task, m["score"], m["acc"], m["acc_plus"]))
+    if args.out_path:
+        with open(args.out_path, "w") as f:
+            json.dump(scores, f, indent=1)
+        print("saved:", args.out_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,8 +22,9 @@ Design:
   k-blocks) with online-softmax accumulators in VMEM scratch; the
   kv-validity mask is streamed per k-block.
 - :func:`multihead_attention` — public entry: dispatches to the flash
-  kernel on TPU, XLA elsewhere; wrapped in ``jax.custom_vjp`` so training
-  paths differentiate through the XLA recomputation.
+  kernel on TPU, XLA elsewhere; wrapped in ``jax.custom_vjp`` whose
+  backward runs the Pallas ``_flash_bwd`` dq/dkv kernels when the
+  forward took the flash path, and an XLA vjp otherwise.
 
 Layout: q, k, v are [B, H, L, D].
 """
