@@ -4,11 +4,12 @@ Workload (BASELINE.md): sequential EVQA editing on the BLIP-2-OPT-2.7b
 architecture — per test case: 1 LiveEdit edit + pre-edit locality
 snapshot (9 probes) + post-edit measurement (12 probes). Random bf16
 weights (metric quality is weight-independent; compute shape is identical
-to converted checkpoints); synthetic EVQA-schema records by default, or
-the REAL reference eval records (`BENCH_REAL_DATA=1` loads
-/root/reference/DE-VQA/data/easy-edit-mm/vqa/vqa_eval.json — real
-prompts, real sequence lengths; images stay synthetic with the real
-paths as cache keys).
+to converted checkpoints). The REAL reference eval records are the
+DEFAULT when the checkout is present
+(/root/reference/DE-VQA/data/easy-edit-mm/vqa/vqa_eval.json — real
+prompts, real sequence lengths, 64-token bucket; images stay synthetic
+with the real paths as cache keys); `BENCH_REAL_DATA=0` opts back into
+the synthetic 32-token records.
 
 Prints ONE JSON line:
   {"metric": ..., "value": cases/sec, "unit": "cases/sec",
@@ -31,14 +32,21 @@ Prints ONE JSON line:
 - ``train``: jitted LiveEdit meta-training steps/s at blip2-2.7b scale,
   ONE compiled shape across steps (train_vllm_editor.py:52-89 role).
 - ``serve``: continuous-batching engine throughput (tokens/s at 8
-  concurrent decode slots on the 2.7b model — model_worker.py:44 role).
+  concurrent decode slots on the 2.7b model — model_worker.py:44 role)
+  plus the sequential single-request baseline on the same engine;
+  ``batching_speedup`` is the comparative claim.
+- ``sequential_1000``: BASELINE.md's north-star protocol — 1000
+  sequential edits accumulated in one split, full probe suite, with the
+  compiled-shape delta proving O(1)-shape routing over ~1000 live
+  experts (vllm_editor_eval.py:69-135, ``-sen 1000``).
 - ``llava_pipeline``: the fused edit-eval pipeline at LLaVA geometry
   (full CLIP-L-336 tower, 576 image tokens, 640-token probe rows through
   a reduced-layer 4096-wide decoder) — the flash kernel on the actual
   eval hot path.
 Phases after the main metric run only while inside BENCH_PHASE_CAP_S
-(default 600s total elapsed); force/skip with BENCH_FLASH / BENCH_TRAIN
-= 1/0.
+(default 1000s total elapsed) in priority order serve → sequential_1000
+→ train → llava → flash; force/skip any with BENCH_<PHASE>=1/0. With a
+warm persistent compile cache the full bench runs in ~5-8 min.
 """
 import json
 import os
@@ -66,9 +74,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def use_real_data() -> bool:
+    """Real reference records are the DEFAULT whenever the reference
+    checkout is present (VERDICT r2 task 2); BENCH_REAL_DATA=0 opts out
+    (synthetic records, 32-token bucket — the r01/r02 headline shape)."""
+    return (os.environ.get("BENCH_REAL_DATA", "1") != "0"
+            and os.path.exists(REAL_VQA_EVAL))
+
+
 def build_cases(n, tmp):
-    if os.environ.get("BENCH_REAL_DATA") == "1" \
-            and os.path.exists(REAL_VQA_EVAL):
+    if use_real_data():
         with open(REAL_VQA_EVAL) as f:
             records = json.load(f)[:n]
         log("real data: %d records from vqa_eval.json" % len(records))
@@ -378,10 +393,15 @@ def bench_serve(vllm, n_req=None, new_tokens=24):
     """Continuous-batching serve throughput at blip2-2.7b scale
     (serve/engine.py): concurrent requests share KV-cache decode slots,
     one compiled single-token program, K-step scan per dispatch. Reports
-    generated tokens/s and requests/s (model_worker.py:44 serving role)."""
+    generated tokens/s and requests/s (model_worker.py:44 serving role),
+    PLUS the comparative claim: the same engine driven one-request-at-a-
+    time (the reference worker's model-lock serving discipline,
+    model_worker.py:44) — ``batching_speedup`` is concurrent tokens/s
+    over sequential tokens/s."""
     from devqa_tpu.serve.engine import BatchingEngine
 
     n_req = n_req or int(os.environ.get("BENCH_SERVE_REQS", "24"))
+    n_seq = int(os.environ.get("BENCH_SERVE_SEQ_REQS", "6"))
     eng = BatchingEngine(vllm, n_slots=8, max_len=160,
                          steps_per_dispatch=4).start()
     try:
@@ -400,13 +420,100 @@ def bench_serve(vllm, n_req=None, new_tokens=24):
             r.done.wait(600)
         dt = time.time() - t0
         toks = eng.tokens_generated - tok0
+        # Sequential baseline: same engine, same prompts/images/token
+        # budget, but each request waits for the previous one — the
+        # decode batch is 1 wide, so per-token cost is not amortized.
+        tok0 = eng.tokens_generated
+        t0 = time.time()
+        for i in range(n_seq):
+            eng.generate("what is in the scene number %d" % i,
+                         "img_s%d.jpg" % (i % 4), new_tokens)
+        seq_dt = time.time() - t0
+        seq_toks = eng.tokens_generated - tok0
+        seq_tps = round(seq_toks / seq_dt, 2)
         out = {"requests_per_s": round(n_req / dt, 3),
                "tokens_per_s": round(toks / dt, 2),
-               "concurrent_slots": 8, "tokens_generated": toks}
+               "concurrent_slots": 8, "tokens_generated": toks,
+               "sequential_tokens_per_s": seq_tps,
+               "batching_speedup": round(toks / dt / max(seq_tps, 1e-9), 2)}
         log("serve bench:", out)
         return out
     finally:
         eng.shutdown()
+
+
+def total_jit_cache_size(*objs):
+    """Sum of compiled-program cache sizes across every instance-held jit
+    of the given objects plus the harness module's fused metric jits.
+    A delta of 0 across a phase proves the phase compiled NOTHING new
+    (the O(1)-shape claim made precise)."""
+    import devqa_tpu.eval.harness as H
+
+    n, seen = 0, set()
+    for o in list(objs) + [H]:
+        for v in vars(o).values():
+            if hasattr(v, "_cache_size") and id(v) not in seen:
+                seen.add(id(v))
+                try:
+                    n += v._cache_size()
+                except Exception:
+                    pass
+    return n
+
+
+def bench_sequential_1000(vllm, editor, tmp, bucket, max_rows,
+                          dec_ftok, vis_fimg, peak):
+    """BASELINE.md's north-star workload: 1000 sequential edits
+    accumulated in ONE split (the reference's ``-sen 1000`` protocol,
+    vllm_editor_eval.py:69-135 — pre-edit snapshots for all cases, 1000
+    edits applied, all 12-probe measurements under the accumulated
+    pool), measured fused. Reuses the resident 2.7b model and the SAME
+    compiled programs as the headline phase (same bucket, same row
+    chunks, width-10 edit batches, the yaml's 1024-expert pool), so the
+    phase cost is pure runtime; ``new_compiled_shapes`` (cache-size
+    delta) == 0 proves routing over ~1000 live experts stays
+    O(1)-shape."""
+    import contextlib
+    import copy
+
+    from devqa_tpu.data.schema import EVQA
+    from devqa_tpu.eval.harness import FusedEditorEvaluation
+    from devqa_tpu.retrieval.store import hash_encoder
+
+    n_cases = int(os.environ.get("BENCH_SEQ1000_CASES", "1000"))
+    assert n_cases <= int(editor.state["eqr"].shape[0]), \
+        "pool capacity below the sequential-edit count"
+    sub = os.path.join(tmp, "seq1000")
+    os.makedirs(sub, exist_ok=True)
+    path = build_cases(n_cases, sub)
+    data = EVQA(path, sub, encoder=hash_encoder(16))
+    vllm.clear_image_cache()
+    editor.restore_to_original_model()
+    fe = FusedEditorEvaluation(
+        editor, data, evaluation_name="seq1000",
+        results_dir=os.path.join(sub, "res"), max_rows=max_rows,
+        pad_rows=True, hoist_pre=True, edit_chunk=10)
+    shapes0 = total_jit_cache_size(vllm, editor)
+    c0 = dict(vllm.counters)
+    t0 = time.time()
+    with contextlib.redirect_stdout(sys.stderr):
+        fe.evaluate_sequential_edit(edit_n=n_cases)
+    dt = time.time() - t0
+    dec_tokens, n_imgs, mfu = mfu_accounting(
+        vllm, c0, fe.probe_tokens, dt, dec_ftok, vis_fimg, peak)
+    out = {
+        "cases": n_cases,
+        "wall_s": round(dt, 1),
+        "cases_per_s": round(n_cases / dt, 3),
+        "new_compiled_shapes": total_jit_cache_size(vllm, editor) - shapes0,
+        "pool_capacity": int(editor.state["eqr"].shape[0]),
+        "live_edits_at_measure": n_cases,
+        "decoder_tokens": int(dec_tokens),
+        "images_encoded": int(n_imgs),
+        "mfu_total": mfu["mfu_total"],
+    }
+    log("sequential_1000:", out)
+    return out
 
 
 def bench_train_step(vllm, n_steps=6):
@@ -507,7 +614,7 @@ def main():
     img_pad = int(os.environ.get("BENCH_IMG_PAD", "4"))  # A/B'd: 4 > 8 > 16
     # Real prompts tokenize longer than the synthetic ones; widen the
     # bucket so the whole run still compiles O(1) programs.
-    bucket = 64 if os.environ.get("BENCH_REAL_DATA") == "1" else 32
+    bucket = 64 if use_real_data() else 32
     # Cache must cover EVERY unique image of the run (~6/case incl. warm
     # + reference-protocol cases): the hoisted pre-pass encodes all
     # splits' images up front, so an undersized LRU thrashes and the post
@@ -519,7 +626,11 @@ def main():
                    img_batch_pad=img_pad)
     lcfg = LiveEditConfig(edit_model_name=cfg.name, llm_mid_dim=cfg.decoder.d_model,
                           edit_layer_i=21,
-                          max_edits=max(256, n_timed_cases + 8),
+                          # 1024 = the shipped config's pool capacity
+                          # (configs/liveedit/blip2-opt-2.7b.yaml) — and
+                          # it lets the sequential_1000 phase reuse every
+                          # compiled program of the headline phase.
+                          max_edits=max(1024, n_timed_cases + 8),
                           # the paper's hard routing selects ~0-2 experts;
                           # K=8 keeps the MoE mixture exact in practice and
                           # cuts the residual einsums 4x vs the default 32
@@ -657,8 +768,13 @@ def main():
         # ---- optional phases (budget-gated; force/skip via env) ----
         # Phases run on their own cap, NOT the main soft budget: warm-up
         # compiles routinely eat the 420s budget on slow-tunnel days, and
-        # the phases are the only driver-visible flash/train numbers.
-        phase_cap = float(os.environ.get("BENCH_PHASE_CAP_S", "600"))
+        # the phases are the only driver-visible flash/train/serve/
+        # seq1000 numbers. With the persistent compile cache warm the
+        # FULL bench (every phase) measures ~4-8 min end to end; the cap
+        # only bites on cold-cache/bad-tunnel days, dropping phases in
+        # reverse priority order.
+        phase_cap = float(os.environ.get("BENCH_PHASE_CAP_S", "1000"))
+        phase_s = {}
 
         def phase_on(name, need_s):
             v = os.environ.get(name)
@@ -671,23 +787,29 @@ def main():
                 return False
             return True
 
-        train_res, flash_res, serve_res = {}, {}, {}
-        if phase_on("BENCH_TRAIN", 150):
+        def run_phase(name, need_s, fn):
+            if not phase_on(name, need_s):
+                return {}
+            t0 = time.time()
             try:
-                train_res = bench_train_step(vllm)
-            except Exception as e:  # never lose the main metric
-                log("train bench failed:", repr(e))
-                train_res = {"error": str(e)[:200]}
-        # need_s=350: serve is the newest, lowest-priority phase — on
-        # slow-compile days it self-skips early so the flash/llava phases
-        # (judge-tracked artifacts) keep their budget.
-        if phase_on("BENCH_SERVE", 350):
-            try:
-                serve_res = bench_serve(vllm)
+                res = fn()  # never lose the main metric to a phase
             except Exception as e:
-                log("serve bench failed:", repr(e))
-                serve_res = {"error": str(e)[:200]}
-        # The serve phase is the last user of the 2.7b model: free its
+                log("%s failed:" % name, repr(e))
+                res = {"error": str(e)[:200]}
+            phase_s[name] = round(time.time() - t0, 1)
+            return res
+
+        # Priority order under the cap; {serve, seq1000, train} need the
+        # resident 2.7b model, {flash, llava} need it FREED (HBM).
+        serve_res = run_phase("BENCH_SERVE", 200, lambda: bench_serve(vllm))
+        seq1000_res = run_phase(
+            "BENCH_SEQ1000", 300,
+            lambda: bench_sequential_1000(vllm, editor, tmp, bucket,
+                                          max_rows, dec_ftok, vis_fimg,
+                                          peak))
+        train_res = run_phase("BENCH_TRAIN", 120,
+                              lambda: bench_train_step(vllm))
+        # The train phase is the last user of the 2.7b model: free its
         # ~8GB of bf16 weights BEFORE the flash/llava phases init their
         # own 4096-wide models, or the llava phase RESOURCE_EXHAUSTs
         # next to the resident weights (observed on v5e: 8GB blip2 +
@@ -712,20 +834,10 @@ def main():
                     % (a.shape, a.dtype, a.nbytes / 2**20))
         except Exception as e:
             log("live_arrays unavailable:", repr(e))
-        if phase_on("BENCH_FLASH", 150):
-            try:
-                flash_res = bench_flash_regime(
-                    deadline=t_start + phase_cap)
-            except Exception as e:
-                log("flash bench failed:", repr(e))
-                flash_res = {"error": str(e)[:200]}
-        llava_res = {}
-        if phase_on("BENCH_LLAVA", 200):
-            try:
-                llava_res = bench_llava_pipeline()
-            except Exception as e:
-                log("llava bench failed:", repr(e))
-                llava_res = {"error": str(e)[:200]}
+        llava_res = run_phase("BENCH_LLAVA", 200, bench_llava_pipeline)
+        flash_res = run_phase(
+            "BENCH_FLASH", 140,
+            lambda: bench_flash_regime(deadline=t_start + phase_cap))
 
     value = fused_cps
     vs = fused_cps / base_cps if base_cps > 0 else 0.0
@@ -737,6 +849,8 @@ def main():
     }
     if mfu:
         out["mfu"] = mfu
+    if seq1000_res:
+        out["sequential_1000"] = seq1000_res
     if flash_res:
         out["flash"] = flash_res
     if llava_res:
@@ -745,8 +859,9 @@ def main():
         out["train"] = train_res
     if serve_res:
         out["serve"] = serve_res
-    if os.environ.get("BENCH_REAL_DATA") == "1":
-        out["real_data"] = True
+    out["real_data"] = use_real_data()
+    if phase_s:
+        out["phase_s"] = phase_s
     print(json.dumps(out))
 
 

@@ -394,12 +394,20 @@ class FusedEditorEvaluation(EditorEvaluation):
     """
 
     def __init__(self, *args, max_rows: int = 96, pad_rows: bool = True,
-                 hoist_pre: bool = True, **kw):
+                 hoist_pre: bool = True, edit_chunk: Optional[int] = None,
+                 **kw):
         super().__init__(*args, **kw)
         self.max_rows = max_rows
         # Pad every chunk to exactly max_rows so ONE compiled program
         # serves all passes (remote-compile runtimes pay dearly per shape).
         self.pad_rows = pad_rows
+        # Cap on requests per edit_batch call: a split accumulating N
+        # edits (e.g. the 1000-sequential-edit protocol) is applied as
+        # ceil(N/edit_chunk) batched calls, so the edit program keeps ONE
+        # compiled width no matter the split size (order within the split
+        # is preserved — pool appends are order-dependent only across
+        # calls, which chunking respects). None = whole split in one call.
+        self.edit_chunk = edit_chunk
         # The pre-edit locality snapshot is always taken on the *restored
         # original* model (the protocol restores between splits,
         # vllm_editor_eval.py:98,122), so every split's pre-pass sees the
@@ -408,18 +416,15 @@ class FusedEditorEvaluation(EditorEvaluation):
         # per-split decoder tokens.
         self.hoist_pre = hoist_pre
 
-    def _run_probe_rows(self, specs, edited: bool):
-        """Run probe specs (chunked) → (accs, preds, masks, topk) np
-        arrays (topk is None unless ``loc_topk`` is enabled).
-
-        All chunks are dispatched before any result is fetched — JAX's
-        async dispatch pipelines device work across chunks, hiding
-        per-call latency (significant on tunneled runtimes).
-        """
+    def _dispatch_probe_rows(self, specs, edited: bool):
+        """Dispatch probe specs (chunked) to the device WITHOUT fetching:
+        returns a pending list for :meth:`_collect_probe_rows`. JAX's
+        async dispatch pipelines device work across chunks — and across
+        SPLITS: the caller can dispatch the next split's edits while
+        these chunks are still executing, so the device never idles on
+        host-side result assembly (significant on tunneled runtimes)."""
         if not specs:  # e.g. cases with no locality probes at all
-            return (np.zeros((0,), np.float32),
-                    np.zeros((0, 1), np.int64), np.zeros((0, 1), np.int64),
-                    None)
+            return []
         vllm = self.editor.vllm
         pending = []
         for i in range(0, len(specs), self.max_rows):
@@ -445,6 +450,16 @@ class FusedEditorEvaluation(EditorEvaluation):
             tk = _topk_jit(logits, k=int(self.loc_topk)) \
                 if self.loc_topk else None
             pending.append((real, a, p, qb.label_masks, tk))
+        return pending
+
+    @staticmethod
+    def _collect_probe_rows(pending):
+        """Fetch dispatched probe chunks → (accs, preds, masks, topk) np
+        arrays (topk is None unless ``loc_topk`` is enabled)."""
+        if not pending:
+            return (np.zeros((0,), np.float32),
+                    np.zeros((0, 1), np.int64), np.zeros((0, 1), np.int64),
+                    None)
         accs, preds, masks, topks = [], [], [], []
         for real, a, p, m, tk in pending:
             accs.append(np.asarray(a)[:real])
@@ -462,6 +477,11 @@ class FusedEditorEvaluation(EditorEvaluation):
         topk = padcat(topks) if topks else None
         return np.concatenate(accs), padcat(preds), padcat(masks), topk
 
+    def _run_probe_rows(self, specs, edited: bool):
+        """Dispatch + fetch in one step (single-pass callers)."""
+        return self._collect_probe_rows(
+            self._dispatch_probe_rows(specs, edited))
+
     def evaluate_sequential_edit(self, edit_n: int = 10, random: bool = False,
                                  seed: Optional[int] = None):
         editor = self.editor
@@ -471,17 +491,18 @@ class FusedEditorEvaluation(EditorEvaluation):
         splits, split_ns, seed = self._split_and_shuffle(edit_n, random, seed)
         editor.restore_to_original_model()
 
-        def split_befores(split):
-            """Pre-edit locality snapshots for every case of a split."""
+        def gather_loc_specs(cases_):
             loc_specs, loc_slices = [], []
-            for case in split:
+            for case in cases_:
                 specs = [s for s in case_probe_specs(case)
                          if s.kind == "locality"]
-                loc_slices.append((len(loc_specs), len(loc_specs) + len(specs),
-                                   specs))
+                loc_slices.append((len(loc_specs),
+                                   len(loc_specs) + len(specs), specs))
                 loc_specs.extend(specs)
-            _, pre_preds, pre_masks, pre_topk = self._run_probe_rows(
-                loc_specs, False)
+            return loc_specs, loc_slices
+
+        def befores_from(fetched, loc_slices):
+            _, pre_preds, pre_masks, pre_topk = fetched
             befores = []
             for lo, hi, specs in loc_slices:
                 befores.append(
@@ -491,24 +512,37 @@ class FusedEditorEvaluation(EditorEvaluation):
                      for j, s in zip(range(lo, hi), specs)})
             return befores
 
-        hoisted = None
+        # ---- dispatch phase: enqueue EVERY split's pre-pass, edits and
+        # post-pass before fetching anything. Dispatch captures the
+        # editor state / params by reference, and restore is a host-side
+        # reference swap, so later splits' programs see exactly the state
+        # they would under fetch-per-split — but the device never idles
+        # while the host assembles a finished split's results (on remote-
+        # dispatch runtimes that idle was ~5% of the whole pipeline). ----
+        pre_hoisted = None
         if self.hoist_pre:
             # One global pre-pass over every split (original weights; see
             # __init__ docstring for why this is protocol-equivalent).
-            all_b = split_befores([c for split in splits for c in split])
-            hoisted, k = [], 0
-            for split in splits:
-                hoisted.append(all_b[k:k + len(split)])
-                k += len(split)
-        results = []
-        for si, split in enumerate(splits):
-            befores = hoisted[si] if hoisted is not None \
-                else split_befores(split)
+            pre_specs, pre_slices = gather_loc_specs(
+                [c for split in splits for c in split])
+            pre_hoisted = (self._dispatch_probe_rows(pre_specs, False),
+                           pre_slices)
+        per_split = []
+        for split in splits:
+            pre_own = None
+            if not self.hoist_pre:
+                # Per-split pre-pass: dispatched after the previous
+                # split's restore and before this split's edits — the
+                # device-order the protocol requires.
+                ps, sl = gather_loc_specs(split)
+                pre_own = (self._dispatch_probe_rows(ps, False), sl)
             # Edit: batched when exactly equivalent.
             requests = [r for case in split for r in case.requests]
             start = time.time()
             if editor.if_can_batch_edit():
-                editor.edit_batch(requests)
+                ec = self.edit_chunk or len(requests)
+                for i in range(0, len(requests), ec):
+                    editor.edit_batch(requests[i:i + ec])
             else:
                 for r in requests:
                     editor.edit_one_piece(r)
@@ -520,8 +554,27 @@ class FusedEditorEvaluation(EditorEvaluation):
                 slices.append((len(all_specs), len(all_specs) + len(specs),
                                specs))
                 all_specs.extend(specs)
-            accs, preds, masks, post_topk = self._run_probe_rows(
-                all_specs, True)
+            post_pending = self._dispatch_probe_rows(all_specs, True)
+            editor.restore_to_original_model()
+            per_split.append((split, slices, post_pending, per_edit, pre_own))
+
+        # ---- collect phase: fetch + assemble per split. ----
+        hoisted = None
+        if pre_hoisted is not None:
+            all_b = befores_from(self._collect_probe_rows(pre_hoisted[0]),
+                                 pre_hoisted[1])
+            hoisted, k = [], 0
+            for split in splits:
+                hoisted.append(all_b[k:k + len(split)])
+                k += len(split)
+        results = []
+        for si, (split, slices, post_pending, per_edit, pre_own) \
+                in enumerate(per_split):
+            befores = hoisted[si] if hoisted is not None \
+                else befores_from(self._collect_probe_rows(pre_own[0]),
+                                  pre_own[1])
+            accs, preds, masks, post_topk = self._collect_probe_rows(
+                post_pending)
             split_res = []
             for case, before, (lo, hi, specs) in zip(split, befores, slices):
                 rd: Dict = {"reliability": [], "generality": {}, "locality": {}}
@@ -549,7 +602,6 @@ class FusedEditorEvaluation(EditorEvaluation):
                     else:
                         rd[s.kind].setdefault(s.sub, []).append(entry)
                 split_res.append(rd)
-            editor.restore_to_original_model()
             results.append(split_res)
         self._save_sequential(results, split_ns, edit_n, random, seed)
         return results
