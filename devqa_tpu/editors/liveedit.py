@@ -461,15 +461,29 @@ class LiveEditTrainingMixin:
         rel = jnp.arange(B)
         rows_of = lambda gi, base: base + gi * B + jnp.arange(B)
 
-        # Resume after the edit layer (consistent with inference), or
-        # re-run it on the edited rep in faithful mode (see config flag).
+        # Resume after the edit layer (consistent with inference), or —
+        # faithful mode — reproduce the reference train path exactly:
+        # forward_from_mid_layer feeds the captured layer-k OUTPUT back
+        # as layer k's INPUT (base.py:173-184), so layer k re-runs on the
+        # raw rep, and the edit_with_moes hook then adds the residual to
+        # the RE-RUN layer's output (liveedit.py:111-114) — i.e. the
+        # residual lands AFTER the rerun, not inside its input.
         resume_lo = cfg.edit_layer_i if cfg.faithful_mid_layer_rerun \
             else cfg.edit_layer_i + 1
 
-        def suffix(h, kv_rows):
+        def suffix(h, kv_rows, lo=None):
             hh = dec.decoder_forward(
-                vparams["decoder"], vcfg.decoder, h, kv_rows, lo=resume_lo)
+                vparams["decoder"], vcfg.decoder, h, kv_rows,
+                lo=resume_lo if lo is None else lo)
             return dec.decoder_logits(vparams["decoder"], vcfg.decoder, hh)
+
+        def edited_suffix(r, res, kv_rows):
+            if cfg.faithful_mid_layer_rerun:
+                rerun = dec.decoder_forward(
+                    vparams["decoder"], vcfg.decoder, r, kv_rows,
+                    lo=cfg.edit_layer_i, hi=cfg.edit_layer_i + 1)
+                return suffix(rerun + res, kv_rows, lo=cfg.edit_layer_i + 1)
+            return suffix(r + res, kv_rows)
 
         def loss_fn(lp):
             logs = {}
@@ -485,7 +499,7 @@ class LiveEditTrainingMixin:
                                lp["instant_reps_norm"]["bias"])
                 t = jax.nn.relu(jnp.einsum("bld,mrd->blmr", x, moe_c))
                 res = jnp.einsum("blmr,mrd,bm->bld", t, moe_r, fuse)
-                return suffix(r + res, kv[rows])
+                return edited_suffix(r, res, kv[rows])
 
             total = 0.0
             # Reliability

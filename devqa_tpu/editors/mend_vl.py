@@ -258,12 +258,17 @@ class MENDvl(VLLMEditor):
         return out
 
     def _transform(self, params, norm_state, captured):
-        """aux transform + rank-1 outer products → {target: (Δ, n)}."""
+        """aux transform + rank-1 outer products → {target: (Δ, n)}.
+
+        ``norm_state`` is keyed by shape (eval: frozen stats) or by
+        "layer.module" (training: the per-module staleness snapshots —
+        see train_step)."""
         deltas = {}
         for (l, m), (xr, dr, w) in captured.items():
             s = self.shape_of[m]
             aux = params["aux"][str(s)]
-            norm = norm_state[str(s)]
+            key = "%d.%s" % (l, m)
+            norm = norm_state[key] if key in norm_state else norm_state[str(s)]
             xt, dt = gt_apply(aux, norm, self.cfg.aux_model, xr, dr, w,
                               self.mode_of[(l, m)])
             lr = params["edit_lrs"]["%d.%s" % (l, m)]
@@ -392,16 +397,27 @@ class MENDvlTrainable(MENDvl):
         vparams = self.vllm.params
         rel: QueryBatch = batch["rel"]
 
-        # Welford stats update happens outside the grad (buffers).
+        # Welford stats update happens outside the grad (buffers), with
+        # the reference's per-module staleness: GradientTransform.forward
+        # in training mode updates the shared stats with THIS module's
+        # rows then normalizes (auxiliary_networks.py:122-140), so the
+        # first module of a shape group is normalized WITHOUT the later
+        # modules' rows. Snapshot the running stats after each module's
+        # update and transform that module with its own snapshot.
         captured = self._capture(
             vparams, (rel.embeds, rel.kv_valid, rel.label_ids,
                       rel.label_masks), False)
-        for (l, m), (xr, dr, w) in captured.items():
-            s = str(self.shape_of[m])
-            self.norm_state[s] = welford_update(self.norm_state[s], xr, dr, w)
+        per_target_norm = {}
+        for s, mods in self.shapes.items():
+            norm = self.norm_state[str(s)]
+            for (l, m) in mods:  # encounter order == reference edit_modules
+                xr, dr, w = captured[(l, m)]
+                norm = welford_update(norm, xr, dr, w)
+                per_target_norm["%d.%s" % (l, m)] = norm
+            self.norm_state[str(s)] = norm
 
         self.params, self._opt_state, loss, logs = self._meta_step_jit(
-            self.params, self._opt_state, self.norm_state, vparams,
+            self.params, self._opt_state, per_target_norm, vparams,
             captured, batch["rel"], batch["gens"], batch["locs"],
             batch.get("extras", {}), batch["B"], batch["G"], batch["K"],
             batch.get("GI_IMG", 0))
@@ -491,11 +507,15 @@ class MENDvlTrainable(MENDvl):
                 lambda path, _: "lrs" if getattr(path[0], "key", "") == "edit_lrs"
                 else "aux", params)
 
-        self._opt = optax.chain(
-            optax.clip_by_global_norm(100.0),  # mend_vl.py:337-338
-            optax.multi_transform(
-                {"aux": optax.adam(cfg.aux_model.lr),
-                 "lrs": optax.adam(cfg.edit_lr_lr)}, label_fn))
+        # The reference clips the grad norm over the AUX params only
+        # (clip_grad_norm_(self.aux_models.parameters(), 100.),
+        # mend_vl.py:337-338) — edit_lrs grads reach Adam unclipped, and
+        # the clip norm excludes them. multi_transform masks the subtree,
+        # so the inner clip sees exactly the aux grads.
+        self._opt = optax.multi_transform(
+            {"aux": optax.chain(optax.clip_by_global_norm(100.0),
+                                optax.adam(cfg.aux_model.lr)),
+             "lrs": optax.adam(cfg.edit_lr_lr)}, label_fn)
         self._opt_state = self._opt.init(self.params)
 
     def get_train_state(self):
