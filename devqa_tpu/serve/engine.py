@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -61,6 +62,11 @@ class BatchingEngine:
         self._budget = np.zeros(n_slots, np.int32)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self.tokens_generated = 0  # ops metric: total tokens across reqs
+        # ops counters for perf triage: where serving wall-clock goes
+        self.decode_dispatches = 0
+        self.decode_s = 0.0
+        self.admit_waves = 0
+        self.admit_s = 0.0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._decode = jax.jit(self._decode_fn)
@@ -150,6 +156,7 @@ class BatchingEngine:
                 break
         if not reqs:
             return tokens
+        t_admit = time.time()
         # Two fixed batch widths (1 for the steady-state dribble of
         # single admissions, n_slots for bursts, padded by repeating row
         # 0): one dispatch per admission wave either way, and the
@@ -195,6 +202,8 @@ class BatchingEngine:
         if (sel >= 0).any():
             self._cache = self._scatter(self._cache, row_cache,
                                         jnp.asarray(sel))
+        self.admit_waves += 1
+        self.admit_s += time.time() - t_admit
         return tokens
 
     def _finish(self, slot):
@@ -231,10 +240,13 @@ class BatchingEngine:
             active = np.array([r is not None for r in self._slots], bool)
             if not active.any():
                 continue
+            t_dec = time.time()
             outs, self._cache = self._decode(
                 self.vllm.params, self._cache, jnp.asarray(tokens),
                 jnp.asarray(active))
             outs = np.asarray(outs)  # [K, n_slots]
+            self.decode_dispatches += 1
+            self.decode_s += time.time() - t_dec
             # Commit the first K-1 tokens inline (stop/budget checked per
             # token; rows finishing mid-scan stop committing — their
             # later scan tokens are overrun and discarded). The last
