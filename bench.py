@@ -439,11 +439,14 @@ def bench_serve(vllm, n_req=None, new_tokens=24):
                "batching_speedup": round(toks / dt / max(seq_tps, 1e-9), 2)}
         log("serve bench:", out)
         log("serve triage: decode %d dispatches %.2fs (%.0fms each), "
-            "admit %d waves %.2fs (%.0fms each)"
+            "admit %d waves %.2fs (%.0fms each: encode %.2fs, prefill "
+            "%.2fs, scatter %.2fs)"
             % (eng.decode_dispatches, eng.decode_s,
                1e3 * eng.decode_s / max(eng.decode_dispatches, 1),
                eng.admit_waves, eng.admit_s,
-               1e3 * eng.admit_s / max(eng.admit_waves, 1)))
+               1e3 * eng.admit_s / max(eng.admit_waves, 1),
+               eng.admit_encode_s, eng.admit_prefill_s,
+               eng.admit_scatter_s))
         return out
     finally:
         eng.shutdown()

@@ -61,16 +61,31 @@ class BatchingEngine:
         self._out_ids: list = [[] for _ in range(n_slots)]
         self._budget = np.zeros(n_slots, np.int32)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # prefill-worker → decode-loop hand-off: bounded so at most a few
+        # waves' KV rows sit in HBM awaiting install
+        self._ready: "queue.Queue" = queue.Queue(maxsize=2)
+        self._pending = None  # partially-installed ready wave
         self.tokens_generated = 0  # ops metric: total tokens across reqs
         # ops counters for perf triage: where serving wall-clock goes
         self.decode_dispatches = 0
         self.decode_s = 0.0
         self.admit_waves = 0
         self.admit_s = 0.0
+        self.admit_encode_s = 0.0   # encode_queries (vision + embeds)
+        self.admit_prefill_s = 0.0  # prefill dispatch + logits fetch
+        self.admit_scatter_s = 0.0  # cache install
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._prefill_thread: Optional[threading.Thread] = None
         self._decode = jax.jit(self._decode_fn)
         self._scatter = jax.jit(self._scatter_fn, static_argnums=())
+        # First-token pick stays ON DEVICE: fetching the full prefill
+        # logits ([width, L, vocab] f32, ~150MB at 2.7b) through a
+        # remote-device tunnel cost seconds per admission wave AND
+        # queued ahead of decode round-trips; this fetches [width] ints.
+        self._first_tok = jax.jit(
+            lambda lg, pos: jnp.argmax(
+                lg[jnp.arange(lg.shape[0]), pos], -1))
 
     # ---------------- device programs ----------------
 
@@ -139,72 +154,115 @@ class BatchingEngine:
             raise TimeoutError("generation timed out")
         return req.text
 
-    def _admit(self, tokens):
-        """Admit queued requests into free slots — BATCHED: one padded
-        encode + one prefill + one multi-row scatter for the whole wave
-        (per-request admission pays a device round-trip each; on remote-
-        dispatch runtimes admission dominated serving cost)."""
+    def _prefill_loop(self):
+        """Prefill worker thread: encode + prefill queued requests into
+        READY waves, overlapped with the decode loop. Admission's host
+        latency (tokenize, image fetch, device round-trips, the logits
+        sync) used to stall decoding with every slot idle — measured
+        2.7s/wave warm through the remote tunnel vs 97ms per decode
+        dispatch, i.e. admission WAS the serving cost. Now the decode
+        loop only pays a cheap scatter-install per wave.
+
+        Two fixed batch widths (1 for the steady-state dribble of single
+        admissions, n_slots for bursts, padded by repeating row 0): one
+        dispatch per wave either way, and the dribble path doesn't pay
+        n_slots× prefill compute. O(1) compiled programs per
+        sequence-length bucket (2)."""
         vllm = self.vllm
-        free = [i for i, r in enumerate(self._slots) if r is None]
-        if not free:
-            return tokens
-        reqs = []
-        while len(reqs) < len(free):
-            try:
-                reqs.append(self._queue.get_nowait())
-            except queue.Empty:
-                break
-        if not reqs:
-            return tokens
-        t_admit = time.time()
-        # Two fixed batch widths (1 for the steady-state dribble of
-        # single admissions, n_slots for bursts, padded by repeating row
-        # 0): one dispatch per admission wave either way, and the
-        # dribble path doesn't pay n_slots× prefill compute. O(1)
-        # compiled programs per sequence-length bucket (2).
-        width = 1 if len(reqs) == 1 else self.n_slots
-        pad = width - len(reqs)
-        qb = vllm.encode_queries(
-            [r.prompt for r in reqs] + [reqs[0].prompt] * pad,
-            [r.image for r in reqs] + [reqs[0].image] * pad,
-            [""] * width)
-        L = qb.embeds.shape[1]
-        logits, row_cache = vllm.prefill(qb.embeds, qb.kv_valid, max_len=L)
-        logits = np.asarray(logits)
-        kv_rows = np.asarray(qb.kv_valid)
-        if L > self.max_len:
-            # Bucket padding can exceed the cache capacity even when every
-            # row's REAL content fits — trim the padded tail (content is
-            # right-padded, so positions >= real_len are invalid filler).
-            # Rejection below stays per-row: one over-long prompt must not
-            # take down the rest of its admission wave.
-            row_cache = {
-                "k": row_cache["k"][:, :, :, :self.max_len],
-                "v": row_cache["v"][:, :, :, :self.max_len],
-                "valid": row_cache["valid"][:, :self.max_len],
-            }
         V, p = vllm.cfg.n_img_tokens, vllm.cfg.img_slot_pos
-        sel = np.full(self.n_slots, -1, np.int32)
-        for j, req in enumerate(reqs):
-            real_len = int(kv_rows[j].sum())
-            if real_len > self.max_len - req.max_new_tokens:
-                req.text = ""
-                req.done.set()
+        while not self._stop.is_set():
+            try:
+                reqs = [self._queue.get(timeout=0.02)]
+            except queue.Empty:
                 continue
-            li = int(qb.prompt_lens[j]) - 1
-            pos = li + V if li >= p else li
-            slot = free.pop(0)
-            sel[slot] = j
-            self._slots[slot] = req
-            self._out_ids[slot] = []
-            self._budget[slot] = req.max_new_tokens
-            tokens[slot] = int(np.argmax(logits[j, pos]))
-        if (sel >= 0).any():
-            self._cache = self._scatter(self._cache, row_cache,
-                                        jnp.asarray(sel))
-        self.admit_waves += 1
-        self.admit_s += time.time() - t_admit
-        return tokens
+            time.sleep(0.003)  # tiny batching window for burst arrivals
+            while len(reqs) < self.n_slots:
+                try:
+                    reqs.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            t_admit = time.time()
+            width = 1 if len(reqs) == 1 else self.n_slots
+            pad = width - len(reqs)
+            qb = vllm.encode_queries(
+                [r.prompt for r in reqs] + [reqs[0].prompt] * pad,
+                [r.image for r in reqs] + [reqs[0].image] * pad,
+                [""] * width)
+            t_enc = time.time()
+            self.admit_encode_s += t_enc - t_admit
+            L = qb.embeds.shape[1]
+            logits, row_cache = vllm.prefill(qb.embeds, qb.kv_valid,
+                                             max_len=L)
+            li = np.asarray(qb.prompt_lens[:width], np.int32) - 1
+            pos = np.where(li >= p, li + V, li)
+            first_toks = np.asarray(self._first_tok(logits,
+                                                    jnp.asarray(pos)))
+            kv_rows = np.asarray(qb.kv_valid)
+            self.admit_prefill_s += time.time() - t_enc
+            if L > self.max_len:
+                # Bucket padding can exceed the cache capacity even when
+                # every row's REAL content fits — trim the padded tail
+                # (content is right-padded, so positions >= real_len are
+                # invalid filler). Rejection below stays per-row: one
+                # over-long prompt must not take down its whole wave.
+                row_cache = {
+                    "k": row_cache["k"][:, :, :, :self.max_len],
+                    "v": row_cache["v"][:, :, :, :self.max_len],
+                    "valid": row_cache["valid"][:, :self.max_len],
+                }
+            entries = []
+            for j, req in enumerate(reqs):
+                real_len = int(kv_rows[j].sum())
+                if real_len > self.max_len - req.max_new_tokens:
+                    req.text = ""
+                    req.done.set()
+                    continue
+                entries.append((req, j, int(first_toks[j])))
+            self.admit_waves += 1
+            self.admit_s += time.time() - t_admit
+            if not entries:
+                continue
+            # Bounded hand-off (backpressure caps resident wave caches).
+            while not self._stop.is_set():
+                try:
+                    self._ready.put((row_cache, entries), timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def _admit(self, tokens):
+        """Install READY prefilled waves into free slots — one
+        multi-row scatter per wave; the heavy work already happened in
+        the prefill worker, overlapped with decoding."""
+        while True:
+            free = [i for i, r in enumerate(self._slots) if r is None]
+            if not free:
+                return tokens
+            if self._pending is None:
+                try:
+                    self._pending = self._ready.get_nowait()
+                except queue.Empty:
+                    return tokens
+            row_cache, entries = self._pending
+            sel = np.full(self.n_slots, -1, np.int32)
+            taken = 0
+            while entries and free:
+                req, j, first_tok = entries.pop(0)
+                slot = free.pop(0)
+                sel[slot] = j
+                self._slots[slot] = req
+                self._out_ids[slot] = []
+                self._budget[slot] = req.max_new_tokens
+                tokens[slot] = first_tok
+                taken += 1
+            if taken:
+                t_sc = time.time()
+                self._cache = self._scatter(self._cache, row_cache,
+                                            jnp.asarray(sel))
+                self.admit_scatter_s += time.time() - t_sc
+            if entries:  # slots ran out: keep the wave's tail pending
+                return tokens
+            self._pending = None
 
     def _finish(self, slot):
         req = self._slots[slot]
@@ -222,12 +280,9 @@ class BatchingEngine:
             active_rows = [i for i, r in enumerate(self._slots)
                            if r is not None]
             if not active_rows:
-                # idle: block briefly for work
-                try:
-                    req = self._queue.get(timeout=self.poll_s)
-                    self._queue.put(req)
-                except queue.Empty:
-                    continue
+                # idle: the prefill worker owns the request queue; just
+                # wait briefly for it to hand over a ready wave
+                time.sleep(self.poll_s)
                 continue
             # commit current next-tokens, retire finished slots
             for i in active_rows:
@@ -268,9 +323,14 @@ class BatchingEngine:
     def start(self):
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        self._prefill_thread = threading.Thread(target=self._prefill_loop,
+                                                daemon=True)
+        self._prefill_thread.start()
         return self
 
     def shutdown(self):
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        if self._prefill_thread is not None:
+            self._prefill_thread.join(timeout=10)
