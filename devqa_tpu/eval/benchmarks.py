@@ -153,3 +153,283 @@ def mme_scores(items: List[MMEItem]) -> Dict[str, dict]:
             total += m["score"]
         out["totals"][etype] = total
     return out
+
+
+# ---------------------------------------------------------------------------
+# MMBench (evaluate_mmbench.py)
+# ---------------------------------------------------------------------------
+
+MMBENCH_CHOICES = ["A", "B", "C", "D", "E"]
+
+#: the reference's exact prompt (evaluate_mmbench.py:183): hint,
+#: question, lettered choices, then the answer-format instruction.
+MMBENCH_PROMPT = ("{hint}\n{question}\n{choices}\nAnswer with the "
+                  "option's letter from the given choices directly.")
+
+
+@dataclass
+class MMBenchItem:
+    index: int
+    image: str           # image path (or base64 ref, resolved by caller)
+    question: str
+    choices: List[str]   # option texts in A..E order
+    hint: str = ""
+    answer: str = ""     # ground-truth letter (dev split; empty on test)
+    l2_category: str = ""
+    prediction: str = ""
+
+
+def load_mmbench(jsonl_path: str) -> List[MMBenchItem]:
+    """Read the reference's annotation JSONL (one object per line with
+    index/image/hint/question/choices[/answer]) — the layout its
+    ``VQADataset.__getitem__`` consumes (evaluate_mmbench.py:93-127)."""
+    import json as _json
+
+    items = []
+    with open(jsonl_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = _json.loads(line)
+            items.append(MMBenchItem(
+                index=d["index"], image=d["image"],
+                question=d["question"], choices=list(d["choices"]),
+                hint=d.get("hint") or "N/A",
+                answer=d.get("answer", "") or "",
+                l2_category=d.get("l2-category", "")))
+    return items
+
+
+def mmbench_prompt(it: MMBenchItem) -> str:
+    choice_txt = "\n".join("%s. %s" % (MMBENCH_CHOICES[i], c)
+                           for i, c in enumerate(it.choices))
+    return MMBENCH_PROMPT.format(hint=it.hint or "N/A",
+                                 question=it.question, choices=choice_txt)
+
+
+def run_mmbench(engine, items: List[MMBenchItem], max_new_tokens: int = 10,
+                image_root: str = "", timeout: float = 600.0
+                ) -> List[MMBenchItem]:
+    """All questions ride the batching engine concurrently (the
+    reference loops a DataLoader through model.generate)."""
+    reqs = [engine.submit(mmbench_prompt(it),
+                          os.path.join(image_root, it.image),
+                          max_new_tokens)
+            for it in items]
+    for it, r in zip(items, reqs):
+        if not r.done.wait(timeout):
+            raise TimeoutError("MMBench timed out: index %s" % it.index)
+        it.prediction = r.text
+    return items
+
+
+def parse_choice(pred: str, n_choices: int) -> str:
+    """First option letter appearing in the prediction ('' if none) —
+    the model is instructed to answer with the bare letter; scan the
+    head so 'A.' / 'The answer is A' both resolve."""
+    valid = MMBENCH_CHOICES[:n_choices]
+    for ch in pred.strip().upper():
+        if ch in valid:
+            return ch
+        if ch.isalnum():
+            # a non-choice word started (e.g. 'YES'): only accept its
+            # leading character, then stop
+            break
+    return ""
+
+
+def mmbench_results(items: List[MMBenchItem]) -> Dict[str, object]:
+    """Submission rows (generate_submission_file, evaluate_mmbench.py:
+    54-68) + dev-split accuracy overall and per l2-category (the test
+    split has no local answers — its rows go to the eval server)."""
+    submission = [{
+        "index": it.index, "question": it.question,
+        "prediction": it.prediction,
+        **{MMBENCH_CHOICES[i]: (it.choices[i] if i < len(it.choices)
+                                else None) for i in range(4)},
+    } for it in items]
+    scored = [it for it in items if it.answer]
+    out: Dict[str, object] = {"submission": submission}
+    if scored:
+        per_cat: Dict[str, List[int]] = defaultdict(list)
+        hits = 0
+        for it in scored:
+            ok = int(parse_choice(it.prediction, len(it.choices))
+                     == it.answer.strip().upper())
+            hits += ok
+            per_cat[it.l2_category or "all"].append(ok)
+        out["accuracy"] = hits / len(scored)
+        out["per_l2_category"] = {k: sum(v) / len(v)
+                                  for k, v in per_cat.items()}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# VQA (evaluate_vqa.py + vqa_eval.py VQAEval protocol)
+# ---------------------------------------------------------------------------
+
+#: the reference's exact open-ended prompt (evaluate_vqa.py:162)
+VQA_PROMPT = "{}\nAnswer the question using a single word or phrase."
+
+_VQA_CONTRACTIONS = {
+    "aint": "ain't", "arent": "aren't", "cant": "can't",
+    "couldve": "could've", "couldnt": "couldn't",
+    "couldn'tve": "couldn't've", "couldnt've": "couldn't've",
+    "didnt": "didn't", "doesnt": "doesn't", "dont": "don't",
+    "hadnt": "hadn't", "hadnt've": "hadn't've", "hadn'tve": "hadn't've",
+    "hasnt": "hasn't", "havent": "haven't", "hed": "he'd",
+    "hed've": "he'd've", "he'dve": "he'd've", "hes": "he's",
+    "howd": "how'd", "howll": "how'll", "hows": "how's",
+    "Id've": "I'd've", "I'dve": "I'd've", "Im": "I'm", "Ive": "I've",
+    "isnt": "isn't", "itd": "it'd", "itd've": "it'd've",
+    "it'dve": "it'd've", "itll": "it'll", "let's": "let's",
+    "maam": "ma'am", "mightnt": "mightn't", "mightnt've": "mightn't've",
+    "mightn'tve": "mightn't've", "mightve": "might've",
+    "mustnt": "mustn't", "mustve": "must've", "neednt": "needn't",
+    "notve": "not've", "oclock": "o'clock", "oughtnt": "oughtn't",
+    "ow's'at": "'ow's'at", "'ows'at": "'ow's'at", "'ow'sat": "'ow's'at",
+    "shant": "shan't", "shed've": "she'd've", "she'dve": "she'd've",
+    "she's": "she's", "shouldve": "should've", "shouldnt": "shouldn't",
+    "shouldnt've": "shouldn't've", "shouldn'tve": "shouldn't've",
+    "somebody'd": "somebodyd", "somebodyd've": "somebody'd've",
+    "somebody'dve": "somebody'd've", "somebodyll": "somebody'll",
+    "somebodys": "somebody's", "someoned": "someone'd",
+    "someoned've": "someone'd've", "someone'dve": "someone'd've",
+    "someonell": "someone'll", "someones": "someone's",
+    "somethingd": "something'd", "somethingd've": "something'd've",
+    "something'dve": "something'd've", "somethingll": "something'll",
+    "thats": "that's", "thered": "there'd", "thered've": "there'd've",
+    "there'dve": "there'd've", "therere": "there're", "theres": "there's",
+    "theyd": "they'd", "theyd've": "they'd've", "they'dve": "they'd've",
+    "theyll": "they'll", "theyre": "they're", "theyve": "they've",
+    "twas": "'twas", "wasnt": "wasn't", "wed've": "we'd've",
+    "we'dve": "we'd've", "weve": "we've", "werent": "weren't",
+    "whatll": "what'll", "whatre": "what're", "whats": "what's",
+    "whatve": "what've", "whens": "when's", "whered": "where'd",
+    "wheres": "where's", "whereve": "where've", "whod": "who'd",
+    "whod've": "who'd've", "who'dve": "who'd've", "wholl": "who'll",
+    "whos": "who's", "whove": "who've", "whyll": "why'll",
+    "whyre": "why're", "whys": "why's", "wont": "won't",
+    "wouldve": "would've", "wouldnt": "wouldn't",
+    "wouldnt've": "wouldn't've", "wouldn'tve": "wouldn't've",
+    "yall": "y'all", "yall'll": "y'all'll", "y'allll": "y'all'll",
+    "yall'd've": "y'all'd've", "y'alld've": "y'all'd've",
+    "y'all'dve": "y'all'd've", "youd": "you'd", "youd've": "you'd've",
+    "you'dve": "you'd've", "youll": "you'll", "youre": "you're",
+    "youve": "you've",
+}
+_VQA_DIGITS = {"none": "0", "zero": "0", "one": "1", "two": "2",
+               "three": "3", "four": "4", "five": "5", "six": "6",
+               "seven": "7", "eight": "8", "nine": "9", "ten": "10"}
+_VQA_ARTICLES = ("a", "an", "the")
+_VQA_PUNCT = (";", "/", "[", "]", '"', "{", "}", "(", ")", "=", "+",
+              "\\", "_", "-", ">", "<", "@", "`", ",", "?", "!")
+
+
+def vqa_normalize(ans: str) -> str:
+    """The VQAEval answer normalization (vqa_eval.py:254-280):
+    punctuation stripping with the comma-in-number rule, period strip,
+    word-number mapping, article removal, contraction repair."""
+    import re as _re
+
+    out = ans.replace("\n", " ").replace("\t", " ").strip()
+    comma_num = _re.search(r"(\d)(,)(\d)", out) is not None
+    text = out
+    for p in _VQA_PUNCT:
+        if (p + " " in text or " " + p in text) or comma_num:
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    out = _re.sub(r"(?!<=\d)(\.)(?!\d)", "", out)
+    words = []
+    for w in out.lower().split():
+        w = _VQA_DIGITS.get(w, w)
+        if w not in _VQA_ARTICLES:
+            words.append(w)
+    words = [_VQA_CONTRACTIONS.get(w, w) for w in words]
+    return " ".join(words)
+
+
+@dataclass
+class VQAItem:
+    question_id: int
+    image: str
+    question: str
+    answers: List[str]   # ground-truth answer list (10 for VQAv2)
+    question_type: str = ""
+    answer_type: str = ""
+    prediction: str = ""
+
+
+def load_vqa_jsonl(path: str) -> List[VQAItem]:
+    """The reference's test JSONL layout (evaluate_vqa.py:96-110):
+    one object per line with image/question/question_id[/answer]."""
+    import json as _json
+
+    items = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = _json.loads(line)
+            a = d.get("answer")
+            answers = a if isinstance(a, list) else ([a] if a else [])
+            items.append(VQAItem(
+                question_id=d["question_id"], image=d["image"],
+                question=d["question"], answers=answers,
+                question_type=d.get("question_type", ""),
+                answer_type=d.get("answer_type", "")))
+    return items
+
+
+def run_vqa(engine, items: List[VQAItem], max_new_tokens: int = 10,
+            image_root: str = "", timeout: float = 600.0) -> List[VQAItem]:
+    reqs = [engine.submit(VQA_PROMPT.format(it.question),
+                          os.path.join(image_root, it.image),
+                          max_new_tokens)
+            for it in items]
+    for it, r in zip(items, reqs):
+        if not r.done.wait(timeout):
+            raise TimeoutError("VQA timed out: qid %s" % it.question_id)
+        it.prediction = r.text
+    return items
+
+
+def vqa_scores(items: List[VQAItem]) -> Dict[str, object]:
+    """VQAEval.evaluate (vqa_eval.py:194-253): per-question accuracy is
+    the mean over each annotator of min(1, matches-among-the-OTHER-9/3),
+    with normalization applied to the prediction always and to the
+    ground truths only when they disagree; rounded overall/per-type
+    percentages."""
+    acc_qa: List[float] = []
+    per_qtype: Dict[str, List[float]] = defaultdict(list)
+    per_atype: Dict[str, List[float]] = defaultdict(list)
+    for it in items:
+        if not it.answers:
+            continue
+        res = vqa_normalize(it.prediction)
+        gt = list(it.answers)
+        if len(set(gt)) > 1:
+            gt = [vqa_normalize(g) for g in gt]
+        accs = []
+        for i in range(len(gt)):
+            others = gt[:i] + gt[i + 1:]
+            accs.append(min(1.0, sum(o == res for o in others) / 3.0))
+        acc = sum(accs) / len(accs)
+        acc_qa.append(acc)
+        if it.question_type:
+            per_qtype[it.question_type].append(acc)
+        if it.answer_type:
+            per_atype[it.answer_type].append(acc)
+    if not acc_qa:
+        return {"overall": 0.0, "n": 0}
+    return {
+        "overall": round(100.0 * sum(acc_qa) / len(acc_qa), 2),
+        "perQuestionType": {k: round(100.0 * sum(v) / len(v), 2)
+                            for k, v in per_qtype.items()},
+        "perAnswerType": {k: round(100.0 * sum(v) / len(v), 2)
+                          for k, v in per_atype.items()},
+        "n": len(acc_qa),
+    }
