@@ -7,9 +7,9 @@ The reference drives MME/MMBench/MMMU/VQA through per-benchmark torch
 DataLoader scripts (``mPLUG_Owl2/mplug_owl2/evaluate/evaluate_mme.py``);
 here one CLI feeds the benchmark's questions through the
 continuous-batching serve engine and reproduces the reference's scoring
-(see eval/benchmarks.py). MME is implemented; the other runners share
-its generate-and-parse shape and can reuse ``run_mme``'s engine loop
-with their own scorers.
+(see eval/benchmarks.py). MME, MMBench (annotation JSONL; prints dev
+accuracy and writes the submission rows) and VQA (test JSONL; VQAEval
+protocol) are implemented.
 """
 from __future__ import annotations
 
@@ -20,9 +20,10 @@ import json
 def get_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-bm", "--benchmark", type=str, default="mme",
-                   choices=["mme"])
+                   choices=["mme", "mmbench", "vqa"])
     p.add_argument("-bd", "--benchmark_dir", type=str, required=True,
-                   help="MME-format dir of <task>.txt files")
+                   help="MME: dir of <task>.txt files; MMBench: "
+                        "annotation .jsonl; VQA: test .jsonl")
     p.add_argument("-mn", "--edit_model_name", type=str, required=True)
     p.add_argument("-wd", "--weights_dir", type=str, default=None)
     p.add_argument("-ir", "--img_root_dir", type=str, default="")
@@ -35,28 +36,49 @@ def get_args():
 
 def main():
     args = get_args()
-    from ..eval.benchmarks import load_mme, mme_scores, run_mme
+    from ..eval import benchmarks as B
     from ..serve.engine import BatchingEngine
     from ..utils.registry import load_vllm_for_edit
 
+    loaders = {"mme": B.load_mme, "mmbench": B.load_mmbench,
+               "vqa": B.load_vqa_jsonl}
+    runners = {"mme": B.run_mme, "mmbench": B.run_mmbench,
+               "vqa": B.run_vqa}
+    scorers = {"mme": B.mme_scores, "mmbench": B.mmbench_results,
+               "vqa": B.vqa_scores}
     vllm = load_vllm_for_edit(args.edit_model_name,
                               weights_dir=args.weights_dir)
-    items = load_mme(args.benchmark_dir)
+    items = loaders[args.benchmark](args.benchmark_dir)
     if not items:
-        raise SystemExit("no <task>.txt files under %s" % args.benchmark_dir)
+        raise SystemExit("no benchmark items under %s" % args.benchmark_dir)
     engine = BatchingEngine(vllm, n_slots=args.n_slots,
                             max_len=args.max_len).start()
     try:
-        run_mme(engine, items, max_new_tokens=args.max_new_tokens,
-                image_root=args.img_root_dir)
+        runners[args.benchmark](engine, items,
+                                max_new_tokens=args.max_new_tokens,
+                                image_root=args.img_root_dir)
     finally:
         engine.shutdown()
-    scores = mme_scores(items)
-    for etype, total in scores["totals"].items():
-        print("=========== %s: %.2f ===========" % (etype, total))
-        for task, m in scores["tasks"].items():
-            print("\t%s score: %.2f (acc %.3f, acc+ %.3f)"
-                  % (task, m["score"], m["acc"], m["acc_plus"]))
+    scores = scorers[args.benchmark](items)
+    if args.benchmark == "mme":
+        for etype, total in scores["totals"].items():
+            print("=========== %s: %.2f ===========" % (etype, total))
+            for task, m in scores["tasks"].items():
+                print("\t%s score: %.2f (acc %.3f, acc+ %.3f)"
+                      % (task, m["score"], m["acc"], m["acc_plus"]))
+    elif args.benchmark == "mmbench":
+        if "accuracy" in scores:
+            print("MMBench dev accuracy: %.4f" % scores["accuracy"])
+            for k, v in scores["per_l2_category"].items():
+                print("\t%s: %.4f" % (k, v))
+        else:
+            print("MMBench test split: %d submission rows (no local "
+                  "answers)" % len(scores["submission"]))
+    else:
+        print("VQA score: %.2f over %d questions"
+              % (scores["overall"], scores["n"]))
+        for k, v in scores.get("perAnswerType", {}).items():
+            print("\t%s: %.2f" % (k, v))
     if args.out_path:
         with open(args.out_path, "w") as f:
             json.dump(scores, f, indent=1)
