@@ -472,7 +472,8 @@ def total_jit_cache_size(*objs):
 
 
 def bench_sequential_1000(vllm, editor, tmp, bucket, max_rows,
-                          dec_ftok, vis_fimg, peak):
+                          dec_ftok, vis_fimg, peak,
+                          pre_rows=None, post_rows=None):
     """BASELINE.md's north-star workload: 1000 sequential edits
     accumulated in ONE split (the reference's ``-sen 1000`` protocol,
     vllm_editor_eval.py:69-135 — pre-edit snapshots for all cases, 1000
@@ -502,7 +503,8 @@ def bench_sequential_1000(vllm, editor, tmp, bucket, max_rows,
     fe = FusedEditorEvaluation(
         editor, data, evaluation_name="seq1000",
         results_dir=os.path.join(sub, "res"), max_rows=max_rows,
-        pad_rows=True, hoist_pre=True, edit_chunk=10)
+        pad_rows=True, hoist_pre=True, edit_chunk=10,
+        pre_rows=pre_rows, post_rows=post_rows)
     shapes0 = total_jit_cache_size(vllm, editor)
     c0 = dict(vllm.counters)
     t0 = time.time()
@@ -625,6 +627,14 @@ def main():
     # default is the driver's quick 20-case timing.
     n_timed_cases = int(os.environ.get("BENCH_CASES", "20"))
     max_rows = int(os.environ.get("BENCH_MAX_ROWS", "60"))
+    # Per-pass exact-fit chunks: the hoisted pre (locality) pass emits
+    # 9 rows/case and the post pass 12 rows/case on the EVQA grid, so
+    # 90/120 divide every split with ZERO padding while keeping the
+    # larger-chunk efficiency (swept on v5e: 120-row chunks run ~10%
+    # more rows/s than 60-row, but a padded tail eats the gain — exact
+    # fits keep it).
+    pre_rows = int(os.environ.get("BENCH_PRE_ROWS", "90"))
+    post_rows = int(os.environ.get("BENCH_POST_ROWS", "120"))
     img_pad = int(os.environ.get("BENCH_IMG_PAD", "4"))  # A/B'd: 4 > 8 > 16
     # Real prompts tokenize longer than the synthetic ones; widen the
     # bucket so the whole run still compiles O(1) programs.
@@ -660,10 +670,11 @@ def main():
         data = EVQA(path, tmp, encoder=hash_encoder(16))
         cases = data.data
 
-        # ---- fused split pipeline (public API). 60-row chunks divide
-        # both the hoisted 9-per-case locality pass and the 12-per-case
-        # post pass with zero padding waste, and big rows keep the MXU
-        # busy (measured: 60 beats 30 by ~1.5x end to end) ----
+        # ---- fused split pipeline (public API). Per-pass exact-fit
+        # chunks (pre 90 / post 120 rows) divide the 9-per-case locality
+        # pass and the 12-per-case post pass with zero padding waste,
+        # and big rows keep the MXU busy (measured: 60 beats 30 by ~1.5x
+        # end to end; 120 adds ~10%/row over 60 when it fits exactly) ----
         import copy
 
         def sliced(lo, hi):
@@ -683,7 +694,8 @@ def main():
             fe = FusedEditorEvaluation(
                 editor, eval_data, evaluation_name=name,
                 results_dir=os.path.join(tmp, "res"),
-                max_rows=max_rows, pad_rows=True, hoist_pre=True)
+                max_rows=max_rows, pad_rows=True, hoist_pre=True,
+                pre_rows=pre_rows, post_rows=post_rows)
             fe_box["fe"] = fe
             # Keep stdout clean: the driver expects exactly one JSON line.
             with contextlib.redirect_stdout(sys.stderr):
@@ -820,7 +832,8 @@ def main():
             "BENCH_SEQ1000", 250,
             lambda: bench_sequential_1000(vllm, editor, tmp, bucket,
                                           max_rows, dec_ftok, vis_fimg,
-                                          peak))
+                                          peak, pre_rows=pre_rows,
+                                          post_rows=post_rows))
         train_res = run_phase("BENCH_TRAIN", 120,
                               lambda: bench_train_step(vllm))
         # The train phase is the last user of the 2.7b model: free its

@@ -395,12 +395,21 @@ class FusedEditorEvaluation(EditorEvaluation):
 
     def __init__(self, *args, max_rows: int = 96, pad_rows: bool = True,
                  hoist_pre: bool = True, edit_chunk: Optional[int] = None,
-                 **kw):
+                 pre_rows: Optional[int] = None,
+                 post_rows: Optional[int] = None, **kw):
         super().__init__(*args, **kw)
         self.max_rows = max_rows
-        # Pad every chunk to exactly max_rows so ONE compiled program
-        # serves all passes (remote-compile runtimes pay dearly per shape).
+        # Pad every chunk to exactly the pass's row count so ONE compiled
+        # program per pass serves the whole run (remote-compile runtimes
+        # pay dearly per shape). The pre (locality-snapshot) and post
+        # (full-grid) passes have different natural row multiples —
+        # 9/case vs 12/case on the EVQA grid — so each can take its own
+        # chunk size: larger exact-fit chunks raise per-row efficiency
+        # without padding waste (measured on v5e: 120-row chunks beat
+        # 60-row by ~10%/row, but one padded tail chunk eats the gain).
         self.pad_rows = pad_rows
+        self.pre_rows = pre_rows or max_rows
+        self.post_rows = post_rows or max_rows
         # Cap on requests per edit_batch call: a split accumulating N
         # edits (e.g. the 1000-sequential-edit protocol) is applied as
         # ceil(N/edit_chunk) batched calls, so the edit program keeps ONE
@@ -416,7 +425,7 @@ class FusedEditorEvaluation(EditorEvaluation):
         # per-split decoder tokens.
         self.hoist_pre = hoist_pre
 
-    def _dispatch_probe_rows(self, specs, edited: bool):
+    def _dispatch_probe_rows(self, specs, edited: bool, rows=None):
         """Dispatch probe specs (chunked) to the device WITHOUT fetching:
         returns a pending list for :meth:`_collect_probe_rows`. JAX's
         async dispatch pipelines device work across chunks — and across
@@ -425,13 +434,14 @@ class FusedEditorEvaluation(EditorEvaluation):
         host-side result assembly (significant on tunneled runtimes)."""
         if not specs:  # e.g. cases with no locality probes at all
             return []
+        rows = rows or self.max_rows
         vllm = self.editor.vllm
         pending = []
-        for i in range(0, len(specs), self.max_rows):
-            chunk = specs[i:i + self.max_rows]
+        for i in range(0, len(specs), rows):
+            chunk = specs[i:i + rows]
             real = len(chunk)
-            if self.pad_rows and real < self.max_rows:
-                chunk = chunk + [chunk[-1]] * (self.max_rows - real)
+            if self.pad_rows and real < rows:
+                chunk = chunk + [chunk[-1]] * (rows - real)
             prompts = [s.prompt for s in chunk]
             images = [s.image for s in chunk]
             targets = [s.target for s in chunk]
@@ -525,7 +535,8 @@ class FusedEditorEvaluation(EditorEvaluation):
             # __init__ docstring for why this is protocol-equivalent).
             pre_specs, pre_slices = gather_loc_specs(
                 [c for split in splits for c in split])
-            pre_hoisted = (self._dispatch_probe_rows(pre_specs, False),
+            pre_hoisted = (self._dispatch_probe_rows(pre_specs, False,
+                                                     rows=self.pre_rows),
                            pre_slices)
         per_split = []
         for split in splits:
@@ -535,7 +546,8 @@ class FusedEditorEvaluation(EditorEvaluation):
                 # split's restore and before this split's edits — the
                 # device-order the protocol requires.
                 ps, sl = gather_loc_specs(split)
-                pre_own = (self._dispatch_probe_rows(ps, False), sl)
+                pre_own = (self._dispatch_probe_rows(ps, False,
+                                                     rows=self.pre_rows), sl)
             # Edit: batched when exactly equivalent.
             requests = [r for case in split for r in case.requests]
             start = time.time()
@@ -554,7 +566,8 @@ class FusedEditorEvaluation(EditorEvaluation):
                 slices.append((len(all_specs), len(all_specs) + len(specs),
                                specs))
                 all_specs.extend(specs)
-            post_pending = self._dispatch_probe_rows(all_specs, True)
+            post_pending = self._dispatch_probe_rows(all_specs, True,
+                                                     rows=self.post_rows)
             editor.restore_to_original_model()
             per_split.append((split, slices, post_pending, per_edit, pre_own))
 

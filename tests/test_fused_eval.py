@@ -40,6 +40,13 @@ class TestFusedEquivalence:
         r2 = ev2.evaluate_sequential_edit(edit_n=2)
         assert collect_accs(r1) == collect_accs(r2)
 
+        # Per-pass chunk sizes (pre vs post row chunks, bench's exact-fit
+        # geometry) are a pure dispatch-shape choice — metrics identical.
+        ev3 = FusedEditorEvaluation(editor, data, "B2", str(tmp_path / "r4"),
+                                    max_rows=16, pre_rows=9, post_rows=12)
+        r3 = ev3.evaluate_sequential_edit(edit_n=2)
+        assert collect_accs(r1) == collect_accs(r3)
+
     def test_ike_like_sequential_editor_falls_back(self, tmp_path):
         """Editors without exact batch-edit go through the sequential edit
         loop inside the fused harness."""
