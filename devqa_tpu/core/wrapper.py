@@ -89,7 +89,12 @@ class JaxVLLM:
         # that compute is performed), decoder_tokens counts padded tokens
         # through vllm.logits. Editors with their own jitted query paths
         # are counted at the harness chokepoint instead.
-        self.counters = {"images_encoded": 0, "decoder_tokens": 0}
+        # images_encoded counts DEVICE rows (incl. fixed-batch padding —
+        # what the chip computed); images_unique counts distinct cache
+        # misses (useful work). MFU accounting uses the useful count so
+        # batch padding can never inflate the reported utilization.
+        self.counters = {"images_encoded": 0, "images_unique": 0,
+                         "decoder_tokens": 0}
 
         # All jitted entry points are INSTANCE-held closures over the
         # (small, frozen) cfg — never @jax.jit on methods with a static
@@ -164,6 +169,7 @@ class JaxVLLM:
             bp = self.img_batch_pad
             self.counters["images_encoded"] += bp * (
                 (len(todo) + bp - 1) // bp)
+            self.counters["images_unique"] += len(todo)
             for lo in range(0, len(todo), bp):
                 chunk = todo[lo:lo + bp]
                 imgs = [self.image_provider(p) for p in chunk]

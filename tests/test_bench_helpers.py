@@ -13,9 +13,11 @@ def load_bench():
 
 
 class FakeVLLM:
-    def __init__(self, dec_tokens, images):
+    def __init__(self, dec_tokens, images, unique=None):
         self.counters = {"decoder_tokens": dec_tokens,
                          "images_encoded": images}
+        if unique is not None:
+            self.counters["images_unique"] = unique
 
 
 class TestMfuAccounting:
@@ -46,6 +48,21 @@ class TestMfuAccounting:
             vllm, c0, probe_tokens=0, dt=1.0,
             dec_ftok=1.0, vis_fimg=1.0, peak=1.0)
         assert dec_tokens == 750
+
+    def test_vision_padding_cannot_inflate_mfu(self):
+        """Vision FLOPs count UNIQUE encodes; the padded device rows only
+        show up as vision_pad_frac."""
+        b = load_bench()
+        vllm = FakeVLLM(dec_tokens=0, images=0, unique=0)
+        c0 = dict(vllm.counters)
+        vllm.counters["images_encoded"] += 16   # 2 padded batches of 8
+        vllm.counters["images_unique"] += 10    # only 10 real misses
+        _, n_imgs, mfu = b.mfu_accounting(
+            vllm, c0, probe_tokens=0, dt=1.0,
+            dec_ftok=1.0, vis_fimg=100.0, peak=1e3)
+        assert n_imgs == 10
+        assert mfu["mfu_vision"] == 1.0          # 10*100 / 1e3
+        assert mfu["vision_pad_frac"] == 0.375   # 6/16 padded
 
 
 class TestAwaitTpu:
