@@ -877,6 +877,15 @@ def main():
         except Exception as e:
             log("live_arrays unavailable:", repr(e))
         llava_res = run_phase("BENCH_LLAVA", 180, bench_llava_pipeline)
+        # Free the llava phase's 4096-wide model + jit executables before
+        # the flash phase: its L=4096 XLA-attention op microbench
+        # materializes ~4GB of O(L^2) f32 scores next to ANOTHER 8-layer
+        # vicuna init, and the two models together RESOURCE_EXHAUST the
+        # chip (observed: op microbench OOM'd while the llava weights
+        # were still cache-pinned).
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
         flash_res = run_phase(
             "BENCH_FLASH", 120,
             lambda: bench_flash_regime(deadline=t_start + phase_cap))
