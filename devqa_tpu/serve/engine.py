@@ -57,6 +57,25 @@ class BatchingEngine:
         dcfg = vllm.cfg.decoder
         dtype = vllm.params["decoder"]["embed_tokens"].dtype
         self._cache = dec.init_kv_cache(dcfg, n_slots, max_len, dtype)
+        # Tensor-parallel serving: with a tp mesh on the wrapper, the
+        # decoder's k/v projections are column-parallel (head features
+        # sharded over tp — parallel/sharding.py), so the KV cache
+        # shards its HEADS axis the same way; decode/prefill/scatter
+        # then compile as SPMD programs with XLA-inserted collectives
+        # and per-device cache memory of 1/tp. Shardings ride on the
+        # arrays, so the engine's worker threads need no mesh context.
+        mesh = getattr(vllm, "mesh", None)
+        if mesh is not None and "tp" in mesh.axis_names \
+                and dcfg.n_heads % mesh.shape["tp"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            kv_s = NamedSharding(mesh, P(None, None, "tp", None, None))
+            rep = NamedSharding(mesh, P())
+            self._cache = {
+                "k": jax.device_put(self._cache["k"], kv_s),
+                "v": jax.device_put(self._cache["v"], kv_s),
+                "valid": jax.device_put(self._cache["valid"], rep),
+            }
         self._slots: list = [None] * n_slots
         self._out_ids: list = [[] for _ in range(n_slots)]
         self._budget = np.zeros(n_slots, np.int32)

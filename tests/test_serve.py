@@ -274,3 +274,50 @@ class TestBatchingEngine:
         finally:
             eng.shutdown()
         assert got == want, (got, want)
+
+
+class TestTensorParallelServing:
+    def test_tp_sharded_engine_matches_unsharded(self):
+        """Production serving shape for the 7B backbones: params
+        Megatron-sharded over tp, the engine's KV cache sharded on its
+        HEADS axis to match the column-parallel k/v projections — the
+        decode/prefill/scatter programs compile as SPMD with XLA
+        collectives, and token streams are identical to the
+        single-device engine. (Reference counterpart: model_worker.py
+        serves one request per GPU with no model sharding at all.)"""
+        from devqa_tpu.core.wrapper import JaxVLLM
+        from devqa_tpu.parallel.mesh import make_mesh
+        from devqa_tpu.parallel.sharding import shard_params
+        from devqa_tpu.serve.engine import BatchingEngine
+
+        prompts = [("what is near the tree", "imgA.jpg"),
+                   ("who wrote the book The answer is:", None),
+                   ("what color is the sky", "imgB.jpg")]
+        vllm = make_tiny_vllm()
+        eng = BatchingEngine(vllm, n_slots=2, max_len=96).start()
+        try:
+            reqs = [eng.submit(p, img, max_new_tokens=5)
+                    for p, img in prompts]
+            for r in reqs:
+                assert r.done.wait(300)
+            want = [r.text for r in reqs]
+        finally:
+            eng.shutdown()
+
+        mesh = make_mesh(dp=4, tp=2)
+        v2 = make_tiny_vllm()
+        sv = JaxVLLM(v2.cfg, shard_params(v2.params, mesh), v2.tokenizer,
+                     v2.image_provider, bucket_multiple=8, mesh=mesh)
+        eng2 = BatchingEngine(sv, n_slots=2, max_len=96,
+                              steps_per_dispatch=2).start()
+        try:
+            spec = eng2._cache["k"].sharding.spec
+            assert "tp" in str(spec), spec  # heads axis really sharded
+            reqs = [eng2.submit(p, img, max_new_tokens=5)
+                    for p, img in prompts]
+            for r in reqs:
+                assert r.done.wait(300)
+            got = [r.text for r in reqs]
+        finally:
+            eng2.shutdown()
+        assert got == want, (got, want)
