@@ -482,7 +482,7 @@ def total_jit_cache_size(*objs):
     return n
 
 
-def bench_sequential_1000(vllm, editor, tmp, bucket, max_rows,
+def bench_sequential_1000(vllm, editor, tmp, max_rows,
                           dec_ftok, vis_fimg, peak,
                           pre_rows=None, post_rows=None):
     """BASELINE.md's north-star workload: 1000 sequential edits
@@ -845,7 +845,7 @@ def main():
         serve_res = run_phase("BENCH_SERVE", 150, lambda: bench_serve(vllm))
         seq1000_res = run_phase(
             "BENCH_SEQ1000", 250,
-            lambda: bench_sequential_1000(vllm, editor, tmp, bucket,
+            lambda: bench_sequential_1000(vllm, editor, tmp,
                                           max_rows, dec_ftok, vis_fimg,
                                           peak, pre_rows=pre_rows,
                                           post_rows=post_rows))

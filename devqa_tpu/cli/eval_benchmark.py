@@ -61,9 +61,14 @@ def main():
         engine.shutdown()
     scores = scorers[args.benchmark](items)
     if args.benchmark == "mme":
+        # per eval type: total, then ONLY that type's task rows (the
+        # reference's process_result layout, evaluate_mme.py:106-166)
         for etype, total in scores["totals"].items():
             print("=========== %s: %.2f ===========" % (etype, total))
-            for task, m in scores["tasks"].items():
+            for task in B.MME_EVAL_TYPES[etype]:
+                m = scores["tasks"].get(task)
+                if m is None:
+                    continue
                 print("\t%s score: %.2f (acc %.3f, acc+ %.3f)"
                       % (task, m["score"], m["acc"], m["acc_plus"]))
     elif args.benchmark == "mmbench":

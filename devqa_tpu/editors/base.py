@@ -76,7 +76,19 @@ class VLLMEditor(ABC):
     def edit_one_piece(self, request: EditRequest) -> None:
         ...
 
-    def edit_batch(self, requests: List[EditRequest]) -> None:
+    def edit_batch(self, requests: List[EditRequest],
+                   pad_width: Optional[int] = None) -> None:
+        """Apply a batch of edits.
+
+        ``pad_width`` is an optional shape-stability HINT: an editor MAY
+        pad its device batch to this width — masking the padding out of
+        its state update — so a ragged tail chunk reuses the already
+        compiled program (the fused harness passes its ``edit_chunk``).
+        Padding is only exact when the state update can mask padded rows
+        without changing results (LiveEdit's independent ring appends
+        can; FT/MEND-style batch-mean objectives cannot), so the default
+        and most editors ignore the hint.
+        """
         if not self.if_can_batch_edit():
             raise NotImplementedError(
                 "%s does not support batch editing" % type(self).__name__)

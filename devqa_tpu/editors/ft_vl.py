@@ -111,7 +111,9 @@ class FTvl(VLLMEditor):
         ws, _, steps, last_loss = jax.lax.while_loop(cond, body, init)
         return ws, steps, last_loss
 
-    def edit_batch(self, requests: List[EditRequest]):
+    def edit_batch(self, requests: List[EditRequest], pad_width=None):
+        # pad_width ignored: the FT objective batch-means over rows, so
+        # padding would change the optimized loss (base.edit_batch).
         qb = self.vllm.encode_queries(
             [r["prompt"] for r in requests],
             [r.get("image") for r in requests],

@@ -276,7 +276,7 @@ class LiveEdit(VLLMEditor):
 
     @instance_jit()
     def _edit_batch_jit(self, lparams, state, vparams, embeds, kv_valid,
-                        query_ends):
+                        query_ends, n_real):
         cfg = self.cfg
         vcfg = self.vllm.cfg
         reps = dec.decoder_forward(
@@ -287,17 +287,22 @@ class LiveEdit(VLLMEditor):
         eqr, evr, moe_c, moe_r = extract_new_edit(
             lparams, cfg, reps, vision_mask, query_mask, ans_mask)
         i = state["count"]
-        n = embeds.shape[0]
-        idx = (i + jnp.arange(n)) % state["eqr"].shape[0]  # ring wrap
+        cap = state["eqr"].shape[0]
+        pos = jnp.arange(embeds.shape[0])
+        # Real rows ring-wrap; PADDING rows (pos >= n_real, the traced
+        # real count) scatter out of bounds on purpose — JAX drops OOB
+        # scatter updates — so a width-padded call leaves a state
+        # IDENTICAL to the unpadded one (count advances by n_real).
+        idx = jnp.where(pos < n_real, (i + pos) % cap, cap)
         return {
             "eqr": state["eqr"].at[idx].set(eqr),
             "evr": state["evr"].at[idx].set(evr),
             "moe_c": state["moe_c"].at[idx].set(moe_c),
             "moe_r": state["moe_r"].at[idx].set(moe_r),
-            "count": i + n,
+            "count": i + n_real,
         }
 
-    def edit_batch(self, requests):
+    def edit_batch(self, requests, pad_width=None):
         cap = int(self.state["eqr"].shape[0])
         if len(requests) > cap:
             # More requests than pool capacity: only the LAST cap survive
@@ -308,13 +313,21 @@ class LiveEdit(VLLMEditor):
                               count=self.state["count"]
                               + (len(requests) - cap))
             requests = requests[-cap:]
+        n_real = len(requests)
+        if pad_width and pad_width > n_real:
+            # Shape-stability hint honored exactly (base.edit_batch):
+            # padded duplicate rows are masked out of the scatter above,
+            # so a ragged tail chunk reuses the compiled width.
+            requests = list(requests) \
+                + [requests[-1]] * (pad_width - n_real)
         qb = self.vllm.encode_queries(
             [r["prompt"] for r in requests],
             [r.get("image") for r in requests],
             [r["target_new"] for r in requests])
         qe = jnp.asarray(self.vllm.query_end_positions(qb))
         self.state = self._edit_batch_jit(
-            self.params, self.state, self.vllm.params, qb.embeds, qb.kv_valid, qe)
+            self.params, self.state, self.vllm.params, qb.embeds,
+            qb.kv_valid, qe, jnp.asarray(n_real, jnp.int32))
 
     # ---------------- inference ----------------
 

@@ -307,7 +307,9 @@ class MENDvl(VLLMEditor):
             out[key] = {"dw": dw, "n": tot}
         return out
 
-    def edit_batch(self, requests: List[EditRequest]):
+    def edit_batch(self, requests: List[EditRequest], pad_width=None):
+        # pad_width ignored: running-mean deltas average over batch rows,
+        # so padding would reweight the update (base.edit_batch).
         qb = self.vllm.encode_queries(
             [r["prompt"] for r in requests],
             [r.get("image") for r in requests],

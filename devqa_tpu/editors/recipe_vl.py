@@ -222,7 +222,9 @@ class RECIPEvl(VLLMEditor):
             "count": self.state["count"] + 1,
         }
 
-    def edit_batch(self, requests: List[EditRequest]):
+    def edit_batch(self, requests: List[EditRequest], pad_width=None):
+        # pad_width irrelevant: edits apply one piece at a time, so the
+        # compiled width is always 1 (base.edit_batch).
         for r in requests:
             self.edit_one_piece(r)
 

@@ -55,8 +55,12 @@ class MMEItem:
 
 
 def parse_yes_no(pred: str) -> str:
-    """Reference parse_pred_ans (evaluate_mme.py:44-59)."""
-    pred = pred.lower().strip()
+    """Reference parse_pred_ans (evaluate_mme.py:44-59) on the lowered
+    text — NO strip here: the reference strips only at decode time
+    (evaluate_mme.py:341, mirrored by run_mme when recording), so a
+    whitespace-prefixed stored prediction parses to "other" exactly as
+    the reference's does."""
+    pred = pred.lower()
     if pred in ("yes", "no"):
         return pred
     prefix = pred[:4]
@@ -86,23 +90,52 @@ def load_mme(base_dir: str,
     return items
 
 
+#: MME release tasks whose images live under an extra ``images/``
+#: subdirectory (evaluate_mme.py:227-231).
+_MME_IMAGES_SUBDIR = ("landmark", "artwork", "celebrity", "posters",
+                      "scene")
+
+
+def mme_image_path(image_root: str, task: str, image_name: str) -> str:
+    """MME's release layout (evaluate_mme.py:225-233):
+    ``<root>/<task>/images/<name>`` for five tasks,
+    ``<root>/<task>/<name>`` otherwise. COCO file names repeat across
+    tasks, so a flat root cannot disambiguate. An empty ``image_root``
+    keeps the bare name (synthetic image providers ignore paths)."""
+    if not image_root:
+        return image_name
+    parts = [image_root, task]
+    if task in _MME_IMAGES_SUBDIR:
+        parts.append("images")
+    parts.append(image_name)
+    return os.path.join(*parts)
+
+
 def run_mme(engine, items: List[MMEItem], max_new_tokens: int = 10,
             image_root: str = "", prompt_suffix: str = "",
             timeout: float = 600.0) -> List[MMEItem]:
     """Generate predictions for every item through the batching engine.
 
     All requests are submitted up front (the engine's continuous
-    batching keeps its decode slots saturated); ``prompt_suffix`` maps
-    to the reference's answer-format instruction appended per question.
+    batching keeps its decode slots saturated). The reference strips
+    the "Please answer yes or no." instruction from every question
+    (evaluate_mme.py:242) — ``prompt_suffix`` can append a replacement
+    answer-format instruction. Predictions are recorded stripped, the
+    reference's decode-time behavior (evaluate_mme.py:341).
     """
-    reqs = [engine.submit(it.question + prompt_suffix,
-                          os.path.join(image_root, it.image_name),
-                          max_new_tokens)
+    reqs = [engine.submit(
+                it.question.replace("Please answer yes or no.", "")
+                + prompt_suffix,
+                mme_image_path(image_root, it.task, it.image_name),
+                max_new_tokens)
             for it in items]
     for it, r in zip(items, reqs):
         if not r.done.wait(timeout):
             raise TimeoutError("MME generation timed out: %s" % it.question)
-        it.prediction = r.text
+        if getattr(r, "error", None):
+            raise RuntimeError("MME generation failed: %s (%s)"
+                               % (r.error, it.question))
+        it.prediction = r.text.strip()
     return items
 
 
@@ -161,10 +194,12 @@ def mme_scores(items: List[MMEItem]) -> Dict[str, dict]:
 
 MMBENCH_CHOICES = ["A", "B", "C", "D", "E"]
 
-#: the reference's exact prompt (evaluate_mmbench.py:183): hint,
-#: question, lettered choices, then the answer-format instruction.
+#: the reference's exact prompt (evaluate_mmbench.py:182): hint,
+#: question, lettered choices, then the answer-format instruction —
+#: including its U+2019 apostrophe in "option’s" (an ASCII ' would
+#: tokenize differently).
 MMBENCH_PROMPT = ("{hint}\n{question}\n{choices}\nAnswer with the "
-                  "option's letter from the given choices directly.")
+                  "option’s letter from the given choices directly.")
 
 
 @dataclass
@@ -220,14 +255,22 @@ def run_mmbench(engine, items: List[MMBenchItem], max_new_tokens: int = 10,
     for it, r in zip(items, reqs):
         if not r.done.wait(timeout):
             raise TimeoutError("MMBench timed out: index %s" % it.index)
-        it.prediction = r.text
+        if getattr(r, "error", None):
+            raise RuntimeError("MMBench generation failed: %s (index %s)"
+                               % (r.error, it.index))
+        it.prediction = r.text.strip()  # decode-time strip (evaluate_mmbench.py:217)
     return items
 
 
 def parse_choice(pred: str, n_choices: int) -> str:
-    """First option letter appearing in the prediction ('' if none) —
-    the model is instructed to answer with the bare letter; scan the
-    head so 'A.' / 'The answer is A' both resolve."""
+    """STRICT head-letter parse ('' if none): accepts a bare letter and
+    punctuated forms ('A', 'a.', '(B)'), but a sentence-form prediction
+    ('The answer is A') scores 0 — the scan stops at the first
+    alphanumeric non-choice character. Local scoring is this build's
+    addition (the reference only writes submission rows for the eval
+    server, evaluate_mmbench.py:54-68), so strict-and-deterministic
+    beats fuzzy here: the model is explicitly instructed to answer with
+    the bare letter."""
     valid = MMBENCH_CHOICES[:n_choices]
     for ch in pred.strip().upper():
         if ch in valid:
@@ -327,28 +370,43 @@ _VQA_PUNCT = (";", "/", "[", "]", '"', "{", "}", "(", ")", "=", "+",
               "\\", "_", "-", ">", "<", "@", "`", ",", "?", "!")
 
 
-def vqa_normalize(ans: str) -> str:
-    """The VQAEval answer normalization (vqa_eval.py:254-280):
-    punctuation stripping with the comma-in-number rule, period strip,
-    word-number mapping, article removal, contraction repair."""
+def vqa_process_punctuation(text: str) -> str:
+    """VQAEval.processPunctuation (vqa_eval.py:254-264): punctuation
+    stripping with the comma-in-number rule (conditions checked against
+    the ORIGINAL string throughout), then the period strip — including
+    the reference's regex quirk ``(?!<=\\d)`` (a no-op lookahead where a
+    lookbehind was clearly intended)."""
     import re as _re
 
-    out = ans.replace("\n", " ").replace("\t", " ").strip()
-    comma_num = _re.search(r"(\d)(,)(\d)", out) is not None
-    text = out
+    out = text
+    comma_num = _re.search(r"(\d)(,)(\d)", text) is not None
     for p in _VQA_PUNCT:
         if (p + " " in text or " " + p in text) or comma_num:
             out = out.replace(p, "")
         else:
             out = out.replace(p, " ")
-    out = _re.sub(r"(?!<=\d)(\.)(?!\d)", "", out)
+    return _re.sub(r"(?!<=\d)(\.)(?!\d)", "", out)
+
+
+def vqa_process_digit_article(text: str) -> str:
+    """VQAEval.processDigitArticle (vqa_eval.py:265-280): lowercase,
+    word-number mapping, article removal, contraction repair."""
     words = []
-    for w in out.lower().split():
+    for w in text.lower().split():
         w = _VQA_DIGITS.get(w, w)
         if w not in _VQA_ARTICLES:
             words.append(w)
     words = [_VQA_CONTRACTIONS.get(w, w) for w in words]
     return " ".join(words)
+
+
+def vqa_normalize(ans: str) -> str:
+    """The PREDICTION-side normalization chain (vqa_eval.py:212-217):
+    newline/tab/strip pre-step, processPunctuation, processDigitArticle.
+    Ground truths never take this full chain — on disagreement they get
+    :func:`vqa_process_punctuation` ONLY (vqa_eval.py:220-223)."""
+    out = ans.replace("\n", " ").replace("\t", " ").strip()
+    return vqa_process_digit_article(vqa_process_punctuation(out))
 
 
 @dataclass
@@ -393,16 +451,21 @@ def run_vqa(engine, items: List[VQAItem], max_new_tokens: int = 10,
     for it, r in zip(items, reqs):
         if not r.done.wait(timeout):
             raise TimeoutError("VQA timed out: qid %s" % it.question_id)
+        if getattr(r, "error", None):
+            raise RuntimeError("VQA generation failed: %s (qid %s)"
+                               % (r.error, it.question_id))
         it.prediction = r.text
     return items
 
 
 def vqa_scores(items: List[VQAItem]) -> Dict[str, object]:
     """VQAEval.evaluate (vqa_eval.py:194-253): per-question accuracy is
-    the mean over each annotator of min(1, matches-among-the-OTHER-9/3),
-    with normalization applied to the prediction always and to the
-    ground truths only when they disagree; rounded overall/per-type
-    percentages."""
+    the mean over each annotator of min(1, matches-among-the-OTHER-9/3).
+    The PREDICTION always takes the full normalization chain; the ground
+    truths, only when they disagree, take processPunctuation ALONE — no
+    lowercasing, digit mapping, article removal, or contraction repair
+    (vqa_eval.py:220-223) — so e.g. gts "two" never match a prediction
+    normalized to "2". Rounded overall/per-type percentages."""
     acc_qa: List[float] = []
     per_qtype: Dict[str, List[float]] = defaultdict(list)
     per_atype: Dict[str, List[float]] = defaultdict(list)
@@ -412,7 +475,7 @@ def vqa_scores(items: List[VQAItem]) -> Dict[str, object]:
         res = vqa_normalize(it.prediction)
         gt = list(it.answers)
         if len(set(gt)) > 1:
-            gt = [vqa_normalize(g) for g in gt]
+            gt = [vqa_process_punctuation(g) for g in gt]
         accs = []
         for i in range(len(gt)):
             others = gt[:i] + gt[i + 1:]

@@ -412,10 +412,13 @@ class FusedEditorEvaluation(EditorEvaluation):
         self.post_rows = post_rows or max_rows
         # Cap on requests per edit_batch call: a split accumulating N
         # edits (e.g. the 1000-sequential-edit protocol) is applied as
-        # ceil(N/edit_chunk) batched calls, so the edit program keeps ONE
-        # compiled width no matter the split size (order within the split
-        # is preserved — pool appends are order-dependent only across
-        # calls, which chunking respects). None = whole split in one call.
+        # ceil(N/edit_chunk) batched calls with pad_width=edit_chunk, so
+        # editors that honor the padding hint (LiveEdit) keep ONE
+        # compiled width even when N % edit_chunk != 0; editors that
+        # can't pad exactly compile at most one extra (tail) width.
+        # Order within the split is preserved — pool appends are
+        # order-dependent only across calls, which chunking respects.
+        # None = whole split in one call.
         self.edit_chunk = edit_chunk
         # The pre-edit locality snapshot is always taken on the *restored
         # original* model (the protocol restores between splits,
@@ -554,7 +557,11 @@ class FusedEditorEvaluation(EditorEvaluation):
             if editor.if_can_batch_edit():
                 ec = self.edit_chunk or len(requests)
                 for i in range(0, len(requests), ec):
-                    editor.edit_batch(requests[i:i + ec])
+                    # pad_width keeps a ragged tail chunk on the already
+                    # compiled width for editors that honor the hint
+                    # (LiveEdit masks the padding exactly; see
+                    # base.edit_batch)
+                    editor.edit_batch(requests[i:i + ec], pad_width=ec)
             else:
                 for r in requests:
                     editor.edit_one_piece(r)

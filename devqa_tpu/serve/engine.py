@@ -34,6 +34,9 @@ class _Request:
     max_new_tokens: int
     done: threading.Event = field(default_factory=threading.Event)
     text: str = ""
+    # set when admission failed (e.g. unreadable image): done fires with
+    # text == "" and this carries the cause
+    error: Optional[str] = None
 
 
 class BatchingEngine:
@@ -171,6 +174,8 @@ class BatchingEngine:
         req = self.submit(prompt, image, max_new_tokens)
         if not req.done.wait(timeout):
             raise TimeoutError("generation timed out")
+        if req.error:
+            raise RuntimeError("generation failed: %s" % req.error)
         return req.text
 
     def _prefill_loop(self):
@@ -201,23 +206,34 @@ class BatchingEngine:
                 except queue.Empty:
                     break
             t_admit = time.time()
-            width = 1 if len(reqs) == 1 else self.n_slots
-            pad = width - len(reqs)
-            qb = vllm.encode_queries(
-                [r.prompt for r in reqs] + [reqs[0].prompt] * pad,
-                [r.image for r in reqs] + [reqs[0].image] * pad,
-                [""] * width)
-            t_enc = time.time()
-            self.admit_encode_s += t_enc - t_admit
-            L = qb.embeds.shape[1]
-            logits, row_cache = vllm.prefill(qb.embeds, qb.kv_valid,
-                                             max_len=L)
-            li = np.asarray(qb.prompt_lens[:width], np.int32) - 1
-            pos = np.where(li >= p, li + V, li)
-            first_toks = np.asarray(self._first_tok(logits,
-                                                    jnp.asarray(pos)))
-            kv_rows = np.asarray(qb.kv_valid)
-            self.admit_prefill_s += time.time() - t_enc
+            try:
+                width = 1 if len(reqs) == 1 else self.n_slots
+                pad = width - len(reqs)
+                qb = vllm.encode_queries(
+                    [r.prompt for r in reqs] + [reqs[0].prompt] * pad,
+                    [r.image for r in reqs] + [reqs[0].image] * pad,
+                    [""] * width)
+                t_enc = time.time()
+                self.admit_encode_s += t_enc - t_admit
+                L = qb.embeds.shape[1]
+                logits, row_cache = vllm.prefill(qb.embeds, qb.kv_valid,
+                                                 max_len=L)
+                li = np.asarray(qb.prompt_lens[:width], np.int32) - 1
+                pos = np.where(li >= p, li + V, li)
+                first_toks = np.asarray(self._first_tok(logits,
+                                                        jnp.asarray(pos)))
+                kv_rows = np.asarray(qb.kv_valid)
+                self.admit_prefill_s += time.time() - t_enc
+            except Exception as e:  # noqa: BLE001 — a bad request (e.g.
+                # an unreadable image path) must fail ITS wave and keep
+                # the admission thread alive; an unhandled raise would
+                # kill the daemon silently and every later submit would
+                # hang to its timeout with no cause attached.
+                msg = "%s: %s" % (type(e).__name__, e)
+                for r in reqs:
+                    r.error = msg
+                    r.done.set()
+                continue
             if L > self.max_len:
                 # Bucket padding can exceed the cache capacity even when
                 # every row's REAL content fits — trim the padded tail

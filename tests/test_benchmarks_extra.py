@@ -14,7 +14,9 @@ import pytest
 
 from helpers import make_tiny_vllm
 
-from devqa_tpu.eval.benchmarks import (MMBenchItem, VQAItem, load_mmbench,
+from devqa_tpu.eval.benchmarks import (MMBenchItem, VQAItem,
+                                       vqa_process_punctuation,
+                                       load_mmbench,
                                        load_vqa_jsonl, mmbench_prompt,
                                        mmbench_results, parse_choice,
                                        run_mmbench, run_vqa, vqa_normalize,
@@ -68,6 +70,20 @@ class TestMMBenchScoring:
         assert p.splitlines()[0] == "a hint"
         assert "A. red" in p and "B. blue" in p
         assert p.endswith("directly.")
+        # the reference's exact instruction, U+2019 apostrophe included
+        # (evaluate_mmbench.py:182) — ASCII ' would tokenize differently
+        assert "Answer with the option’s letter from the given " \
+               "choices directly." in p
+
+    def test_prompt_instruction_matches_reference_source(self):
+        ref = os.path.join(REF_EVAL, "evaluate_mmbench.py")
+        if not os.path.exists(ref):
+            pytest.skip("reference checkout not present")
+        with open(ref, encoding="utf-8") as f:
+            src = f.read()
+        instruction = mmbench_prompt(
+            MMBenchItem(1, "i.jpg", "q", ["x"])).splitlines()[-1]
+        assert instruction in src
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_EVAL),
@@ -107,17 +123,36 @@ class TestVQANormalizationOracle:
             want = ev.processDigitArticle(ev.processPunctuation(r))
             assert vqa_normalize(raw) == want, raw
 
+    def test_punctuation_stage_parity(self):
+        """The gts-side stage in isolation (applied RAW, no pre-strip —
+        exactly how evaluate() treats disagreeing ground truths)."""
+        ev = self._ref()
+        for raw in self.CASES:
+            assert vqa_process_punctuation(raw) == \
+                ev.processPunctuation(raw), raw
+
     def test_accuracy_protocol(self):
-        """min(matches-among-other-annotators/3, 1) averaged — the
-        normalize-gts-only-when-they-disagree branch included."""
+        """min(matches-among-other-annotators/3, 1) averaged — with the
+        reference's gts treatment: on disagreement the ground truths get
+        processPunctuation ONLY (vqa_eval.py:220-223), never the digit
+        mapping, so gts stay 'two'x6 + '2'x3 + 'three' while the
+        prediction 'Two' normalizes to '2'."""
         it = VQAItem(1, "i.jpg", "how many dogs",
                      ["two"] * 6 + ["2"] * 3 + ["three"])
         it.prediction = "Two"
         s = vqa_scores([it])
-        # normalized prediction 'two' -> manualMap '2'; gts normalize to
-        # '2' x9 + 'three'. For each of the 9 '2'-annotators the other
-        # nine contain 8 matches -> 1.0; for 'three': 9 matches -> 1.0.
-        assert s["overall"] == 100.0 and s["n"] == 1
+        # per annotator, matches of '2' among the OTHER nine: each 'two'
+        # annotator sees 3 -> acc 1.0; each '2' annotator sees 2 -> 2/3;
+        # 'three' sees 3 -> 1.0. mean = (6*1 + 3*(2/3) + 1*1)/10 = 0.9.
+        assert s["overall"] == 90.0 and s["n"] == 1
+        # same protocol replicated with the reference's OWN method doing
+        # the gts pass — identical score
+        ev = self._ref()
+        res = vqa_normalize(it.prediction)
+        gt = [ev.processPunctuation(g) for g in it.answers]
+        accs = [min(1.0, sum(o == res for o in (gt[:i] + gt[i + 1:])) / 3)
+                for i in range(len(gt))]
+        assert s["overall"] == round(100 * sum(accs) / len(accs), 2)
 
     def test_unanimous_gts_not_normalized(self):
         # gts agree -> NO gt normalization; the prediction always

@@ -129,3 +129,37 @@ class TestLiveEdit:
         assert rd["locality"]["text_loc"][0]["acc"] == 1.0
         assert rd["locality"]["t1i4"][0]["acc"] == 1.0
         assert rd["locality"]["t2i4"][0]["acc"] == 1.0
+
+
+class TestEditBatchPadding:
+    """pad_width (base.edit_batch's shape-stability hint): padded rows
+    are masked out of the ring scatter, so state is IDENTICAL to the
+    unpadded call and a ragged tail chunk reuses the compiled width."""
+
+    def _reqs(self, n):
+        return [dict(REQ, target_new="t%d" % i) for i in range(n)]
+
+    def test_padded_state_identical(self):
+        vllm = make_tiny_vllm()
+        e1 = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=3)
+        e2 = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=3)
+        reqs = self._reqs(3)
+        e1.edit_batch(reqs)
+        e2.edit_batch(reqs, pad_width=8)
+        assert int(e2.state["count"]) == 3
+        for k in e1.state:
+            np.testing.assert_allclose(
+                np.asarray(e1.state[k]), np.asarray(e2.state[k]),
+                rtol=1e-6, atol=1e-7, err_msg=k)
+
+    def test_ragged_tail_reuses_compiled_width(self):
+        vllm = make_tiny_vllm()
+        e = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=3)
+        e.edit_batch(self._reqs(8))           # compiles width 8
+        n0 = e._edit_batch_jit._cache_size()
+        e.edit_batch(self._reqs(3), pad_width=8)  # ragged tail, padded
+        assert e._edit_batch_jit._cache_size() == n0
+        assert int(e.state["count"]) == 11
+        # without the hint the tail would compile a second width
+        e.edit_batch(self._reqs(3))
+        assert e._edit_batch_jit._cache_size() == n0 + 1

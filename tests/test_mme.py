@@ -9,8 +9,8 @@ import os
 
 from helpers import make_tiny_vllm
 
-from devqa_tpu.eval.benchmarks import (MMEItem, load_mme, mme_scores,
-                                       parse_yes_no, run_mme)
+from devqa_tpu.eval.benchmarks import (MMEItem, load_mme, mme_image_path,
+                                       mme_scores, parse_yes_no, run_mme)
 from devqa_tpu.serve.engine import BatchingEngine
 
 
@@ -26,6 +26,25 @@ class TestParse:
         assert parse_yes_no("nope") == "no"      # "no" in "nope"[:4]
         assert parse_yes_no("maybe yes") == "other"  # "mayb" has neither
         assert parse_yes_no("") == "other"
+
+    def test_no_strip_quirk(self):
+        # the reference never strips inside parse_pred_ans (it strips at
+        # decode time only): a stored "    yes" has prefix "    " ->
+        # other. run_mme records stripped text, so this only matters for
+        # externally-produced prediction files — where parity counts.
+        assert parse_yes_no("    yes") == "other"
+        assert parse_yes_no(" yes") == "yes"  # "yes" still in " yes"[:4]
+
+
+class TestImagePath:
+    def test_release_layout(self):
+        # evaluate_mme.py:225-233: five tasks keep images under images/
+        assert mme_image_path("/d", "landmark", "a.jpg") == \
+            os.path.join("/d", "landmark", "images", "a.jpg")
+        assert mme_image_path("/d", "existence", "a.jpg") == \
+            os.path.join("/d", "existence", "a.jpg")
+        # empty root: bare name (synthetic providers ignore paths)
+        assert mme_image_path("", "existence", "a.jpg") == "a.jpg"
 
 
 def _item(task, img, ans, pred):

@@ -276,6 +276,44 @@ class TestBatchingEngine:
         assert got == want, (got, want)
 
 
+class TestAdmissionFailure:
+    def test_bad_request_fails_its_wave_not_the_engine(self):
+        """A raising image load must fail THAT request with a cause and
+        keep the admission thread alive — before the fix it killed the
+        daemon silently and every later submit hung to its timeout."""
+        from devqa_tpu.serve.engine import BatchingEngine
+
+        vllm = make_tiny_vllm()
+        inner = vllm.image_provider
+
+        def flaky(path):
+            if path and "BOOM" in path:
+                raise FileNotFoundError(path)
+            return inner(path)
+
+        vllm.image_provider = flaky
+        eng = BatchingEngine(vllm, n_slots=2, max_len=96).start()
+        try:
+            ok1 = eng.submit("what is near the tree", "imgA.jpg",
+                             max_new_tokens=3)
+            assert ok1.done.wait(300) and ok1.error is None
+
+            bad = eng.submit("what is this", "BOOM.jpg", max_new_tokens=3)
+            assert bad.done.wait(300)
+            assert bad.error and "FileNotFoundError" in bad.error
+            assert bad.text == ""
+
+            # engine still admits and serves after the failed wave
+            ok2 = eng.submit("what color is the sky", "imgB.jpg",
+                             max_new_tokens=3)
+            assert ok2.done.wait(300) and ok2.error is None
+            import pytest as _pytest
+            with _pytest.raises(RuntimeError, match="FileNotFoundError"):
+                eng.generate("q", "BOOM.jpg", max_new_tokens=2)
+        finally:
+            eng.shutdown()
+
+
 class TestTensorParallelServing:
     def test_tp_sharded_engine_matches_unsharded(self):
         """Production serving shape for the 7B backbones: params
