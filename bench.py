@@ -417,8 +417,12 @@ def bench_serve(vllm, n_req=None, new_tokens=24):
     eng = BatchingEngine(vllm, n_slots=8, max_len=160,
                          steps_per_dispatch=4).start()
     try:
-        # Warm both prefill widths (1 and n_slots) + the decode program.
+        # Warm both prefill widths (1 and n_slots) + the decode program,
+        # AND both prefix-cache continue widths (the warm images repeat,
+        # so the second pass through each width takes the continue path).
         eng.generate("warm the decode path of scene 0", "img_w0.jpg",
+                     max_new_tokens=4)
+        eng.generate("warm the continue path too", "img_w0.jpg",
                      max_new_tokens=4)
         w = [eng.submit("warm %d" % i, "img_w1.jpg", 4) for i in range(8)]
         for r in w:
@@ -447,7 +451,11 @@ def bench_serve(vllm, n_req=None, new_tokens=24):
                "tokens_per_s": round(toks / dt, 2),
                "concurrent_slots": 8, "tokens_generated": toks,
                "sequential_tokens_per_s": seq_tps,
-               "batching_speedup": round(toks / dt / max(seq_tps, 1e-9), 2)}
+               "batching_speedup": round(toks / dt / max(seq_tps, 1e-9), 2),
+               # vision-prefix KV reuse (engine.py): repeat-image prompts
+               # skip the image block's prefill via the continue path
+               "prefix_hits": eng.prefix_hits,
+               "prefix_misses": eng.prefix_misses}
         log("serve bench:", out)
         log("serve triage: decode %d dispatches %.2fs (%.0fms each), "
             "admit %d waves %.2fs (%.0fms each: encode %.2fs, prefill "

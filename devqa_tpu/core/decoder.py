@@ -718,6 +718,66 @@ def decoder_prefill(params, cfg: DecoderConfig, inputs_embeds, kv_valid,
     return logits, cache
 
 
+def decoder_prefill_continue(params, cfg: DecoderConfig, prefix,
+                             inputs_embeds, kv_valid, max_len: int):
+    """Suffix prefill attending to a per-row PREFIX KV block.
+
+    Serving prefix cache: for the slotted VLLM layout the first
+    ``P = img_slot_pos + n_img_tokens`` positions depend only on the
+    image (and, for mid-sequence slots, the constant pre-slot token,
+    e.g. LLaVA's BOS), so their K/V can be computed once per image and
+    reused across prompts — the reference recomputes the full 576-token
+    LLaVA prefix for every request (model_worker.py generate path).
+
+    ``prefix``: {"k","v": [n_layers, B, H, P, hd], "valid": [B, P]} —
+    rows with an all-zero valid prefix (text-only) reduce exactly to the
+    plain prefill of the suffix (positions restart at 0, prefix keys
+    masked). ``inputs_embeds``/``kv_valid``: the suffix [B, Ls(, d)].
+    → (logits [B, Ls, V], cache laid out [prefix | suffix | pad] —
+    identical to :func:`decoder_prefill` over the full sequence).
+    """
+    if cfg.arch not in ("opt", "llama"):
+        raise NotImplementedError(
+            "KV-cached decoding covers opt/llama; %r uses the "
+            "full-recompute path" % cfg.arch)
+    B, Ls, _ = inputs_embeds.shape
+    P = prefix["valid"].shape[1]
+    assert max_len >= P + Ls, (max_len, P, Ls)
+    full_valid = jnp.concatenate(
+        [prefix["valid"].astype(jnp.int32), kv_valid.astype(jnp.int32)], 1)
+    positions = positions_from_mask(full_valid)[:, P:]
+    h = inputs_embeds
+    if cfg.arch == "opt":
+        h = h + params["embed_positions"][positions + cfg.pos_offset]
+
+    def body(carry, xs):
+        p, ck, cv = xs
+
+        def attend(q, k, v):
+            kk = jnp.concatenate([ck, k], axis=2)
+            vv = jnp.concatenate([cv, v], axis=2)
+            # rectangular causal: suffix query i attends keys <= P + i
+            # (xla_attention offsets the diagonal by Lk - Lq = P)
+            o = multihead_attention(q, kk, vv, kv_valid=full_valid,
+                                    causal=True)
+            return o, (k, v)
+
+        h, (k, v) = _layer_with_kv(p, cfg, carry, positions, attend)
+        return h, (k, v)
+
+    h, (ks, vs) = jax.lax.scan(
+        body, h, (params["layers"], prefix["k"], prefix["v"]))
+    pad = max_len - P - Ls
+    ks = jnp.concatenate([prefix["k"], ks], axis=3)
+    vs = jnp.concatenate([prefix["v"], vs], axis=3)
+    ks = jnp.pad(ks, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    vs = jnp.pad(vs, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    cache = {"k": ks, "v": vs,
+             "valid": jnp.pad(full_valid, ((0, 0), (0, pad)))}
+    logits = decoder_logits(params, cfg, h)
+    return logits, cache
+
+
 def decoder_decode_step(params, cfg: DecoderConfig, cache, token_embeds):
     """One cached greedy-decode step.
 

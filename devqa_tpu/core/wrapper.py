@@ -120,6 +120,12 @@ class JaxVLLM:
             lambda params, embeds, kv, max_len: dec.decoder_prefill(
                 params["decoder"], cfg.decoder, embeds, kv, max_len),
             static_argnums=3)
+        self._prefill_continue_jit = jax.jit(
+            lambda params, prefix, embeds, kv, max_len:
+                dec.decoder_prefill_continue(
+                    params["decoder"], cfg.decoder, prefix, embeds, kv,
+                    max_len),
+            static_argnums=4)
         self._decode_step_jit = jax.jit(
             lambda params, cache, token_ids: dec.decoder_decode_step(
                 params["decoder"], cfg.decoder, cache,
@@ -331,6 +337,14 @@ class JaxVLLM:
         """Full-prompt forward + KV cache (decoder.decoder_prefill)."""
         return self._prefill_jit(self.params if params is None else params,
                                  embeds, kv_valid, max_len)
+
+    def prefill_continue(self, prefix, embeds, kv_valid, max_len: int,
+                         params=None):
+        """Suffix prefill over a cached prefix KV block
+        (decoder.decoder_prefill_continue — the serving prefix cache)."""
+        return self._prefill_continue_jit(
+            self.params if params is None else params, prefix, embeds,
+            kv_valid, max_len)
 
     def decode_step(self, cache, token_ids, params=None):
         """One cached decode step from token ids [B] → (logits [B,V], cache)."""

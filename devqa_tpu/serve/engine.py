@@ -17,6 +17,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -41,7 +42,8 @@ class _Request:
 
 class BatchingEngine:
     def __init__(self, vllm, n_slots: int = 4, max_len: int = 160,
-                 poll_s: float = 0.002, steps_per_dispatch: int = 1):
+                 poll_s: float = 0.002, steps_per_dispatch: int = 1,
+                 prefix_cache_images: int = 16):
         if vllm.cfg.decoder.arch not in ("opt", "llama"):
             raise NotImplementedError(
                 "continuous batching needs the KV-cache decode path")
@@ -79,6 +81,21 @@ class BatchingEngine:
                 "v": jax.device_put(self._cache["v"], kv_s),
                 "valid": jax.device_put(self._cache["valid"], rep),
             }
+        # Vision-prefix KV cache: the first P = img_slot_pos+n_img_tokens
+        # positions of the slotted layout depend only on the image (plus
+        # the constant pre-slot token, e.g. LLaVA's BOS), so their K/V
+        # are computed once per image and reused across prompts via
+        # decoder_prefill_continue — at LLaVA's 576 vision tokens that
+        # skips ~90% of a repeat-image prompt's prefill compute. LRU of
+        # device arrays keyed by image path; 0 disables. (The reference
+        # worker recomputes the full prefix for every request.)
+        self._prefix_len = vllm.cfg.img_slot_pos + vllm.cfg.n_img_tokens
+        self._prefix_cap = (prefix_cache_images
+                            if vllm.cfg.n_img_tokens > 0 else 0)
+        self._prefix_lru: "OrderedDict[str, dict]" = OrderedDict()
+        self._pre_slot_ids = None  # remembered ids of text[:img_slot_pos]
+        self.prefix_hits = 0
+        self.prefix_misses = 0
         self._slots: list = [None] * n_slots
         self._out_ids: list = [[] for _ in range(n_slots)]
         self._budget = np.zeros(n_slots, np.int32)
@@ -192,38 +209,70 @@ class BatchingEngine:
         dispatch per wave either way, and the dribble path doesn't pay
         n_slots× prefill compute. O(1) compiled programs per
         sequence-length bucket (2)."""
-        vllm = self.vllm
-        V, p = vllm.cfg.n_img_tokens, vllm.cfg.img_slot_pos
+        deferred: list = []
         while not self._stop.is_set():
-            try:
-                reqs = [self._queue.get(timeout=0.02)]
-            except queue.Empty:
-                continue
-            time.sleep(0.003)  # tiny batching window for burst arrivals
+            reqs, deferred = deferred, []
+            if not reqs:
+                try:
+                    reqs = [self._queue.get(timeout=0.02)]
+                except queue.Empty:
+                    continue
+                time.sleep(0.003)  # tiny batching window for burst arrivals
             while len(reqs) < self.n_slots:
                 try:
                     reqs.append(self._queue.get_nowait())
                 except queue.Empty:
                     break
+            use_continue = False
+            if self._prefix_cap:
+                # A request is deferred AT MOST once (starvation guard:
+                # under a continuous stream of new-image arrivals a hit
+                # could otherwise be re-deferred forever); a re-collected
+                # deferred request just rides whatever wave it is in.
+                def defer_ok(r):
+                    return not getattr(r, "_deferred", False)
+
+                hit = [r.image in self._prefix_lru for r in reqs]
+                if any(hit) and not all(hit):
+                    # Mixed wave: split it. Preferably run the misses now
+                    # (they pay the full prefill and seed the cache) and
+                    # defer the hits to the cheap continue path next
+                    # wave; if the hits already used their one deferral,
+                    # defer the misses and serve the hits now. If neither
+                    # side may defer, the whole wave runs the full path.
+                    hits_l = [r for r, h in zip(reqs, hit) if h]
+                    misses_l = [r for r, h in zip(reqs, hit) if not h]
+                    if all(defer_ok(r) for r in hits_l):
+                        deferred = hits_l
+                        reqs = misses_l
+                    elif all(defer_ok(r) for r in misses_l):
+                        deferred = misses_l
+                        reqs = hits_l
+                        use_continue = True
+                    for r in deferred:
+                        r._deferred = True
+                elif any(hit):
+                    use_continue = True
+                if not use_continue:
+                    # Dedupe uncached images inside the wave: the first
+                    # request prefills + stores the prefix; its
+                    # wave-mates hit the cache next wave instead of
+                    # re-prefilling the same image block (MME pairs two
+                    # questions per image back-to-back).
+                    seen, keep = set(), []
+                    for r in reqs:
+                        if r.image is not None and r.image in seen \
+                                and defer_ok(r):
+                            r._deferred = True
+                            deferred.append(r)
+                        else:
+                            keep.append(r)
+                            if r.image is not None:
+                                seen.add(r.image)
+                    reqs = keep
             t_admit = time.time()
             try:
-                width = 1 if len(reqs) == 1 else self.n_slots
-                pad = width - len(reqs)
-                qb = vllm.encode_queries(
-                    [r.prompt for r in reqs] + [reqs[0].prompt] * pad,
-                    [r.image for r in reqs] + [reqs[0].image] * pad,
-                    [""] * width)
-                t_enc = time.time()
-                self.admit_encode_s += t_enc - t_admit
-                L = qb.embeds.shape[1]
-                logits, row_cache = vllm.prefill(qb.embeds, qb.kv_valid,
-                                                 max_len=L)
-                li = np.asarray(qb.prompt_lens[:width], np.int32) - 1
-                pos = np.where(li >= p, li + V, li)
-                first_toks = np.asarray(self._first_tok(logits,
-                                                        jnp.asarray(pos)))
-                kv_rows = np.asarray(qb.kv_valid)
-                self.admit_prefill_s += time.time() - t_enc
+                entries, row_cache = self._admit_wave(reqs, use_continue)
             except Exception as e:  # noqa: BLE001 — a bad request (e.g.
                 # an unreadable image path) must fail ITS wave and keep
                 # the admission thread alive; an unhandled raise would
@@ -234,25 +283,6 @@ class BatchingEngine:
                     r.error = msg
                     r.done.set()
                 continue
-            if L > self.max_len:
-                # Bucket padding can exceed the cache capacity even when
-                # every row's REAL content fits — trim the padded tail
-                # (content is right-padded, so positions >= real_len are
-                # invalid filler). Rejection below stays per-row: one
-                # over-long prompt must not take down its whole wave.
-                row_cache = {
-                    "k": row_cache["k"][:, :, :, :self.max_len],
-                    "v": row_cache["v"][:, :, :, :self.max_len],
-                    "valid": row_cache["valid"][:, :self.max_len],
-                }
-            entries = []
-            for j, req in enumerate(reqs):
-                real_len = int(kv_rows[j].sum())
-                if real_len > self.max_len - req.max_new_tokens:
-                    req.text = ""
-                    req.done.set()
-                    continue
-                entries.append((req, j, int(first_toks[j])))
             self.admit_waves += 1
             self.admit_s += time.time() - t_admit
             if not entries:
@@ -264,6 +294,106 @@ class BatchingEngine:
                     break
                 except queue.Full:
                     continue
+
+    def _admit_wave(self, reqs, use_continue):
+        """Encode + prefill one admission wave → (entries, row_cache).
+
+        ``use_continue``: every request's image prefix is cached — run
+        only the suffix through the decoder (decoder_prefill_continue).
+        Falls back to the full path if the pre-slot token precondition
+        breaks (a prompt whose text[:img_slot_pos] differs from the
+        remembered constant, e.g. a BOS-less prompt — never in practice).
+        """
+        vllm = self.vllm
+        V, p = vllm.cfg.n_img_tokens, vllm.cfg.img_slot_pos
+        P = self._prefix_len
+        t_admit = time.time()
+        width = 1 if len(reqs) == 1 else self.n_slots
+        pad = width - len(reqs)
+        qb = vllm.encode_queries(
+            [r.prompt for r in reqs] + [reqs[0].prompt] * pad,
+            [r.image for r in reqs] + [reqs[0].image] * pad,
+            [""] * width)
+        t_enc = time.time()
+        self.admit_encode_s += t_enc - t_admit
+        L = qb.embeds.shape[1]
+        pre_ids = None
+        if self._prefix_cap and p:
+            ids = np.asarray(qb.input_ids)
+            pre_ids = [tuple(int(t) for t in ids[j, :p])
+                       for j in range(width)]
+            if use_continue and any(pi != self._pre_slot_ids
+                                    for pi in pre_ids[: len(reqs)]):
+                use_continue = False
+        pos_off = 0
+        if use_continue:
+            self.prefix_hits += len(reqs)
+            rows = [self._prefix_lru[r.image] for r in reqs]
+            for r in reqs:
+                self._prefix_lru.move_to_end(r.image)
+            rows += [rows[0]] * pad
+            prefix = {
+                "k": jnp.stack([e["k"] for e in rows], axis=1),
+                "v": jnp.stack([e["v"] for e in rows], axis=1),
+                "valid": jnp.stack([e["valid"] for e in rows], axis=0),
+            }
+            logits, row_cache = vllm.prefill_continue(
+                prefix, qb.embeds[:, P:], qb.kv_valid[:, P:], max_len=L)
+            pos_off = P
+        else:
+            logits, row_cache = vllm.prefill(qb.embeds, qb.kv_valid,
+                                             max_len=L)
+            if self._prefix_cap:
+                self.prefix_misses += sum(
+                    1 for r in reqs if r.image is not None)
+                self._store_prefixes(reqs, row_cache, pre_ids)
+        li = np.asarray(qb.prompt_lens[:width], np.int32) - 1
+        pos = np.where(li >= p, li + V, li) - pos_off
+        first_toks = np.asarray(self._first_tok(logits, jnp.asarray(pos)))
+        kv_rows = np.asarray(qb.kv_valid)
+        self.admit_prefill_s += time.time() - t_enc
+        if L > self.max_len:
+            # Bucket padding can exceed the cache capacity even when
+            # every row's REAL content fits — trim the padded tail
+            # (content is right-padded, so positions >= real_len are
+            # invalid filler). Rejection below stays per-row: one
+            # over-long prompt must not take down its whole wave.
+            row_cache = {
+                "k": row_cache["k"][:, :, :, :self.max_len],
+                "v": row_cache["v"][:, :, :, :self.max_len],
+                "valid": row_cache["valid"][:, :self.max_len],
+            }
+        entries = []
+        for j, req in enumerate(reqs):
+            real_len = int(kv_rows[j].sum())
+            if real_len > self.max_len - req.max_new_tokens:
+                req.text = ""
+                req.done.set()
+                continue
+            entries.append((req, j, int(first_toks[j])))
+        return entries, row_cache
+
+    def _store_prefixes(self, reqs, row_cache, pre_ids):
+        """LRU-store each new image's [*, :P] cache block (device-array
+        slices — never fetched to host)."""
+        P = self._prefix_len
+        if not P or row_cache["valid"].shape[1] < P:
+            return
+        for j, req in enumerate(reqs):
+            if req.image is None or req.image in self._prefix_lru:
+                continue
+            if pre_ids is not None:
+                if self._pre_slot_ids is None:
+                    self._pre_slot_ids = pre_ids[j]
+                if pre_ids[j] != self._pre_slot_ids:
+                    continue  # uncacheable layout for this prompt
+            self._prefix_lru[req.image] = {
+                "k": row_cache["k"][:, j, :, :P],
+                "v": row_cache["v"][:, j, :, :P],
+                "valid": row_cache["valid"][j, :P],
+            }
+            while len(self._prefix_lru) > self._prefix_cap:
+                self._prefix_lru.popitem(last=False)
 
     def _admit(self, tokens):
         """Install READY prefilled waves into free slots — one

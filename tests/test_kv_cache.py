@@ -115,3 +115,66 @@ class TestWorkerCached:
             got = w.generate("what is near the tree", image, max_new_tokens=5)
             want = full_recompute("what is near the tree", image, 5)
             assert got == want, (image, got, want)
+
+
+class TestPrefillContinue:
+    @pytest.mark.parametrize("arch", ["opt", "llama"])
+    def test_continue_matches_full_prefill(self, arch):
+        """Split a prompt at P, prefill the prefix once, continue with
+        the suffix: suffix logits and the assembled cache must equal the
+        full-sequence decoder_prefill — including a row whose prefix is
+        entirely invalid (text-only layout: positions restart at 0)."""
+        cfg = _cfg(arch)
+        params = dec.init_decoder_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(7)
+        B, P, LS, ML = 2, 5, 7, 16
+        L = P + LS
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, L)), jnp.int32)
+        emb = params["embed_tokens"][ids]
+        valid = np.ones((B, L), np.int32)
+        valid[1, :P] = 0          # row 1: masked prefix (text-only slot)
+        valid[0, 2] = 0           # row 0: a hole inside the prefix
+        valid = jnp.asarray(valid)
+
+        full_logits, full_cache = dec.decoder_prefill(
+            params, cfg, emb, valid, max_len=ML)
+        prefix = {"k": full_cache["k"][:, :, :, :P],
+                  "v": full_cache["v"][:, :, :, :P],
+                  "valid": full_cache["valid"][:, :P]}
+        cont_logits, cont_cache = dec.decoder_prefill_continue(
+            params, cfg, prefix, emb[:, P:], valid[:, P:], max_len=ML)
+
+        np.testing.assert_allclose(np.asarray(cont_logits),
+                                   np.asarray(full_logits[:, P:]),
+                                   rtol=2e-5, atol=2e-5)
+        for key in ("k", "v", "valid"):
+            np.testing.assert_allclose(np.asarray(cont_cache[key]),
+                                       np.asarray(full_cache[key]),
+                                       rtol=2e-5, atol=2e-5, err_msg=key)
+
+    def test_decode_after_continue(self):
+        """Greedy decode steps from a continued cache match decode steps
+        from the full-prefill cache token-for-token."""
+        cfg = _cfg("opt")
+        params = dec.init_decoder_params(cfg, jax.random.PRNGKey(3))
+        rng = np.random.default_rng(11)
+        B, P, LS, ML = 2, 4, 6, 20
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, P + LS)),
+                          jnp.int32)
+        emb = params["embed_tokens"][ids]
+        valid = jnp.ones((B, P + LS), jnp.int32)
+        lg_f, cache_f = dec.decoder_prefill(params, cfg, emb, valid, ML)
+        prefix = {"k": cache_f["k"][:, :, :, :P],
+                  "v": cache_f["v"][:, :, :, :P],
+                  "valid": cache_f["valid"][:, :P]}
+        _, cache_c = dec.decoder_prefill_continue(
+            params, cfg, prefix, emb[:, P:], valid[:, P:], ML)
+        tok = jnp.argmax(lg_f[:, -1], -1)
+        tf = tc = tok
+        for _ in range(4):
+            lf, cache_f = dec.decoder_decode_step(
+                params, cfg, cache_f, params["embed_tokens"][tf])
+            lc, cache_c = dec.decoder_decode_step(
+                params, cfg, cache_c, params["embed_tokens"][tc])
+            tf, tc = jnp.argmax(lf, -1), jnp.argmax(lc, -1)
+            assert tf.tolist() == tc.tolist()

@@ -314,6 +314,70 @@ class TestAdmissionFailure:
             eng.shutdown()
 
 
+class TestPrefixCache:
+    PROMPTS = [("what is near the tree", "imgA.jpg"),
+               ("who wrote the book The answer is:", None),
+               ("describe the scene", "imgB.jpg")]
+
+    #: submitted AFTER the two unique images are cached — every one a hit
+    REPEATS = [("what color is the tree", "imgA.jpg"),
+               ("is there a cat", "imgB.jpg"),
+               ("what is in the corner", "imgA.jpg")]
+
+    def _run(self, prefix_cache_images):
+        from devqa_tpu.serve.engine import BatchingEngine
+
+        vllm = make_tiny_vllm()
+        eng = BatchingEngine(vllm, n_slots=2, max_len=96,
+                             prefix_cache_images=prefix_cache_images
+                             ).start()
+        texts = []
+        try:
+            # phase 1: one request per unique image (+ a text-only row),
+            # drained before phase 2 so the repeats deterministically hit
+            reqs = [eng.submit(p, img, max_new_tokens=5)
+                    for p, img in self.PROMPTS]
+            for r in reqs:
+                assert r.done.wait(300)
+                assert r.error is None, r.error
+            texts += [r.text for r in reqs]
+            reqs = [eng.submit(p, img, max_new_tokens=5)
+                    for p, img in self.REPEATS]
+            for r in reqs:
+                assert r.done.wait(300)
+                assert r.error is None, r.error
+            texts += [r.text for r in reqs]
+        finally:
+            eng.shutdown()
+        return texts, eng
+
+    def test_cached_matches_uncached(self):
+        """Vision-prefix KV reuse is exact: repeated-image prompts (the
+        MME two-questions-per-image pattern) generate the same token
+        streams with the cache on and off, and every post-warm repeat
+        actually takes the continue path."""
+        want, eng0 = self._run(prefix_cache_images=0)
+        assert eng0.prefix_hits == 0 and len(eng0._prefix_lru) == 0
+        got, eng = self._run(prefix_cache_images=16)
+        assert got == want, (got, want)
+        assert eng.prefix_hits >= len(self.REPEATS)
+        assert set(eng._prefix_lru) == {"imgA.jpg", "imgB.jpg"}
+
+    def test_lru_eviction(self):
+        from devqa_tpu.serve.engine import BatchingEngine
+
+        vllm = make_tiny_vllm()
+        eng = BatchingEngine(vllm, n_slots=2, max_len=96,
+                             prefix_cache_images=1).start()
+        try:
+            for img in ("imgA.jpg", "imgB.jpg", "imgC.jpg"):
+                r = eng.submit("what is this", img, max_new_tokens=3)
+                assert r.done.wait(300) and r.error is None
+        finally:
+            eng.shutdown()
+        assert len(eng._prefix_lru) == 1  # capacity bound held
+
+
 class TestTensorParallelServing:
     def test_tp_sharded_engine_matches_unsharded(self):
         """Production serving shape for the 7B backbones: params
