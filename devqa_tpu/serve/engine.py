@@ -43,7 +43,8 @@ class _Request:
 class BatchingEngine:
     def __init__(self, vllm, n_slots: int = 4, max_len: int = 160,
                  poll_s: float = 0.002, steps_per_dispatch: int = 1,
-                 prefix_cache_images: int = 16):
+                 prefix_cache_images: int = 16,
+                 prefix_wave_steering: bool = False):
         if vllm.cfg.decoder.arch not in ("opt", "llama"):
             raise NotImplementedError(
                 "continuous batching needs the KV-cache decode path")
@@ -92,6 +93,16 @@ class BatchingEngine:
         self._prefix_len = vllm.cfg.img_slot_pos + vllm.cfg.n_img_tokens
         self._prefix_cap = (prefix_cache_images
                             if vllm.cfg.n_img_tokens > 0 else 0)
+        # Wave steering (opt-in): split mixed hit/miss waves and defer
+        # in-wave duplicate images so repeats ride the continue path.
+        # Splitting trades EXTRA admission dispatches for prefill compute
+        # — a win only when the prefix is large relative to the dispatch
+        # floor (LLaVA's 576 vision tokens, local runtimes), a 2x serve
+        # throughput LOSS on remote-tunnel runtimes at BLIP-2 scale
+        # (measured: 14 waves x ~1.1s dispatch vs 4). Off = waves are
+        # never split; the continue path still serves naturally all-hit
+        # waves (steady repeat-image streams, e.g. post-warm MME).
+        self._steering = prefix_wave_steering
         self._prefix_lru: "OrderedDict[str, dict]" = OrderedDict()
         self._pre_slot_ids = None  # remembered ids of text[:img_slot_pos]
         self.prefix_hits = 0
@@ -232,8 +243,19 @@ class BatchingEngine:
                 def defer_ok(r):
                     return not getattr(r, "_deferred", False)
 
-                hit = [r.image in self._prefix_lru for r in reqs]
-                if any(hit) and not all(hit):
+                # Text-only rows (image None) "hit" with an all-invalid
+                # zero prefix: positions restart at 0 and the masked
+                # prefix keys are unattendable, so the continue path is
+                # exact for them too (test_kv_cache.py pins the case) —
+                # but ONLY for slot-at-0 layouts: with img_slot_pos > 0 a
+                # text row's first real tokens occupy the layout's
+                # pre-slot region, which the continue path replaces.
+                text_ok = self.vllm.cfg.img_slot_pos == 0
+                hit = [(r.image is None and text_ok)
+                       or r.image in self._prefix_lru for r in reqs]
+                img_hit = [r.image is not None and r.image in self._prefix_lru
+                           for r in reqs]
+                if any(img_hit) and not all(hit) and self._steering:
                     # Mixed wave: split it. Preferably run the misses now
                     # (they pay the full prefill and seed the cache) and
                     # defer the hits to the cheap continue path next
@@ -251,9 +273,9 @@ class BatchingEngine:
                         use_continue = True
                     for r in deferred:
                         r._deferred = True
-                elif any(hit):
+                elif all(hit) and any(img_hit):
                     use_continue = True
-                if not use_continue:
+                if not use_continue and self._steering:
                     # Dedupe uncached images inside the wave: the first
                     # request prefills + stores the prefix; its
                     # wave-mates hit the cache next wave instead of
@@ -327,10 +349,18 @@ class BatchingEngine:
                 use_continue = False
         pos_off = 0
         if use_continue:
-            self.prefix_hits += len(reqs)
-            rows = [self._prefix_lru[r.image] for r in reqs]
+            zero = None
+            rows = []
             for r in reqs:
-                self._prefix_lru.move_to_end(r.image)
+                if r.image is None:
+                    if zero is None:  # all-invalid prefix for text rows
+                        t = next(e for e in self._prefix_lru.values())
+                        zero = {k: jnp.zeros_like(v) for k, v in t.items()}
+                    rows.append(zero)
+                else:
+                    self.prefix_hits += 1
+                    rows.append(self._prefix_lru[r.image])
+                    self._prefix_lru.move_to_end(r.image)
             rows += [rows[0]] * pad
             prefix = {
                 "k": jnp.stack([e["k"] for e in rows], axis=1),
