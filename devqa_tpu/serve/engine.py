@@ -43,7 +43,7 @@ class _Request:
 class BatchingEngine:
     def __init__(self, vllm, n_slots: int = 4, max_len: int = 160,
                  poll_s: float = 0.002, steps_per_dispatch: int = 1,
-                 prefix_cache_images: int = 16,
+                 prefix_cache_images: Optional[int] = None,
                  prefix_wave_steering: bool = False):
         if vllm.cfg.decoder.arch not in ("opt", "llama"):
             raise NotImplementedError(
@@ -91,6 +91,18 @@ class BatchingEngine:
         # device arrays keyed by image path; 0 disables. (The reference
         # worker recomputes the full prefix for every request.)
         self._prefix_len = vllm.cfg.img_slot_pos + vllm.cfg.n_img_tokens
+        if prefix_cache_images is None:
+            # Auto-gate on prefix size, like the flash-attention
+            # dispatch: the continue path trades extra per-wave
+            # dispatches (pre-slot id fetch, LRU row stacks, a SECOND
+            # prefill program per width to compile) for skipped prefix
+            # compute. Measured on v5e through the remote tunnel at
+            # BLIP-2 scale (32 vision tokens): a LOSS — 272 vs ~300
+            # tok/s warm, plus ~45s of continue-path compiles landing
+            # inside the serving path on first use. At LLaVA scale the
+            # cached prefix is 576 of ~600 prefill tokens (~90% of the
+            # FLOPs), which is where reuse pays for its dispatches.
+            prefix_cache_images = 16 if vllm.cfg.n_img_tokens >= 256 else 0
         self._prefix_cap = (prefix_cache_images
                             if vllm.cfg.n_img_tokens > 0 else 0)
         # Wave steering (opt-in): split mixed hit/miss waves and defer

@@ -377,6 +377,28 @@ class TestPrefixCache:
             eng.shutdown()
         assert len(eng._prefix_lru) == 1  # capacity bound held
 
+    def test_default_auto_gates_on_prefix_size(self):
+        """The DEFAULT follows the measured crossover (engine.py): the
+        continue path's extra per-wave dispatches (pre-slot id fetch,
+        LRU stacks, a second compiled prefill program per width) LOSE at
+        small vision prefixes (BLIP-2's 32 tokens: 272 vs ~300 tok/s
+        warm on v5e through the tunnel) and win when the prefix
+        dominates prefill (LLaVA's 576 of ~600 tokens). Explicit values
+        always override the gate."""
+        import dataclasses
+
+        from devqa_tpu.serve.engine import BatchingEngine
+
+        vllm = make_tiny_vllm()
+        small = BatchingEngine(vllm, n_slots=2, max_len=96)
+        assert small._prefix_cap == 0  # tiny prefix: auto-off
+        forced = BatchingEngine(vllm, n_slots=2, max_len=96,
+                                prefix_cache_images=4)
+        assert forced._prefix_cap == 4  # explicit beats the gate
+        vllm.cfg = dataclasses.replace(vllm.cfg, n_img_tokens=576)
+        big = BatchingEngine(vllm, n_slots=2, max_len=96)
+        assert big._prefix_cap == 16  # llava-scale prefix: auto-on
+
 
 class TestTensorParallelServing:
     def test_tp_sharded_engine_matches_unsharded(self):
