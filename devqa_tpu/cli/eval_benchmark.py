@@ -8,8 +8,10 @@ DataLoader scripts (``mPLUG_Owl2/mplug_owl2/evaluate/evaluate_mme.py``);
 here one CLI feeds the benchmark's questions through the
 continuous-batching serve engine and reproduces the reference's scoring
 (see eval/benchmarks.py). MME, MMBench (annotation JSONL; prints dev
-accuracy and writes the submission rows) and VQA (test JSONL; VQAEval
-protocol) are implemented.
+accuracy and writes the submission rows), VQA (test JSONL; VQAEval
+protocol) and MMMU (flat JSONL stand-in for the HF parquet release;
+per-subject acc + weighted Overall, evaluate_mmmu.py:506-530 as
+executed) are implemented.
 """
 from __future__ import annotations
 
@@ -20,10 +22,11 @@ import json
 def get_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-bm", "--benchmark", type=str, default="mme",
-                   choices=["mme", "mmbench", "vqa"])
+                   choices=["mme", "mmbench", "vqa", "mmmu"])
     p.add_argument("-bd", "--benchmark_dir", type=str, required=True,
                    help="MME: dir of <task>.txt files; MMBench: "
-                        "annotation .jsonl; VQA: test .jsonl")
+                        "annotation .jsonl; VQA: test .jsonl; "
+                        "MMMU: items .jsonl")
     p.add_argument("-mn", "--edit_model_name", type=str, required=True)
     p.add_argument("-wd", "--weights_dir", type=str, default=None)
     p.add_argument("-ir", "--img_root_dir", type=str, default="")
@@ -41,11 +44,12 @@ def main():
     from ..utils.registry import load_vllm_for_edit
 
     loaders = {"mme": B.load_mme, "mmbench": B.load_mmbench,
-               "vqa": B.load_vqa_jsonl}
+               "vqa": B.load_vqa_jsonl, "mmmu": B.load_mmmu_jsonl}
     runners = {"mme": B.run_mme, "mmbench": B.run_mmbench,
-               "vqa": B.run_vqa}
+               "vqa": B.run_vqa, "mmmu": B.run_mmmu}
     scorers = {"mme": B.mme_scores, "mmbench": B.mmbench_results,
-               "vqa": B.vqa_scores}
+               "vqa": B.vqa_scores,
+               "mmmu": lambda it: B.mmmu_scores(B.mmmu_outputs(it))}
     vllm = load_vllm_for_edit(args.edit_model_name,
                               weights_dir=args.weights_dir)
     items = loaders[args.benchmark](args.benchmark_dir)
@@ -79,6 +83,9 @@ def main():
         else:
             print("MMBench test split: %d submission rows (no local "
                   "answers)" % len(scores["submission"]))
+    elif args.benchmark == "mmmu":
+        for k, v in scores["metrics"].items():
+            print("\t%s: %.2f" % (k, v))
     else:
         print("VQA score: %.2f over %d questions"
               % (scores["overall"], scores["n"]))

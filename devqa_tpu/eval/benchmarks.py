@@ -29,6 +29,7 @@ per image_name.
 from __future__ import annotations
 
 import os
+import re
 from collections import OrderedDict, defaultdict
 from dataclasses import dataclass
 from typing import Dict, List, Optional
@@ -496,3 +497,295 @@ def vqa_scores(items: List[VQAItem]) -> Dict[str, object]:
                           for k, v in per_atype.items()},
         "n": len(acc_qa),
     }
+
+
+# ---------------------------------------------------------------------------
+# MMMU (evaluate_mmmu.py)
+# ---------------------------------------------------------------------------
+
+MMMU_CHOICE_LETTERS = ["A", "B", "C", "D", "E", "F", "G", "H", "I"]
+
+# Reference prompt templates (evaluate_mmmu.py:355-357) — note the U+2019
+# apostrophe in "option's", shared with MMBench; an ASCII quote would
+# tokenize differently.
+MMMU_MC_PROMPT = ("USER: {}\nAnswer with the option’s letter from the "
+                  "given choices directly. ASSISTANT:")
+MMMU_OPEN_PROMPT = ("USER: {}\nAnswer the question using a single word or "
+                    "phrase. ASSISTANT:")
+
+
+def mmmu_prompt(question: str, options: Optional[List[str]],
+                question_type: str) -> str:
+    """Build the MMMU prompt (evaluate_mmmu.py:349-368): multiple-choice
+    options are lettered 'A. <opt>' lines appended to the question; any
+    ``<image N>`` placeholders (N in 1..5) become the model's image token."""
+    if question_type == "multiple-choice":
+        choice_txt = "\n".join(
+            "{}. {}".format(MMMU_CHOICE_LETTERS[i], c)
+            for i, c in enumerate(options or []))
+        prompt = MMMU_MC_PROMPT.format(question + "\n" + choice_txt)
+    else:
+        prompt = MMMU_OPEN_PROMPT.format(question)
+    for i in range(1, 6):
+        prompt = prompt.replace("<image %d>" % i, "<|image|>")
+    return prompt
+
+
+def mmmu_parse_multi_choice(response: str, all_choices: List[str],
+                            index2ans: Dict[str, str],
+                            rng=None) -> str:
+    """parse_multi_choice_response (evaluate_mmmu.py:71-123): find the
+    chosen letter by (1) '(A)' bracketed mention, (2) ' A ' bare mention,
+    (3) option-content substring when the response is > 5 words; ties
+    resolve to the LAST occurrence (rfind argmax); no hit -> random
+    choice.
+
+    The reference resolves multi-candidate ties via ``np.argmax`` with
+    numpy never imported (a latent NameError on that branch); this
+    implements the intended argmax (first-max wins on equal rfind
+    positions, matching np.argmax), which the oracle test verifies by
+    executing the reference source with numpy injected."""
+    import random as _random
+
+    for ch in [",", ".", "!", "?", ";", ":", "'"]:
+        response = response.strip(ch)
+    response = " " + response + " "   # avoid partial matches
+
+    index_ans = True
+    ans_with_brack = False
+    candidates: List[str] = []
+    for choice in all_choices:
+        if "(%s)" % choice in response:
+            candidates.append(choice)
+            ans_with_brack = True
+    if not candidates:
+        for choice in all_choices:
+            if " %s " % choice in response:
+                candidates.append(choice)
+    if not candidates and len(response.split()) > 5:
+        for index, ans in index2ans.items():
+            if ans.lower() in response.lower():
+                candidates.append(index)
+                index_ans = False
+    if not candidates:
+        return (rng or _random).choice(all_choices)
+    if len(candidates) == 1:
+        return candidates[0]
+    starts: List[int] = []
+    for can in candidates:
+        if not index_ans:
+            starts.append(response.lower().rfind(index2ans[can].lower()))
+        elif ans_with_brack:
+            starts.append(response.rfind("(%s)" % can))
+        else:
+            starts.append(response.rfind(" %s " % can))
+    return candidates[max(range(len(starts)), key=lambda i: starts[i])]
+
+
+def mmmu_check_is_number(string: str) -> bool:
+    """check_is_number (evaluate_mmmu.py:126-134): float()-parseable
+    after dropping thousands commas."""
+    try:
+        float(string.replace(",", ""))
+        return True
+    except ValueError:
+        return False
+
+
+def mmmu_normalize_str(string: str):
+    """normalize_str (evaluate_mmmu.py:137-159): numbers -> [round(f, 2)];
+    single chars -> space-padded pair; else [lowered string]."""
+    string = string.strip()
+    if mmmu_check_is_number(string):
+        return [round(float(string.replace(",", "")), 2)]
+    string = string.lower()
+    if len(string) == 1:
+        return [" " + string, string + " "]
+    return [string]
+
+
+# extract_numbers regexes are protocol constants (evaluate_mmmu.py:161-181).
+_MMMU_NUM_COMMAS = re.compile(r"-?\b\d{1,3}(?:,\d{3})+\b")
+_MMMU_NUM_SCI = re.compile(r"-?\d+(?:\.\d+)?[eE][+-]?\d+")
+_MMMU_NUM_SIMPLE = re.compile(
+    r"-?(?:\d+\.\d+|\.\d+|\d+\b)(?![eE][+-]?\d+)(?![,\d])")
+
+
+def mmmu_extract_numbers(string: str) -> List[str]:
+    return (_MMMU_NUM_COMMAS.findall(string)
+            + _MMMU_NUM_SCI.findall(string)
+            + _MMMU_NUM_SIMPLE.findall(string))
+
+
+_MMMU_KEY_INDICATORS = ["could be ", "so ", "is ", "thus ", "therefore ",
+                        "final ", "answer ", "result "]
+
+
+def mmmu_parse_open_response(response: str) -> List:
+    """parse_open_response (evaluate_mmmu.py:183-232). Faithful quirks:
+    the sub-response split regex looks for '. <uppercase>' AFTER the
+    text is lowercased, so it only ever splits on newlines; '=' joins
+    the indicator list only for the final sub-response; results are
+    de-duplicated through an (unordered) set."""
+    response = response.strip().strip(".").lower()
+    subs = re.split(r"\.\s(?=[A-Z])|\n", response)
+    indicators = list(_MMMU_KEY_INDICATORS)
+    key_responses: List[str] = []
+    for index, resp in enumerate(subs):
+        if index == len(subs) - 1:
+            indicators.append("=")
+        shortest = None
+        for ind in indicators:
+            if ind in resp:
+                tail = resp.split(ind)[-1].strip()
+                if shortest is None or len(tail) < len(shortest):
+                    shortest = tail
+        if shortest is not None and shortest.strip() not in \
+                [":", ",", ".", "!", "?", ";", "'"]:
+            key_responses.append(shortest)
+    if not key_responses:
+        key_responses = [response]
+    pred_list: List = list(key_responses)
+    for resp in key_responses:
+        pred_list.extend(mmmu_extract_numbers(resp))
+    out: List = []
+    for p in pred_list:
+        out.extend(mmmu_normalize_str(p))
+    return list(set(out))
+
+
+def mmmu_eval_multi_choice(gold, pred: str) -> bool:
+    """eval_multi_choice (evaluate_mmmu.py:236-250): exact match against
+    the gold letter (or any of a gold list)."""
+    golds = gold if isinstance(gold, list) else [gold]
+    return any(g == pred for g in golds)
+
+
+def mmmu_eval_open(gold, pred_list: List) -> bool:
+    """eval_open (evaluate_mmmu.py:252-277): normalized gold answers vs
+    the parsed prediction list; string predictions match when they
+    CONTAIN a normalized string answer, float predictions by exact
+    membership — any single match scores the instance correct."""
+    norm_answers: List = []
+    for answer in (gold if isinstance(gold, list) else [gold]):
+        norm_answers.extend(mmmu_normalize_str(answer))
+    for pred in pred_list:
+        if isinstance(pred, str):
+            if any(isinstance(na, str) and na in pred
+                   for na in norm_answers):
+                return True
+        elif pred in norm_answers:
+            return True
+    return False
+
+
+def mmmu_evaluate(samples: List[Dict]):
+    """evaluate (evaluate_mmmu.py:280-302). Returns
+    ``(judge_dict, {'acc': fraction})``; the reference's as-written quirk
+    of returning a bare ``{'acc': 0}`` dict (no tuple) on an empty sample
+    list is preserved."""
+    if not samples:
+        return {"acc": 0}
+    pred_correct = 0
+    judge: Dict = {}
+    for s in samples:
+        if s["question_type"] == "multiple-choice":
+            ok = mmmu_eval_multi_choice(s["ground_truth"], s["prediction"])
+        else:
+            ok = mmmu_eval_open(s["ground_truth"], s["prediction"])
+        judge[s["index"]] = "Correct" if ok else "Wrong"
+        pred_correct += int(ok)
+    return judge, {"acc": pred_correct / len(samples)}
+
+
+def mmmu_scores(outputs: List[Dict]) -> Dict[str, object]:
+    """The __main__ aggregation as executed (evaluate_mmmu.py:506-530):
+    group outputs by 'split'; OPEN predictions run through
+    :func:`mmmu_parse_open_response` while multiple-choice predictions
+    are compared RAW to the gold letter (``parse_multi_choice_response``
+    is defined but never called by the script); per-category acc x100
+    plus a sample-weighted Overall."""
+    groups: Dict[str, List[Dict]] = OrderedDict()
+    for output in outputs:
+        tmp = dict(output)
+        if tmp["question_type"] != "multiple-choice":
+            tmp["prediction"] = mmmu_parse_open_response(tmp["prediction"])
+        groups.setdefault(output["split"], []).append(tmp)
+    metrics: Dict[str, object] = {"Overall": 0.0}
+    judges: Dict[str, Dict] = {}
+    total = 0.0
+    for category, outs in groups.items():
+        judge, metric = mmmu_evaluate(outs)
+        metrics[category] = metric["acc"] * 100
+        judges[category] = judge
+        total += metric["acc"] * len(outs)
+    if outputs:
+        metrics["Overall"] = total / len(outputs) * 100
+    return {"metrics": metrics, "judges": judges}
+
+
+@dataclass
+class MMMUItem:
+    index: str
+    image: str                      # image path ("" for text-only items)
+    question: str                   # raw question (may hold <image N>)
+    question_type: str              # "multiple-choice" | "open"
+    answer: object = ""             # gold letter / answer (or list)
+    options: Optional[List[str]] = None
+    subfield: str = ""
+    split: str = ""                 # MMMU subject, the grouping key
+    prediction: str = ""
+
+
+def load_mmmu_jsonl(path: str) -> List[MMMUItem]:
+    """Flat JSONL stand-in for the HF parquet MMMU release (the dataset
+    itself stays external; evaluate_mmmu.py:330-381 reads it via
+    ``datasets.load_dataset``): one object per line with
+    id/image/question/question_type/answer[/options/subfield/split]."""
+    import json as _json
+
+    items = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = _json.loads(line)
+            items.append(MMMUItem(
+                index=d["id"], image=d.get("image", ""),
+                question=d["question"],
+                question_type=d["question_type"],
+                answer=d.get("answer", ""), options=d.get("options"),
+                subfield=d.get("subfield", ""),
+                split=d.get("split", d.get("subject", ""))))
+    return items
+
+
+def run_mmmu(engine, items: List[MMMUItem], max_new_tokens: int = 20,
+             image_root: str = "", timeout: float = 600.0) -> List[MMMUItem]:
+    """Drive all MMMU questions through the batching engine at once
+    (reference: sequential DataLoader + model.generate with
+    max_new_tokens=20, evaluate_mmmu.py:457-474)."""
+    reqs = [engine.submit(
+        mmmu_prompt(it.question, it.options, it.question_type),
+        os.path.join(image_root, it.image) if it.image else None,
+        max_new_tokens) for it in items]
+    for it, r in zip(items, reqs):
+        if not r.done.wait(timeout):
+            raise TimeoutError("MMMU timed out: id %s" % it.index)
+        if getattr(r, "error", None):
+            raise RuntimeError("MMMU generation failed: %s (id %s)"
+                               % (r.error, it.index))
+        it.prediction = r.text.strip()
+    return items
+
+
+def mmmu_outputs(items: List[MMMUItem]) -> List[Dict]:
+    """Predicted items -> the output-record schema the reference merges
+    across ranks (evaluate_mmmu.py:476-486)."""
+    return [{
+        "index": it.index, "prediction": it.prediction,
+        "ground_truth": it.answer, "split": it.split,
+        "subfield": it.subfield, "question_type": it.question_type,
+        "origin_question": it.question,
+    } for it in items]
