@@ -148,6 +148,56 @@ class JaxVLLM:
                                        min(int(n_images), max_bytes // row))
         return self._img_cache_size
 
+    def _encode_uncached(self, todo: List[str]) -> None:
+        """Encode ``todo`` (unique, uncached paths) into the LRU.
+
+        Encodes in FIXED-size device batches of exactly img_batch_pad
+        rows (last batch padded by repetition). Padding the whole todo
+        list to a *multiple* instead makes the batch shape a function
+        of how many images missed the cache — on a remote-compile
+        runtime every new unique-count costs a 30-90s XLA compile.
+        Fixed-size chunks keep the compiled encode program count at 1.
+        """
+        bp = self.img_batch_pad
+        self.counters["images_encoded"] += bp * ((len(todo) + bp - 1) // bp)
+        self.counters["images_unique"] += len(todo)
+        for lo in range(0, len(todo), bp):
+            chunk = todo[lo:lo + bp]
+            imgs = [self.image_provider(p) for p in chunk]
+            imgs.extend([imgs[0]] * (bp - len(chunk)))
+            u8 = jnp.asarray(np.stack(imgs))
+            toks = self._encode_images_jit(self.params, u8)
+            for i, p in enumerate(chunk):
+                self._img_cache[p] = toks[i]
+                self._img_cache.move_to_end(p)
+
+    def warm_image_cache(self, paths: Sequence[Optional[str]]) -> int:
+        """Pre-encode every unique uncached path in FULL fixed-size
+        batches, so per-query-batch cache misses never arrive in small
+        padded groups. The fused eval harness knows its entire probe grid
+        upfront; warming across cases cuts vision-batch padding from the
+        per-chunk miss pattern (~27% pad rows measured on the EVQA grid)
+        to at most one partial final batch. The reference re-encodes
+        ViT+Q-Former per probe (SURVEY.md §3.1 hot loop) and has no
+        cross-case packing at all.
+
+        No-op (returns 0) when the unique set exceeds the LRU capacity:
+        warming would evict the earliest-needed entries first and every
+        hit would become a miss again. Returns the number encoded.
+        """
+        uniq = [p for p in dict.fromkeys(paths) if p is not None]
+        if not uniq or len(uniq) > self._img_cache_size:
+            return 0
+        for p in uniq:
+            if p in self._img_cache:
+                self._img_cache.move_to_end(p)
+        todo = [p for p in uniq if p not in self._img_cache]
+        if todo:
+            self._encode_uncached(todo)
+            while len(self._img_cache) > self._img_cache_size:
+                self._img_cache.popitem(last=False)
+        return len(todo)
+
     def encode_images(self, paths: Sequence[Optional[str]]) -> Tuple[jnp.ndarray, np.ndarray]:
         """Paths (None = no image) → (vision tokens [B, V, d], has_image [B]).
 
@@ -166,25 +216,7 @@ class JaxVLLM:
                 self._img_cache.move_to_end(p)
         todo = [p for p in uniq if p not in self._img_cache]
         if todo:
-            # Encode in FIXED-size device batches of exactly img_batch_pad
-            # rows (last batch padded by repetition). Padding the whole todo
-            # list to a *multiple* instead makes the batch shape a function
-            # of how many images missed the cache — on a remote-compile
-            # runtime every new unique-count costs a 30-90s XLA compile.
-            # Fixed-size chunks keep the compiled encode program count at 1.
-            bp = self.img_batch_pad
-            self.counters["images_encoded"] += bp * (
-                (len(todo) + bp - 1) // bp)
-            self.counters["images_unique"] += len(todo)
-            for lo in range(0, len(todo), bp):
-                chunk = todo[lo:lo + bp]
-                imgs = [self.image_provider(p) for p in chunk]
-                imgs.extend([imgs[0]] * (bp - len(chunk)))
-                u8 = jnp.asarray(np.stack(imgs))
-                toks = self._encode_images_jit(self.params, u8)
-                for i, p in enumerate(chunk):
-                    self._img_cache[p] = toks[i]
-                    self._img_cache.move_to_end(p)
+            self._encode_uncached(todo)
             # Never shrink below this call's working set (a single call
             # can reference more unique paths than the cache capacity).
             keep = max(self._img_cache_size, len(uniq))

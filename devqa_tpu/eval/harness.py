@@ -504,6 +504,19 @@ class FusedEditorEvaluation(EditorEvaluation):
         splits, split_ns, seed = self._split_and_shuffle(edit_n, random, seed)
         editor.restore_to_original_model()
 
+        # Pack unique images ACROSS cases: the whole probe grid is known
+        # upfront, so warm the vision LRU in full fixed-size encode
+        # batches before any per-chunk query dispatch. Per-chunk misses
+        # arrive ~2-3 images at a time and each group pads to
+        # img_batch_pad rows (27.5% of encoded rows were padding on the
+        # EVQA grid); warmed, only the one final batch can pad. No-op if
+        # the LRU can't hold the unique set (warm_image_cache guards).
+        vllm = getattr(editor, "vllm", None)
+        if vllm is not None and hasattr(vllm, "warm_image_cache"):
+            vllm.warm_image_cache(
+                [s.image for split in splits for case in split
+                 for s in case_probe_specs(case)])
+
         def gather_loc_specs(cases_):
             loc_specs, loc_slices = [], []
             for case in cases_:

@@ -135,3 +135,51 @@ class TestLocTopkAgreement:
             str(tmp_path / "r3"), "null", "tiny-opt", "N",
             "sequential_edit_2", "mean_results.json")))
         assert mr["total_mean"]["locality"]["text_loc"]["topk_acc"] == 1.0
+
+
+class TestVisionWarmPack:
+    def test_warm_packs_unique_images_across_cases(self, tmp_path):
+        """The fused harness pre-warms the vision LRU across the whole
+        probe grid, so encode padding collapses to at most one partial
+        final batch (vs per-chunk miss groups each padded to
+        img_batch_pad)."""
+        from devqa_tpu.editors.null import NullEditor
+
+        vllm = make_tiny_vllm()
+        path, _ = write_records(str(tmp_path), 5)
+        data = EVQA(path, str(tmp_path) + "/imgs", encoder=hash_encoder(16))
+        ed = NullEditor(vllm)
+        ev = FusedEditorEvaluation(ed, data, "W", str(tmp_path / "rw"),
+                                   max_rows=16)
+        c0 = dict(vllm.counters)
+        ev.evaluate_sequential_edit(edit_n=2)
+        enc = vllm.counters["images_encoded"] - c0["images_encoded"]
+        uniq = vllm.counters["images_unique"] - c0["images_unique"]
+        assert uniq > 0
+        # All misses arrive via the one warm pass: padding < one batch.
+        assert enc - uniq < vllm.img_batch_pad
+
+    def test_warm_noop_when_lru_too_small(self):
+        """Warming a set larger than the LRU would evict earliest-needed
+        entries first — it must refuse and leave per-call batching."""
+        vllm = make_tiny_vllm()
+        vllm._img_cache_size = 3
+        paths = ["a_%d.jpg" % i for i in range(5)]
+        assert vllm.warm_image_cache(paths) == 0
+        assert len(vllm._img_cache) == 0
+        # In-capacity warm encodes once; re-warm is a no-op.
+        assert vllm.warm_image_cache(paths[:3]) == 3
+        assert vllm.warm_image_cache(paths[:3]) == 0
+        assert len(vllm._img_cache) == 3
+
+    def test_warm_then_encode_hits_cache(self):
+        import numpy as np
+
+        vllm = make_tiny_vllm()
+        paths = ["b_%d.jpg" % i for i in range(6)]
+        vllm.warm_image_cache(paths)
+        c0 = vllm.counters["images_encoded"]
+        toks, has = vllm.encode_images([paths[0], None, paths[5]])
+        assert vllm.counters["images_encoded"] == c0  # all hits
+        assert list(has) == [1, 0, 1]
+        assert not np.allclose(np.asarray(toks[0]), np.asarray(toks[2]))
