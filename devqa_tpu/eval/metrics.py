@@ -571,3 +571,226 @@ def cknowedit_total_score(score: Dict) -> float:
             + score["portability"]["final_score"] * 0.35
             + score["locality"]["final_score"] * 0.35
             + score["fluency"] * 0.1)
+
+
+# ---------------------------------------------------------------------------
+# Caption metrics — a zero-dependency rebuild of the pycocoevalcap stack the
+# reference's caption evaluation consumes (evaluate_caption.py:10,197-200
+# runs COCOEvalCap; easyeditor/dataset/coco_caption.py:28 CaptionDataset is
+# the EIC substrate). COCOEvalCap reports Bleu_1..4 / METEOR / ROUGE_L /
+# CIDEr; each scorer below reimplements the published algorithm with its
+# pycocoevalcap quirks preserved (documented per function) and is pinned by
+# hand-derived golden fixtures in tests/test_caption_metrics.py.
+#
+# Tokenization: COCOEvalCap pipes everything through the Java PTBTokenizer
+# (lowercase + punctuation removal). :func:`coco_tokenize` reproduces the
+# lowercasing and the PUNCTUATIONS drop list; PTB's contraction splitting
+# ("don't" -> "do n't") is approximated by splitting on apostrophes the
+# same way for the common cases. Pass pre-tokenized strings to skip it.
+# ---------------------------------------------------------------------------
+
+_COCO_PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+               ".", "?", "!", ",", ":", "-", "--", "...", ";"}
+_TOK_SPLIT = re.compile(r"[a-z0-9]+(?:'[a-z0-9]+)?|[^\sa-z0-9]+")
+
+
+def coco_tokenize(s: str) -> List[str]:
+    """Lowercase + split + drop PTBTokenizer's PUNCTUATIONS list
+    (pycocoevalcap tokenizer/ptbtokenizer.py:15-18)."""
+    return [t for t in _TOK_SPLIT.findall(s.lower())
+            if t not in _COCO_PUNCT]
+
+
+def _ngram_counts(tokens: List[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+def cider_d(gts: Dict[object, List[str]], res: Dict[object, str],
+            n_max: int = 4, sigma: float = 6.0,
+            tokenize: Callable = coco_tokenize):
+    """CIDEr-D (Vedantam et al.; pycocoevalcap cider/cider_scorer.py).
+
+    Corpus-level: document frequency of each n-gram = number of images
+    whose reference set contains it; idf = log(N_images) - log(max(df,1));
+    per (candidate, reference) similarity = sum over candidate n-grams of
+    min(tf-idf_cand, tf-idf_ref) * tf-idf_ref, cosine-normalized, with a
+    gaussian length penalty exp(-(len_c-len_r)^2 / 2 sigma^2); the n-gram
+    orders are MEANED before dividing by the reference count and scaling
+    by 10 (cider_scorer.py compute_cider). Faithful quirk: an n-gram
+    present in every image's references has idf 0, so even a verbatim
+    candidate scores 0 on it.
+
+    Returns (corpus_score, {image_id: score}).
+    """
+    ids = list(res.keys())
+    ref_toks = {i: [tokenize(r) for r in gts[i]] for i in ids}
+    hyp_toks = {i: tokenize(res[i]) for i in ids}
+    # document frequency over reference sets
+    df: Counter = Counter()
+    for i in ids:
+        seen = set()
+        for toks in ref_toks[i]:
+            for n in range(1, n_max + 1):
+                seen.update(_ngram_counts(toks, n).keys())
+        df.update(seen)
+    log_n = math.log(max(len(ids), 1))
+
+    def tfidf_vec(toks):
+        vecs, norms = [], []
+        for n in range(1, n_max + 1):
+            v = {g: c * (log_n - math.log(max(df[g], 1.0)))
+                 for g, c in _ngram_counts(toks, n).items()}
+            vecs.append(v)
+            norms.append(math.sqrt(sum(x * x for x in v.values())))
+        return vecs, norms
+
+    per_image: Dict[object, float] = {}
+    for i in ids:
+        hv, hn = tfidf_vec(hyp_toks[i])
+        acc = np.zeros(n_max)
+        for rtoks in ref_toks[i]:
+            rv, rn = tfidf_vec(rtoks)
+            delta = float(len(hyp_toks[i]) - len(rtoks))
+            pen = math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            for n in range(n_max):
+                val = sum(min(c, rv[n].get(g, 0.0)) * rv[n].get(g, 0.0)
+                          for g, c in hv[n].items())
+                if hn[n] != 0 and rn[n] != 0:
+                    val /= hn[n] * rn[n]
+                acc[n] += val * pen
+        per_image[i] = float(acc.mean() / max(len(ref_toks[i]), 1) * 10.0)
+    corpus = float(np.mean(list(per_image.values()))) if ids else 0.0
+    return corpus, per_image
+
+
+def bleu_coco(gts: Dict[object, List[str]], res: Dict[object, str],
+              n_max: int = 4, tokenize: Callable = coco_tokenize):
+    """Corpus-level BLEU_1..4 exactly as pycocoevalcap's BleuScorer
+    computes it under COCOEvalCap's option='closest': per-image clipped
+    n-gram matches and guesses are summed over the corpus, the reference
+    length is the closest (ties -> shorter) per image, precision uses the
+    (tiny=1e-15, small=1e-9) smoothing ratio, BLEU_k is the k-th root of
+    the chained product, and the brevity penalty exp(1-1/ratio) applies
+    when ratio < 1 (bleu/bleu_scorer.py:200-260).
+
+    Returns [Bleu_1, ..., Bleu_n].
+    """
+    small, tiny = 1e-9, 1e-15
+    testlen = reflen = 0
+    correct = [0] * n_max
+    guess = [0] * n_max
+    for i in res:
+        hyp = tokenize(res[i])
+        refs = [tokenize(r) for r in gts[i]]
+        testlen += len(hyp)
+        # closest ref length; ties broken toward the SHORTER ref
+        # (bleu_scorer: min over (abs diff, len))
+        reflen += min(((abs(len(r) - len(hyp)), len(r)) for r in refs))[1]
+        for k in range(1, n_max + 1):
+            hc = _ngram_counts(hyp, k)
+            maxref: Counter = Counter()
+            for r in refs:
+                for g, c in _ngram_counts(r, k).items():
+                    maxref[g] = max(maxref[g], c)
+            correct[k - 1] += sum(min(c, maxref[g]) for g, c in hc.items())
+            guess[k - 1] += max(0, len(hyp) - k + 1)
+    bleus = []
+    prod = 1.0
+    ratio = (testlen + tiny) / (reflen + small)
+    for k in range(n_max):
+        prod *= (correct[k] + tiny) / (guess[k] + small)
+        b = prod ** (1.0 / (k + 1))
+        if ratio < 1:
+            b *= math.exp(1 - 1 / ratio)
+        bleus.append(float(b))
+    return bleus
+
+
+def rouge_l_coco(gts: Dict[object, List[str]], res: Dict[object, str],
+                 beta: float = 1.2, tokenize: Callable = coco_tokenize):
+    """ROUGE-L as pycocoevalcap computes it (rouge/rouge.py calc_score):
+    per image take the MAX LCS-precision and MAX LCS-recall over the
+    reference set INDEPENDENTLY (they may come from different
+    references), combine with the beta=1.2 F-score, mean over images."""
+    scores = []
+    for i in res:
+        hyp = tokenize(res[i])
+        precs, recs = [], []
+        for r in gts[i]:
+            ref = tokenize(r)
+            lcs = _lcs_len(ref, hyp)
+            precs.append(lcs / max(len(hyp), 1))
+            recs.append(lcs / max(len(ref), 1))
+        p, r = max(precs), max(recs)
+        scores.append((1 + beta ** 2) * p * r / (r + beta ** 2 * p)
+                      if p != 0 and r != 0 else 0.0)
+    return float(np.mean(scores)) if scores else 0.0
+
+
+def _meteor_align(hyp: List[str], ref: List[str]):
+    """Exact-match alignment: each hyp token matches the earliest free
+    identical ref token; returns (n_matches, n_chunks) where a chunk is
+    a maximal run of matches contiguous AND in order in both strings."""
+    ref_free = {}
+    for j, t in enumerate(ref):
+        ref_free.setdefault(t, []).append(j)
+    pairs = []
+    for i, t in enumerate(hyp):
+        if ref_free.get(t):
+            pairs.append((i, ref_free[t].pop(0)))
+    chunks = 0
+    prev = None
+    for i, j in pairs:
+        if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
+            chunks += 1
+        prev = (i, j)
+    return len(pairs), chunks
+
+
+def meteor_exact(gts: Dict[object, List[str]], res: Dict[object, str],
+                 alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
+                 tokenize: Callable = coco_tokenize):
+    """METEOR, exact-match stage (Lavie & Agarwal 2007 defaults:
+    alpha=0.9, beta=3, gamma=0.5): P=m/|hyp|, R=m/|ref|,
+    Fmean=PR/(alpha P+(1-alpha)R), penalty=gamma (chunks/m)^beta, score
+    per reference = Fmean (1-penalty), max over references, mean over
+    images.
+
+    DIVERGENCE from pycocoevalcap: its METEOR is the meteor-1.5 Java jar
+    with stem/synonym/paraphrase modules and tuned English weights; a
+    zero-egress image can hold neither the jar nor WordNet, so this is
+    the documented exact-match core only — identical when every match is
+    exact, a lower bound otherwise.
+    """
+    scores = []
+    for i in res:
+        hyp = tokenize(res[i])
+        best = 0.0
+        for r in gts[i]:
+            ref = tokenize(r)
+            m, ch = _meteor_align(hyp, ref)
+            if m == 0 or not hyp or not ref:
+                continue
+            p, rc = m / len(hyp), m / len(ref)
+            fmean = p * rc / (alpha * p + (1 - alpha) * rc)
+            pen = gamma * (ch / m) ** beta
+            best = max(best, fmean * (1 - pen))
+        scores.append(best)
+    return float(np.mean(scores)) if scores else 0.0
+
+
+def caption_scores(gts: Dict[object, List[str]], res: Dict[object, str],
+                   tokenize: Callable = coco_tokenize) -> Dict[str, float]:
+    """The COCOEvalCap result dict the reference prints
+    (evaluate_caption.py:197-200): Bleu_1..4, METEOR (exact-match core,
+    see :func:`meteor_exact`), ROUGE_L, CIDEr over
+    {image_id: [refs]} / {image_id: hypothesis}."""
+    missing = [i for i in res if i not in gts or not gts[i]]
+    if missing:
+        raise ValueError("no references for image ids: %s" % missing[:5])
+    bleus = bleu_coco(gts, res, tokenize=tokenize)
+    out = {"Bleu_%d" % (k + 1): b for k, b in enumerate(bleus)}
+    out["METEOR"] = meteor_exact(gts, res, tokenize=tokenize)
+    out["ROUGE_L"] = rouge_l_coco(gts, res, tokenize=tokenize)
+    out["CIDEr"] = cider_d(gts, res, tokenize=tokenize)[0]
+    return out
