@@ -83,8 +83,8 @@ def use_real_data() -> bool:
             and os.path.exists(REAL_VQA_EVAL))
 
 
-def build_cases(n, tmp):
-    if use_real_data():
+def build_cases(n, tmp, synthetic=False):
+    if use_real_data() and not synthetic:
         with open(REAL_VQA_EVAL) as f:
             records = json.load(f)[:n]
         log("real data: %d records from vqa_eval.json" % len(records))
@@ -547,6 +547,77 @@ def bench_sequential_1000(vllm, editor, tmp, max_rows,
     return out
 
 
+def bench_continuity(cfg, params, reps=3):
+    """FROZEN cross-round protocol line (VERDICT r3 item 9): synthetic
+    records, 32-token bucket, 20 cases fused in splits of 10, best-of-3,
+    90/120-row pre/post chunks — the r02 headline workload re-emitted
+    every round under pinned parameters. The headline metric's protocol
+    may keep evolving (real data, MFU accounting, chunk tuning); THIS
+    number's definition must never move again, so a regression can't
+    hide behind a protocol change. r02 recorded 11.41 cases/s on the
+    then-current harness; r04 freezes the workload exactly as below."""
+    import contextlib
+    import copy
+
+    import jax
+
+    from devqa_tpu.core.tokenizer import ToyTokenizer
+    from devqa_tpu.core.wrapper import JaxVLLM
+    from devqa_tpu.data.images import SyntheticImageProvider
+    from devqa_tpu.data.schema import EVQA
+    from devqa_tpu.editors.liveedit import LiveEdit, LiveEditConfig
+    from devqa_tpu.eval.harness import FusedEditorEvaluation
+
+    from devqa_tpu.retrieval.store import hash_encoder
+
+    # Pinned: every constant below is part of the protocol definition.
+    N_CASES, SPLIT, BUCKET = 20, 10, 32
+    PRE_ROWS, POST_ROWS, MAX_ROWS, IMG_PAD = 90, 120, 60, 8
+
+    vllm = JaxVLLM(cfg, params, ToyTokenizer(vocab_size=cfg.decoder.vocab_size),
+                   SyntheticImageProvider(cfg.vit.image_size),
+                   bucket_multiple=BUCKET, min_len=BUCKET,
+                   img_cache_size=512, img_batch_pad=IMG_PAD)
+    lcfg = LiveEditConfig(edit_model_name=cfg.name,
+                          llm_mid_dim=cfg.decoder.d_model, edit_layer_i=21,
+                          max_edits=1024, retrieve_top_k=8)
+    editor = LiveEdit(vllm, lcfg, seed=0)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = build_cases(SPLIT + N_CASES, tmp, synthetic=True)
+        data = EVQA(path, tmp, encoder=hash_encoder(16))
+
+        def run(lo, hi, name):
+            d = copy.copy(data)
+            d.cases = data.cases[lo:hi]
+            fe = FusedEditorEvaluation(
+                editor, d, evaluation_name=name,
+                results_dir=os.path.join(tmp, "res"), max_rows=MAX_ROWS,
+                pad_rows=True, hoist_pre=True,
+                pre_rows=PRE_ROWS, post_rows=POST_ROWS)
+            with contextlib.redirect_stdout(sys.stderr):
+                fe.evaluate_sequential_edit(edit_n=SPLIT)
+
+        editor.restore_to_original_model()
+        t0 = time.time()
+        run(0, SPLIT, "warm")
+        log("continuity warm: %.1fs" % (time.time() - t0))
+        jax.effects_barrier()
+        best = 0.0
+        for r in range(reps):
+            vllm.clear_image_cache()
+            editor.restore_to_original_model()
+            t0 = time.time()
+            run(SPLIT, SPLIT + N_CASES, "timed")
+            dt = time.time() - t0
+            log("continuity[%d]: %.2fs → %.3f cases/s"
+                % (r, dt, N_CASES / dt))
+            best = max(best, N_CASES / dt)
+    out = {"cases_per_s": round(best, 3),
+           "protocol": "synthetic20_bucket32_split10_rows90-120_bo3"}
+    log("continuity:", out)
+    return out
+
+
 def bench_train_step(vllm, n_steps=6):
     """Jitted LiveEdit meta-training steps/s at blip2-2.7b scale, one
     compiled shape across steps (verified via the jit cache size)."""
@@ -859,6 +930,11 @@ def main():
                                           post_rows=post_rows))
         train_res = run_phase("BENCH_TRAIN", 120,
                               lambda: bench_train_step(vllm))
+        # FROZEN cross-round continuity line (VERDICT r3 item 9): shares
+        # the resident 2.7b params, so it must run before the free below.
+        continuity_res = run_phase(
+            "BENCH_CONTINUITY", 150,
+            lambda: bench_continuity(vllm.cfg, vllm.params))
         # The train phase is the last user of the 2.7b model: free its
         # ~8GB of bf16 weights BEFORE the flash/llava phases init their
         # own 4096-wide models, or the llava phase RESOURCE_EXHAUSTs
@@ -910,6 +986,8 @@ def main():
         out["mfu"] = mfu
     if seq1000_res:
         out["sequential_1000"] = seq1000_res
+    if continuity_res:
+        out["continuity"] = continuity_res
     if flash_res:
         out["flash"] = flash_res
     if llava_res:

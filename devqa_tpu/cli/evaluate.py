@@ -86,6 +86,11 @@ DEFAULT_DATA = {
 
 def main():
     args = get_args()
+    # Multi-host bring-up first (single-host: silent no-op).
+    from ..parallel import init_distributed
+
+    init_distributed()
+
     from ..data import schema
     from ..eval.harness import EditorEvaluation
     from ..utils.registry import get_full_model_name, load_vllm_editor

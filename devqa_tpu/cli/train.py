@@ -56,6 +56,13 @@ def main():
     args = get_args()
     import time
 
+    # Multi-host bring-up must precede any backend-touching jax call
+    # (no-op on single-host launches; replaces the reference's
+    # init_distributed_mode, dist_utils.py:56).
+    from ..parallel import init_distributed
+
+    init_distributed()
+
     from ..data import schema
     from ..train.loop import EditorTrainer
     from ..utils.registry import get_full_model_name, load_vllm_editor

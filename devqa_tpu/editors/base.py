@@ -22,12 +22,18 @@ from __future__ import annotations
 from abc import ABC, abstractmethod
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
+from ..core.losses import token_accuracy
 from ..core.wrapper import JaxVLLM, QueryBatch
 
 # request = {'image': path|None, 'prompt': str, 'target_new': str}
 EditRequest = Dict
+
+# One fused metrics program for the composed query_metrics fallback
+# (eager per-op dispatch is pathological on remote-compile runtimes).
+_metrics_jit = jax.jit(token_accuracy)
 
 
 def instance_jit(**jit_kwargs):
@@ -109,3 +115,20 @@ class VLLMEditor(ABC):
         """Logits under the current edit state. Default: the (possibly
         parameter-edited) backbone with no runtime intervention."""
         return self.vllm.logits(qb.embeds, qb.kv_valid)
+
+    def query_metrics(self, qb: QueryBatch):
+        """(acc [B], pred_ids [B, L]) under the current edit state —
+        metric-identical to ``token_accuracy(self.query_logits(qb), ...)``.
+
+        Editors whose query path goes through ``vllm.logits`` (this
+        default) get the wrapper's fused forward+metrics program (the
+        [B, L, vocab] logits never round-trip HBM between dispatches);
+        editors with their own jitted forwards may override with a fused
+        program of their own (LiveEdit does) — or inherit this composed
+        fallback, which stays correct at the cost of one extra dispatch.
+        """
+        if type(self).query_logits is VLLMEditor.query_logits:
+            return self.vllm.logits_metrics(qb.embeds, qb.kv_valid,
+                                            qb.label_ids, qb.label_masks)
+        return _metrics_jit(self.query_logits(qb), qb.label_ids,
+                            qb.label_masks)

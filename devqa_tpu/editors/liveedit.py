@@ -39,6 +39,7 @@ import numpy as np
 import optax
 
 from ..core import decoder as dec
+from ..core.losses import token_accuracy
 from ..core.wrapper import JaxVLLM, QueryBatch
 from ..ops.layers import layer_norm
 from ..utils.config import BaseConfig
@@ -331,9 +332,10 @@ class LiveEdit(VLLMEditor):
 
     # ---------------- inference ----------------
 
-    @instance_jit()
-    def _logits_jit(self, lparams, state, vparams, embeds, kv_valid,
-                    query_ends, has_image):
+    def _edited_logits(self, lparams, state, vparams, embeds, kv_valid,
+                       query_ends, has_image):
+        """Traced forward under the current pools (shared by the logits
+        and the fused-metrics jits)."""
         vcfg = self.vllm.cfg
         fn = make_residual_fn(lparams, self.cfg, state, vcfg.vt_range,
                               kv_valid, query_ends, has_image)
@@ -342,11 +344,33 @@ class LiveEdit(VLLMEditor):
             layer_residual=(self.cfg.edit_layer_i, fn))
         return dec.decoder_logits(vparams["decoder"], vcfg.decoder, h)
 
+    @instance_jit()
+    def _logits_jit(self, lparams, state, vparams, embeds, kv_valid,
+                    query_ends, has_image):
+        return self._edited_logits(lparams, state, vparams, embeds,
+                                   kv_valid, query_ends, has_image)
+
+    @instance_jit()
+    def _metrics_fused_jit(self, lparams, state, vparams, embeds, kv_valid,
+                           query_ends, has_image, label_ids, label_masks):
+        # Forward + masked-argmax metrics in ONE program: the [B, L, V]
+        # f32 logits never round-trip HBM between dispatches (profiled:
+        # lm head 25ms + separate metrics 9ms per 120-row probe chunk).
+        logits = self._edited_logits(lparams, state, vparams, embeds,
+                                     kv_valid, query_ends, has_image)
+        return token_accuracy(logits, label_ids, label_masks)
+
     def query_logits(self, qb: QueryBatch):
         qe = jnp.asarray(self.vllm.query_end_positions(qb))
         return self._logits_jit(
             self.params, self.state, self.vllm.params, qb.embeds, qb.kv_valid,
             qe, jnp.asarray(qb.has_image))
+
+    def query_metrics(self, qb: QueryBatch):
+        qe = jnp.asarray(self.vllm.query_end_positions(qb))
+        return self._metrics_fused_jit(
+            self.params, self.state, self.vllm.params, qb.embeds, qb.kv_valid,
+            qe, jnp.asarray(qb.has_image), qb.label_ids, qb.label_masks)
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,17 @@ class EditorEvaluation:
         self.probe_tokens += max(0, ntok - counted)
         return logits
 
+    def _query_metrics_counted(self, qb):
+        """editor.query_metrics with the same no-double-count decoder-token
+        accounting as :meth:`_query_logits_counted`."""
+        vllm = self.editor.vllm
+        ntok = int(qb.embeds.shape[0] * qb.embeds.shape[1])
+        c0 = vllm.counters["decoder_tokens"]
+        accs, preds = self.editor.query_metrics(qb)
+        counted = vllm.counters["decoder_tokens"] - c0
+        self.probe_tokens += max(0, ntok - counted)
+        return accs, preds
+
     def _k_for(self, sub: str) -> int:
         """k=1 for text locality, k=loc_topk for multimodal locality —
         the reference's (k=1, k=10) pair at multimodal_editor.py:987/1004."""
@@ -448,20 +459,40 @@ class FusedEditorEvaluation(EditorEvaluation):
             prompts = [s.prompt for s in chunk]
             images = [s.image for s in chunk]
             targets = [s.target for s in chunk]
+            # Fused forward+metrics (editor.query_metrics / vllm.
+            # logits_metrics) keeps the [rows, L, vocab] logits tensor
+            # inside ONE device program — only the top-k scorer still
+            # needs materialized logits, so loc_topk falls back to the
+            # two-dispatch path (metric-identical either way,
+            # tests/test_fused_eval.py).
+            tk = None
             if edited:
                 qb = self.editor.build_query_batch(prompts, images, targets)
-                logits = self._query_logits_counted(qb)
+                if self.loc_topk:
+                    logits = self._query_logits_counted(qb)
+                    a, p = _metrics_jit(logits, qb.label_ids, qb.label_masks)
+                    tk = _topk_jit(logits, k=int(self.loc_topk))
+                else:
+                    a, p = self._query_metrics_counted(qb)
             elif getattr(self.editor, "pre_edit_locality_via_editor", False):
                 # same editor-wrapped pre-edit routing as
                 # _before_edit_locality (fused must stay metric-identical)
                 qb = self.editor.build_query_batch(prompts, images, targets)
-                logits = self.editor.query_logits(qb)
+                if self.loc_topk:
+                    logits = self.editor.query_logits(qb)
+                    a, p = _metrics_jit(logits, qb.label_ids, qb.label_masks)
+                    tk = _topk_jit(logits, k=int(self.loc_topk))
+                else:
+                    a, p = self.editor.query_metrics(qb)
             else:
                 qb = vllm.encode_queries(prompts, images, targets)
-                logits = vllm.logits(qb.embeds, qb.kv_valid)
-            a, p = _metrics_jit(logits, qb.label_ids, qb.label_masks)
-            tk = _topk_jit(logits, k=int(self.loc_topk)) \
-                if self.loc_topk else None
+                if self.loc_topk:
+                    logits = vllm.logits(qb.embeds, qb.kv_valid)
+                    a, p = _metrics_jit(logits, qb.label_ids, qb.label_masks)
+                    tk = _topk_jit(logits, k=int(self.loc_topk))
+                else:
+                    a, p = vllm.logits_metrics(qb.embeds, qb.kv_valid,
+                                               qb.label_ids, qb.label_masks)
             pending.append((real, a, p, qb.label_masks, tk))
         return pending
 

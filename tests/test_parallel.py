@@ -176,3 +176,52 @@ class TestMultisliceMesh:
 
         mesh = make_multislice_mesh(tp=2, devices=jax.devices()[:8])
         assert dict(mesh.shape) == {"dcn": 1, "dp": 4, "tp": 2}
+
+
+class TestInitDistributed:
+    """Multi-host bring-up (parallel/distributed.py) — the replacement for
+    the reference's init_distributed_mode (dist_utils.py:56-81)."""
+
+    def test_single_host_is_noop(self, monkeypatch):
+        from devqa_tpu.parallel import distributed as D
+
+        for k in ("DEVQA_COORDINATOR_ADDRESS", "DEVQA_DISTRIBUTED",
+                  "COORDINATOR_ADDRESS", "SLURM_JOB_ID",
+                  "OMPI_COMM_WORLD_SIZE", "DEVQA_NUM_PROCESSES",
+                  "DEVQA_PROCESS_ID"):
+            monkeypatch.delenv(k, raising=False)
+        assert not D.is_distributed_env()
+        assert D.init_distributed() is False
+        assert not D._initialized
+
+    def test_env_detection(self, monkeypatch):
+        from devqa_tpu.parallel import distributed as D
+
+        monkeypatch.setenv("DEVQA_DISTRIBUTED", "1")
+        assert D.is_distributed_env()
+        monkeypatch.delenv("DEVQA_DISTRIBUTED")
+        monkeypatch.setenv("SLURM_JOB_ID", "123")
+        assert D.is_distributed_env()
+
+    def test_explicit_coordinates_initialize_for_real(self):
+        """A real jax.distributed.initialize with num_processes=1 against
+        a localhost coordinator — the exact code path a multi-host launch
+        takes, runnable in one process. Isolated in a subprocess so the
+        distributed client never leaks into other tests."""
+        if isolate_in_subprocess(
+                "tests/test_parallel.py::TestInitDistributed::"
+                "test_explicit_coordinates_initialize_for_real"):
+            return
+        from devqa_tpu.parallel import distributed as D
+
+        ok = D.init_distributed(coordinator_address="localhost:18427",
+                                num_processes=1, process_id=0)
+        assert ok is True
+        assert D._initialized
+        assert D.init_distributed() is True  # idempotent
+        import jax
+
+        assert jax.process_count() == 1
+        assert len(jax.devices()) >= 1
+        D.shutdown_distributed()
+        assert not D._initialized
