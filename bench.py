@@ -319,13 +319,20 @@ def bench_attention_op(reps=3, iters=8, deadline=None):
     return res
 
 
-def bench_llava_pipeline(n_cases=8):
+def bench_llava_pipeline(n_cases=8, deadline=None):
     """Fused sequential-edit pipeline at LLaVA geometry: full CLIP-L-336
     tower (24 layers, 576 image tokens after CLS drop) + reduced-layer
     (default 8) same-width vicuna decoder — probe rows are 640 tokens, so
     the Pallas flash kernel runs on the ACTUAL eval hot path (the full
     7b decoder would not leave logits headroom next to the resident
-    2.7b bench weights). Reports cases/s and decoder/vision MFU."""
+    2.7b bench weights). Reports cases/s and decoder/vision MFU, plus
+    (deadline permitting) the reference-protocol unbatched baseline
+    (one probe per forward, one image encode per probe —
+    vllm_editor_eval.py:137-175) so cases/s has a measured denominator,
+    and a prefix-cache serve A/B at the 576-vision-token geometry where
+    the engine's KV-prefix reuse is designed to pay
+    (serve/engine.py:85-106; the reference worker recomputes the full
+    prefix per request, model_worker.py:44)."""
     import dataclasses
 
     import jax
@@ -388,16 +395,132 @@ def bench_llava_pipeline(n_cases=8):
         t0 = time.time()
         fe = run(n_cases, 2 * n_cases, "timed")
         dt = time.time() - t0
-    seq = 64 + cfg.n_img_tokens
-    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
-    _, _, mfu = mfu_accounting(
-        vllm, c0, fe.probe_tokens, dt,
-        FL.decoder_flops_per_token(cfg.decoder, seq),
-        FL.vision_flops_per_image(cfg), peak)
-    out = {"shape": "vit24x1024_576tok_dec%dx4096_row%d" % (n_layers, seq),
-           "cases_per_s": round(n_cases / dt, 3),
-           "mfu_total": mfu["mfu_total"]}
-    log("llava pipeline:", out)
+
+        seq = 64 + cfg.n_img_tokens
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+        _, _, mfu = mfu_accounting(
+            vllm, c0, fe.probe_tokens, dt,
+            FL.decoder_flops_per_token(cfg.decoder, seq),
+            FL.vision_flops_per_image(cfg), peak)
+        out = {"shape": "vit24x1024_576tok_dec%dx4096_row%d"
+               % (n_layers, seq),
+               "cases_per_s": round(n_cases / dt, 3),
+               "mfu_total": mfu["mfu_total"]}
+        log("llava pipeline:", out)
+
+        def past(label):
+            if deadline is not None and time.time() > deadline:
+                log("llava %s skipped: past deadline" % label)
+                return True
+            return False
+
+        # ---- reference-protocol baseline (one probe per forward, one
+        # image encode per probe — the torch eval loop's discipline,
+        # vllm_editor_eval.py:137-175) on the SAME llava-scale model, so
+        # cases_per_s has a measured denominator like the blip2 headline.
+        if os.environ.get("BENCH_LLAVA_BASE", "1") == "1" \
+                and not past("baseline"):
+            from devqa_tpu.core.losses import token_accuracy
+            from devqa_tpu.data.schema import case_probe_specs
+
+            vllm_b = JaxVLLM(cfg, params, vllm.tokenizer,
+                             SyntheticImageProvider(cfg.vit.image_size),
+                             bucket_multiple=64, min_len=64,
+                             img_cache_size=8, img_batch_pad=1)
+            ed_b = LiveEdit(vllm_b, lcfg, seed=0)
+            metrics = jax.jit(token_accuracy)
+
+            def one_case(case):
+                for s in case_probe_specs(case):
+                    if s.kind != "locality":
+                        continue
+                    vllm_b.clear_image_cache()
+                    qb = vllm_b.encode_queries([s.prompt], [s.image],
+                                               [s.target])
+                    a, _ = metrics(vllm_b.logits(qb.embeds, qb.kv_valid),
+                                   qb.label_ids, qb.label_masks)
+                    fetch_scalar(a)
+                ed_b.edit_one_piece(case.requests[0])
+                for s in case_probe_specs(case):
+                    vllm_b.clear_image_cache()
+                    qb = vllm_b.encode_queries([s.prompt], [s.image],
+                                               [s.target])
+                    a, _ = metrics(ed_b.query_logits(qb), qb.label_ids,
+                                   qb.label_masks)
+                    fetch_scalar(a)
+
+            base_cases = data.cases[2 * n_cases:2 * n_cases + 2]
+            ed_b.restore_to_original_model()
+            one_case(base_cases[0])  # compiles the B=1 programs
+            base_cps = 0.0
+            for r in range(2):
+                if past("baseline rep %d" % r):
+                    break
+                ed_b.restore_to_original_model()
+                t0 = time.time()
+                for c in base_cases:
+                    one_case(c)
+                bdt = time.time() - t0
+                log("llava reference-protocol[%d]: %.2fs for %d cases"
+                    % (r, bdt, len(base_cases)))
+                base_cps = max(base_cps, len(base_cases) / bdt)
+            if base_cps > 0:
+                out["baseline_cases_per_s"] = round(base_cps, 4)
+                out["vs_baseline"] = round(out["cases_per_s"] / base_cps, 2)
+            del vllm_b, ed_b
+
+    # ---- prefix-cache serve A/B at the geometry where KV-prefix reuse
+    # is designed to pay (576 of ~640 prefill tokens are the image; the
+    # auto-gate turns the cache ON here, serve/engine.py:94-106). Same
+    # engine config, same repeat-image request stream, prefix on vs off.
+    if os.environ.get("BENCH_LLAVA_SERVE", "1") == "1" \
+            and not past("serve"):
+        from devqa_tpu.serve.engine import BatchingEngine
+
+        n_req = int(os.environ.get("BENCH_LLAVA_SERVE_REQS", "12"))
+        new_tok = 12
+
+        def drive(prefix_images):
+            eng = BatchingEngine(vllm, n_slots=4, max_len=704,
+                                 steps_per_dispatch=4,
+                                 prefix_cache_images=prefix_images).start()
+            try:
+                # Warm both prefill widths + decode; with the cache on,
+                # the repeated warm image also compiles+warms the
+                # continue-path prefill for both widths.
+                eng.generate("warm the decode path", "img_s0.jpg",
+                             max_new_tokens=4)
+                eng.generate("warm the continue path", "img_s0.jpg",
+                             max_new_tokens=4)
+                w = [eng.submit("warm wave %d" % i, "img_s1.jpg", 4)
+                     for i in range(4)]
+                for r in w:
+                    r.done.wait(600)
+                tok0 = eng.tokens_generated
+                t0 = time.time()
+                reqs = [eng.submit("describe the scene variant %d" % i,
+                                   "img_s%d.jpg" % (i % 2), new_tok)
+                        for i in range(n_req)]
+                for r in reqs:
+                    r.done.wait(600)
+                sdt = time.time() - t0
+                toks = eng.tokens_generated - tok0
+                return {"tokens_per_s": round(toks / sdt, 2),
+                        "prefix_hits": eng.prefix_hits,
+                        "prefix_misses": eng.prefix_misses}
+            finally:
+                eng.shutdown()
+
+        on = drive(None)   # auto-gate: ON at 576 vision tokens
+        off = drive(0) if not past("serve-off") else None
+        serve = {"prefix_on": on}
+        if off is not None:
+            serve["prefix_off"] = off
+            if off["tokens_per_s"] > 0:
+                serve["prefix_speedup"] = round(
+                    on["tokens_per_s"] / off["tokens_per_s"], 2)
+        out["serve"] = serve
+        log("llava serve:", serve)
     return out
 
 
@@ -417,12 +540,14 @@ def bench_serve(vllm, n_req=None, new_tokens=24):
     eng = BatchingEngine(vllm, n_slots=8, max_len=160,
                          steps_per_dispatch=4).start()
     try:
-        # Warm both prefill widths (1 and n_slots) + the decode program,
-        # AND both prefix-cache continue widths (the warm images repeat,
-        # so the second pass through each width takes the continue path).
+        # Warm both prefill widths (1 and n_slots) + the decode program.
+        # (The vision-prefix cache auto-gates OFF at BLIP-2 scale — 32
+        # vision tokens, engine.py:94-106 — so there is no continue path
+        # to warm here; the llava phase's serve A/B exercises it at the
+        # 576-token geometry where it pays.)
         eng.generate("warm the decode path of scene 0", "img_w0.jpg",
                      max_new_tokens=4)
-        eng.generate("warm the continue path too", "img_w0.jpg",
+        eng.generate("warm the decode path again", "img_w0.jpg",
                      max_new_tokens=4)
         w = [eng.submit("warm %d" % i, "img_w1.jpg", 4) for i in range(8)]
         for r in w:
@@ -451,11 +576,9 @@ def bench_serve(vllm, n_req=None, new_tokens=24):
                "tokens_per_s": round(toks / dt, 2),
                "concurrent_slots": 8, "tokens_generated": toks,
                "sequential_tokens_per_s": seq_tps,
-               "batching_speedup": round(toks / dt / max(seq_tps, 1e-9), 2),
-               # vision-prefix KV reuse (engine.py): repeat-image prompts
-               # skip the image block's prefill via the continue path
-               "prefix_hits": eng.prefix_hits,
-               "prefix_misses": eng.prefix_misses}
+               "batching_speedup": round(toks / dt / max(seq_tps, 1e-9), 2)}
+        # prefix_hits/misses are constant 0 here (cache auto-gated off at
+        # 32 vision tokens) — reported by the llava serve A/B instead.
         log("serve bench:", out)
         log("serve triage: decode %d dispatches %.2fs (%.0fms each), "
             "admit %d waves %.2fs (%.0fms each: encode %.2fs, prefill "
@@ -830,6 +953,10 @@ def main():
             log("fused[%d]: %.2fs for %d cases → %.3f cases/s "
                 "(%d dec tokens, %d imgs)" %
                 (r, dt, n_timed, n_timed / dt, dec_tokens, n_imgs))
+            log("  phases: %s" % {
+                k: round(v, 3)
+                for k, v in getattr(fe_box["fe"], "phase_times",
+                                    {}).items()})
             if n_timed / dt > fused_cps:
                 fused_cps = n_timed / dt
                 mfu = mfu_r
@@ -960,7 +1087,9 @@ def main():
                     % (a.shape, a.dtype, a.nbytes / 2**20))
         except Exception as e:
             log("live_arrays unavailable:", repr(e))
-        llava_res = run_phase("BENCH_LLAVA", 180, bench_llava_pipeline)
+        llava_res = run_phase(
+            "BENCH_LLAVA", 240,
+            lambda: bench_llava_pipeline(deadline=t_start + phase_cap))
         # Free the llava phase's 4096-wide model + jit executables before
         # the flash phase: its L=4096 XLA-attention op microbench
         # materializes ~4GB of O(L^2) f32 scores next to ANOTHER 8-layer

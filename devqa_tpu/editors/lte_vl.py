@@ -255,6 +255,7 @@ class LTEvlTrainable(LTEvl):
             for k, qb in gens.items():
                 g = self._prefixed_loss(dparams, prefix, qb)
                 total += g * tc.gen_lambda
+                logs["gen_loss:" + k] = g
             logs["gen_loss_last"] = g
             for k, qb in locs.items():
                 pre = jax.lax.stop_gradient(dec.decoder_logits(
@@ -272,6 +273,7 @@ class LTEvlTrainable(LTEvl):
                     / jnp.maximum(m.sum(), 1.0)
                 kl2 = self._prefixed_loss(dparams, prefix, qb, kl_ref=pre)
                 total += (kl1 + kl2) / 2 * tc.loc_lambda
+                logs["loc_loss:" + k] = (kl1 + kl2) / 2
             logs["loc_loss_last"] = (kl1 + kl2) / 2
             return total, logs
 

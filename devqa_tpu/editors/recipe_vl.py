@@ -56,6 +56,10 @@ class RECIPEvlConfig(BaseConfig):
         query_knowledge_t: float = 1.0
         query_prototype_t: float = 1.0
         constra_hinge_scale: float = 1.2
+        # Parsed but never read by the reference's training
+        # (recipe_vl.py:29 declares it; only constra_hinge_scale is used,
+        # recipe_vl.py:181) — kept for config-surface parity.
+        edit_hinge_scale: float = 1.2
         eps: float = 1e-8
 
     @dataclasses.dataclass(frozen=True)

@@ -534,6 +534,13 @@ class FusedEditorEvaluation(EditorEvaluation):
 
         splits, split_ns, seed = self._split_and_shuffle(edit_n, random, seed)
         editor.restore_to_original_model()
+        # Perf triage (read by bench.py): wall seconds of the three
+        # pipeline stages. dispatch_s is HOST-side serial time (tokenize/
+        # pack/transfer/enqueue — device work overlaps it only as far as
+        # async dispatch allows); warm_s is the up-front vision warm;
+        # collect_s blocks on device completion + assembles results.
+        self.phase_times: Dict[str, float] = {}
+        _t_warm = time.time()
 
         # Pack unique images ACROSS cases: the whole probe grid is known
         # upfront, so warm the vision LRU in full fixed-size encode
@@ -547,6 +554,8 @@ class FusedEditorEvaluation(EditorEvaluation):
             vllm.warm_image_cache(
                 [s.image for split in splits for case in split
                  for s in case_probe_specs(case)])
+        self.phase_times["warm_s"] = time.time() - _t_warm
+        _t_disp = time.time()
 
         def gather_loc_specs(cases_):
             loc_specs, loc_slices = [], []
@@ -621,6 +630,8 @@ class FusedEditorEvaluation(EditorEvaluation):
                                                      rows=self.post_rows)
             editor.restore_to_original_model()
             per_split.append((split, slices, post_pending, per_edit, pre_own))
+        self.phase_times["dispatch_s"] = time.time() - _t_disp
+        _t_coll = time.time()
 
         # ---- collect phase: fetch + assemble per split. ----
         hoisted = None
@@ -667,5 +678,6 @@ class FusedEditorEvaluation(EditorEvaluation):
                         rd[s.kind].setdefault(s.sub, []).append(entry)
                 split_res.append(rd)
             results.append(split_res)
+        self.phase_times["collect_s"] = time.time() - _t_coll
         self._save_sequential(results, split_ns, edit_n, random, seed)
         return results

@@ -150,34 +150,56 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # [block_q, block_k]
-        mask = jnp.broadcast_to(mask_ref[0, 0][None, :] > 0, s.shape)
-        # Ragged tail block: keys past the true kv length are padding reads
-        # with undefined contents — mask them explicitly.
-        ki = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = jnp.logical_and(mask, ki < kv_len)
-        if causal:
-            qi = (q_start + causal_offset
-                  + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
-            mask = jnp.logical_and(mask, ki <= qi)
-        s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scr[:, :1]                       # [block_q, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)   # [block_q, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                      # [block_q, block_k]
-        # Rows with every key masked stay all-NEG_INF: force p to 0.
-        p = jnp.where(mask, p, 0.0)
-        corr = jnp.exp(m_prev - m_new)              # [block_q, 1]
-        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
-        # SELECT-zero ragged v tail rows: their p is 0 but 0·NaN = NaN
-        # inside the dot if the undefined padding decodes as NaN.
-        v = _zero_oob_rows(v_ref[0], k_start, kv_len)
-        acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+        def _update(s, masked, mask):
+            m_prev = m_scr[:, :1]                       # [block_q, 1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)   # [block_q, 1]
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)                      # [block_q, block_k]
+            if masked:
+                # Rows with every key masked stay all-NEG_INF: force p→0.
+                p = jnp.where(mask, p, 0.0)
+            corr = jnp.exp(m_prev - m_new)              # [block_q, 1]
+            l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+            # SELECT-zero ragged v tail rows: their p is 0 but 0·NaN = NaN
+            # inside the dot if the undefined padding decodes as NaN.
+            v = _zero_oob_rows(v_ref[0], k_start, kv_len) if masked \
+                else v_ref[0]
+            acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+            l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+        # Interior fast path (the bulk of a long-sequence grid): a block
+        # whose keys are all in-range, all kv-valid and (if causal)
+        # entirely below the diagonal needs NO mask — skipping the two
+        # iotas + compares + selects removes ~6 VPU passes over
+        # [block_q, block_k] per block (the official jax kernel exploits
+        # the same structure by splitting its grid at the diagonal).
+        in_range = k_start + block_k <= kv_len
+        all_valid = jnp.min(mask_ref[0, 0]) > 0
+        below_diag = (not causal) or (
+            k_start + block_k - 1 <= q_start + causal_offset)
+        full = jnp.logical_and(in_range & below_diag, all_valid)
+
+        @pl.when(full)
+        def _fast():
+            _update(s, False, None)
+
+        @pl.when(jnp.logical_not(full))
+        def _slow():
+            mask = jnp.broadcast_to(mask_ref[0, 0][None, :] > 0, s.shape)
+            # Ragged tail block: keys past the true kv length are padding
+            # reads with undefined contents — mask them explicitly.
+            ki = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            mask = jnp.logical_and(mask, ki < kv_len)
+            if causal:
+                qi = (q_start + causal_offset
+                      + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+                mask = jnp.logical_and(mask, ki <= qi)
+            _update(jnp.where(mask, s, NEG_INF), True, mask)
 
     @pl.when(ik == nk - 1)
     def _finalize():
@@ -298,7 +320,12 @@ def _bwd_p_ds(q, k, v, do, lse_row, delta_row, mask, sm_scale):
     undefined contents that may decode as NaN, and 0·NaN = NaN.
 
     Operands arrive in their input dtype (bf16 hot path — full MXU rate;
-    see _flash_kernel); p/ds are f32 statistics."""
+    see _flash_kernel); p/ds are f32 statistics.
+
+    ``mask=None`` is the interior fast path (block fully in-range,
+    kv-valid, below the causal diagonal, q rows in range): the selects
+    and the lse guard drop out entirely — every lse row is finite when
+    the block has no masked key."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale
@@ -306,12 +333,29 @@ def _bwd_p_ds(q, k, v, do, lse_row, delta_row, mask, sm_scale):
     # vector: Mosaic only supports minor-dim insertion for 32-bit types
     # (an i1 [:, None] here fails to compile on real TPU).
     lse_col = lse_row[:, None]                   # [block_q, 1] f32
-    m = mask & (lse_col > NEG_INF / 2)
-    p = jnp.where(m, jnp.exp(s - lse_col), 0.0)
     dpv = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if mask is None:
+        p = jnp.exp(s - lse_col)
+        ds = p * (dpv - delta_row[:, None]) * sm_scale
+        return p, ds
+    m = mask & (lse_col > NEG_INF / 2)
+    p = jnp.where(m, jnp.exp(s - lse_col), 0.0)
     ds = jnp.where(m, p * (dpv - delta_row[:, None]) * sm_scale, 0.0)
     return p, ds
+
+
+def _interior_fast(mask_ref, k_start, q_start, causal, causal_offset,
+                   block_q, block_k, kv_len, q_len):
+    """Scalar predicate: TRUE iff this block needs no masking at all —
+    keys in range and kv-valid, q rows in range, and (if causal) the
+    whole block below the diagonal. The bulk of a long-sequence grid."""
+    in_range = k_start + block_k <= kv_len
+    q_in = q_start + block_q <= q_len
+    below = True if not causal else (
+        k_start + block_k - 1 <= q_start + causal_offset)
+    all_valid = jnp.min(mask_ref[0, 0]) > 0
+    return jnp.logical_and(in_range & q_in & below, all_valid)
 
 
 def _block_mask(mask_row, k_start, q_start, shape, causal, causal_offset,
@@ -358,19 +402,34 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0]
-        # SELECT-zero ragged k/v tails (ds is 0 there, but 0·NaN = NaN)
-        k = _zero_oob_rows(k_ref[0], k_start, kv_len)
-        v = _zero_oob_rows(v_ref[0], k_start, kv_len)
-        do = do_ref[0]
-        mask = _block_mask(mask_ref[0, 0], k_start, q_start,
-                           (block_q, block_k), causal, causal_offset,
-                           kv_len, q_len)
-        _, ds = _bwd_p_ds(q, k, v, do, lse_ref[0, 0], delta_ref[0, 0],
-                          mask, sm_scale)
-        acc_scr[...] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        full = _interior_fast(mask_ref, k_start, q_start, causal,
+                              causal_offset, block_q, block_k, kv_len,
+                              q_len)
+
+        def _accum(k, ds):
+            acc_scr[...] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(full)
+        def _fast():
+            _, ds = _bwd_p_ds(q_ref[0], k_ref[0], v_ref[0], do_ref[0],
+                              lse_ref[0, 0], delta_ref[0, 0], None,
+                              sm_scale)
+            _accum(k_ref[0], ds)
+
+        @pl.when(jnp.logical_not(full))
+        def _slow():
+            q = q_ref[0]
+            # SELECT-zero ragged k/v tails (ds is 0 there, 0·NaN = NaN)
+            k = _zero_oob_rows(k_ref[0], k_start, kv_len)
+            v = _zero_oob_rows(v_ref[0], k_start, kv_len)
+            mask = _block_mask(mask_ref[0, 0], k_start, q_start,
+                               (block_q, block_k), causal, causal_offset,
+                               kv_len, q_len)
+            _, ds = _bwd_p_ds(q, k, v, do_ref[0], lse_ref[0, 0],
+                              delta_ref[0, 0], mask, sm_scale)
+            _accum(k, ds)
 
     @pl.when(ik == nk - 1)
     def _finalize():
@@ -397,25 +456,39 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        # SELECT-zero ragged q/do tails: the q-row bound in _block_mask
-        # zeroes their p/ds, but the dots below still multiply the raw
-        # operands (0·NaN = NaN), and this grid accumulates ACROSS
-        # q-blocks into real keys' gradients.
-        q = _zero_oob_rows(q_ref[0], q_start, q_len)
-        k = k_ref[0]
-        v = v_ref[0]
-        do = _zero_oob_rows(do_ref[0], q_start, q_len)
-        mask = _block_mask(mask_ref[0, 0], k_start, q_start,
-                           (block_q, block_k), causal, causal_offset,
-                           kv_len, q_len)
-        p, ds = _bwd_p_ds(q, k, v, do, lse_ref[0, 0], delta_ref[0, 0],
-                          mask, sm_scale)
-        dv_scr[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dk_scr[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        full = _interior_fast(mask_ref, k_start, q_start, causal,
+                              causal_offset, block_q, block_k, kv_len,
+                              q_len)
+
+        def _accum(q, do, p, ds):
+            dv_scr[...] += jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_scr[...] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(full)
+        def _fast():
+            p, ds = _bwd_p_ds(q_ref[0], k_ref[0], v_ref[0], do_ref[0],
+                              lse_ref[0, 0], delta_ref[0, 0], None,
+                              sm_scale)
+            _accum(q_ref[0], do_ref[0], p, ds)
+
+        @pl.when(jnp.logical_not(full))
+        def _slow():
+            # SELECT-zero ragged q/do tails: the q-row bound in
+            # _block_mask zeroes their p/ds, but the dots below still
+            # multiply the raw operands (0·NaN = NaN), and this grid
+            # accumulates ACROSS q-blocks into real keys' gradients.
+            q = _zero_oob_rows(q_ref[0], q_start, q_len)
+            do = _zero_oob_rows(do_ref[0], q_start, q_len)
+            mask = _block_mask(mask_ref[0, 0], k_start, q_start,
+                               (block_q, block_k), causal, causal_offset,
+                               kv_len, q_len)
+            p, ds = _bwd_p_ds(q, k_ref[0], v_ref[0], do, lse_ref[0, 0],
+                              delta_ref[0, 0], mask, sm_scale)
+            _accum(q, do, p, ds)
 
     @pl.when(iq == nq - 1)
     def _finalize():

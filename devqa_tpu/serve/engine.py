@@ -102,6 +102,11 @@ class BatchingEngine:
             # inside the serving path on first use. At LLaVA scale the
             # cached prefix is 576 of ~600 prefill tokens (~90% of the
             # FLOPs), which is where reuse pays for its dispatches.
+            # 256 is an INTERPOLATION between those two measured points
+            # (32 = loss, 576 = win), not itself a measured crossover;
+            # qwen-vl's 256 image tokens land exactly on it — re-measure
+            # (bench.py llava serve A/B pattern) before serving a
+            # ~256-token-prefix model hot.
             prefix_cache_images = 16 if vllm.cfg.n_img_tokens >= 256 else 0
         self._prefix_cap = (prefix_cache_images
                             if vllm.cfg.n_img_tokens > 0 else 0)

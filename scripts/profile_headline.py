@@ -220,6 +220,50 @@ def main():
     fetch(qb2.embeds)
     report("build_query_batch (warm)", time.perf_counter() - t0)
 
+    # 8b. decompose the build: where do those milliseconds live?
+    #     host tokenize+pack | vision row stack | assemble dispatch |
+    #     label host->device transfers | the final device sync.
+    from devqa_tpu.data.xym import batch_samples
+
+    t0 = time.perf_counter()
+    samples = vllm.tokenize_queries(prompts, images, targets)
+    tb = batch_samples(samples, vllm.tokenizer.pad_token_id,
+                       bucket_multiple=vllm.bucket_multiple,
+                       min_len=vllm.min_len)
+    report("  build: tokenize+pack (host)", time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    img_tokens, has = vllm.encode_images(images)  # warm: pure row stack
+    report("  build: vision row stack (dispatch)", time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    ids_d = jnp.asarray(tb.input_ids)
+    mask_d = jnp.asarray(tb.attn_mask)
+    lab_d = jnp.asarray(tb.label_ids)
+    lm_d = jnp.asarray(tb.label_masks)
+    has_d = jnp.asarray(has)
+    report("  build: 5x host->device transfers", time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    emb2, kv2 = vllm._assemble_jit(vllm.params, ids_d, mask_d,
+                                   img_tokens, has_d)
+    report("  build: assemble dispatch", time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    fetch(emb2)
+    report("  build: final device sync", time.perf_counter() - t0)
+
+    # 9. CAN the pipeline overlap? Build+dispatch N chunks back to back
+    #    (the fused harness's dispatch-phase discipline), fetch at the
+    #    end: per-chunk wall at perfect overlap == the device program
+    #    time (item 1); == item 1 + build time if nothing overlaps.
+    N = 4
+    outs = []
+    t0 = time.perf_counter()
+    for _ in range(N):
+        qb_i = editor.build_query_batch(prompts, images, targets)
+        outs.append(editor.query_metrics(qb_i))
+    for a, p in outs:
+        fetch(a)
+    per = (time.perf_counter() - t0) / N
+    report("pipelined chunk (build+metrics x%d)" % N, per, chunk_flops)
+
     # analytic summary
     results["geometry"] = {"B": B, "L": L,
                            "chunk_tflops": round(chunk_flops / 1e12, 2)}

@@ -359,3 +359,355 @@ class TestMENDvlTrainOracle:
         loss2, _ = our_ed.train_step(batch)
         assert loss2 == pytest.approx(ref_loss2, rel=5e-3, abs=5e-4)
         ref_ed.set_train(False)
+
+
+# ---------------------------------------------------------------------------
+# SERAC_VL
+# ---------------------------------------------------------------------------
+
+class _ScriptedRng:
+    """np.random.Generator stand-in that scripts ONLY the 0/1 coins
+    (``integers(0, 2)``) and forces every other draw to 0. Both
+    frameworks' organize paths draw the same coins in the same order
+    (q1 then q2 per case) but differ in how many forced-0 index draws
+    surround them — scripting by (lo, hi) keeps them in sync."""
+
+    def __init__(self, coins):
+        self.coins = list(coins)
+
+    def integers(self, lo, hi=None, **kw):
+        if hi is None:
+            lo, hi = 0, lo
+        if (lo, hi) == (0, 2):
+            return self.coins.pop(0)
+        return 0
+
+
+@pytest.fixture(scope="module")
+def serac_train_pair(rig):
+    from test_reference_oracle import _make_ref_serac
+
+    from devqa_tpu.core.bert import BertConfig
+    from devqa_tpu.core.decoder import DecoderConfig
+    from devqa_tpu.editors.serac_vl import SERACvlConfig, SERACvlTrainable
+
+    rv = _fresh_ref_vllm(rig["hf_tok"], rig["model"])
+    ref_ed, path = _make_ref_serac({"ref_vllm": rv}, rig["tmp"])
+
+    our_ed = SERACvlTrainable(rig["vllm"], SERACvlConfig(
+        edit_model_name="tiny-blip2", classifier_rep_dim=24,
+        counterfact_model_rep_dim=20, llm_hidden_size=16,
+        max_edits=8, max_edit_len=64,
+        classifier=BertConfig(vocab_size=30, d_model=24, n_layers=2,
+                              n_heads=2, d_ffn=48, max_positions=64),
+        counterfact=DecoderConfig(
+            arch="opt", vocab_size=32, d_model=20, n_layers=2, n_heads=2,
+            d_ffn=40, max_positions=96, activation="relu",
+            tie_word_embeddings=True),
+        train_config=SERACvlConfig.TrainConfig(
+            lr=1e-3, relia_lambda=1.0, gen_lambda=1.0, loc_lambda=1.0)),
+        seed=0)
+    load_reference_editor_ckpt(our_ed, path)
+    return ref_ed, our_ed
+
+
+class TestSERACvlTrainOracle:
+    def test_one_step_loss_components(self, rig, serac_train_pair):
+        """serac_vl.py:154-217 train_a_batch: per-group counterfactual
+        edit CE (rel/gen) / KL-to-base (loc) + the three classifier
+        contrastive losses, then one Adam step, vs the reference's own
+        executable on identical weights. The reference's train_config
+        lambdas are parsed but NEVER multiplied into the loss
+        (serac_vl.py:179,199,215 add the raw terms) — both configs pin
+        λ=1 so 'as configured' and 'as executed' coincide. Note the
+        reference's Adam uses lr for BOTH param groups (serac_vl.py:220).
+        organize is rng-free on both sides (every pick is [0] /
+        integers(0,1))."""
+        ref_ed, our_ed = serac_train_pair
+        ref_ed.set_train(True)  # organize must see the passthrough fwd
+        # set_train(True) puts the HF classifier/counterfact in train
+        # mode, enabling their default dropout (p=0.1) — RNG noise no
+        # cross-framework oracle can model (measured: train-mode reps
+        # differ run-to-run). eval() only disables dropout here (no
+        # batchnorm anywhere); requires_grad stays on, so the
+        # backward/Adam semantics under test are unchanged.
+        ref_ed.classifier.eval()
+        ref_ed.counterfact_model.eval()
+        organized = ref_ed.organize_batch_data(rig["ref_cases"])
+        ref_ed.opt = ref_ed.get_a_new_optimizer()
+        ref_loss, ref_log = ref_ed.train_a_batch(organized)
+
+        batch = our_ed.organize_batch_data(rig["our_cases"])
+        assert batch["B"] == B and batch["G"] == 2 and batch["K"] == 9
+        loss, logs = our_ed.train_step(batch)
+
+        pairs = [
+            (logs["rel_edit_loss"], ref_log["Reliability edit loss"]),
+            (logs["rel_cls_loss"], ref_log["Reliability class loss"]),
+            (logs["gen_loss_last"],
+             ref_log["Generality-image_rephrase edit loss"]),
+            (logs["loc_loss_last"], ref_log["Locality-t3i3 edit loss"]),
+            (loss, ref_loss),
+        ]
+        for ours, ref in pairs:
+            assert ours == pytest.approx(ref, rel=2e-3, abs=2e-4), pairs
+
+        # Second step on the SAME batch pins the Adam update on the
+        # ROBUST components only. A first Adam step at lr=1e-3 is a
+        # near-sign step (v̂≈ĝ²), so params whose grads are float-noise
+        # small flip sign differently across frameworks and land ±1e-3
+        # apart; the smooth CE/KL/softmax-diag terms still agree at the
+        # ~1% level (measured: ≤0.3% edit, ~1% cls), but the TOTAL is
+        # dominated by the nine locality-class terms whose
+        # -log softmax([sim, +10])[:, -1] explodes whenever a random-
+        # weight sim crosses ~10 — O(1) chaos per CLAUDE.md's
+        # float-noise rule, so it is deliberately NOT compared.
+        ref_loss2, ref_log2 = ref_ed.train_a_batch(organized)
+        loss2, logs2 = our_ed.train_step(batch)
+        pairs2 = [
+            (logs2["rel_edit_loss"], ref_log2["Reliability edit loss"]),
+            (logs2["rel_cls_loss"], ref_log2["Reliability class loss"]),
+            (logs2["gen_loss_last"],
+             ref_log2["Generality-image_rephrase edit loss"]),
+            (logs2["loc_loss_last"], ref_log2["Locality-t3i3 edit loss"]),
+        ]
+        for ours, ref in pairs2:
+            assert ours == pytest.approx(ref, rel=2e-2, abs=1e-3), pairs2
+        assert loss2 != pytest.approx(ref_loss, rel=1e-6)
+        ref_ed.set_train(False)
+
+
+# ---------------------------------------------------------------------------
+# RECIPE_VL
+# ---------------------------------------------------------------------------
+
+def _trim_cases(rig):
+    """One generality key / one locality key per case so every
+    key/entry index draw is forced to 0 on both sides (recipe's
+    organize draws them independently; see _ScriptedRng)."""
+    import copy as _copy
+
+    from devqa_tpu.data.schema import TestCase
+
+    ours, theirs = [], []
+    for oc, rc in zip(rig["our_cases"], rig["ref_cases"]):
+        ours.append(TestCase(
+            requests=[dict(oc.requests[0])],
+            generality={"text_rephrase":
+                        _copy.deepcopy(oc.generality["text_rephrase"])},
+            locality={"t2i1": _copy.deepcopy(oc.locality["t2i1"])}))
+        theirs.append({
+            "requests": [dict(rc["requests"][0])],
+            "generality": {"text_rephrase":
+                           _copy.deepcopy(rc["generality"]["text_rephrase"])},
+            "locality": {"t2i1": _copy.deepcopy(rc["locality"]["t2i1"])}})
+    return ours, theirs
+
+
+@pytest.fixture(scope="module")
+def recipe_train_pair(rig):
+    from transformers import RobertaTokenizer
+
+    from test_reference_oracle import _make_tiny_roberta
+
+    from devqa_tpu.core.bert import BertConfig
+    from devqa_tpu.editors.recipe_vl import (RECIPEvlConfig,
+                                             RECIPEvlTrainable)
+
+    rob_dir = _make_tiny_roberta(rig["tmp"])
+    rv = _fresh_ref_vllm(rig["hf_tok"], rig["model"])
+
+    from editor.vllm_editors.recipe_vl.recipe_vl import RECIPEvl as RefRECIPE
+    from editor.vllm_editors.recipe_vl.recipe_vl import \
+        RECIPEvlConfig as RefCfg
+
+    ref_cfg = RefCfg(
+        edit_model_name="tiny-blip2", model_hidden_size=16, retr_top_k=2,
+        train=RefCfg.TrainConfig(
+            krm_lr=1e-4, pt_lr=1e-4, relia_lambda=1.0, gen_lambda=1.0,
+            loc_lambda=1.0, contra_lambda=1.0, query_knowledge_t=1.0,
+            query_prototype_t=1.0, constra_hinge_scale=1.2,
+            edit_hinge_scale=1.2),
+        krm=RefCfg.KRMConfig(
+            krm_base_path=rob_dir, krm_base_dim=768, prompt_token_n=2,
+            knowledge_rep_dim=20, knowl_rep_prot_token_n=3))
+    torch.manual_seed(53)
+    ref_ed = RefRECIPE(rv, ref_cfg, device="cpu")
+    ckpt = {"i": 0, "epoch": 0, "loss": 0.0, "ema_loss": None,
+            "train_modules": {
+                k: v.state_dict()
+                for k, v in ref_ed.get_modules_for_training().items()}}
+    path = os.path.join(rig["tmp"], "BestRECIPETrain")
+    torch.save(ckpt, path)
+
+    our_ed = RECIPEvlTrainable(
+        rig["vllm"],
+        RECIPEvlConfig(
+            edit_model_name="tiny-blip2", model_hidden_size=16,
+            retr_top_k=2, max_edits=8,
+            krm=RECIPEvlConfig.KRMConfig(
+                krm_base_dim=768, prompt_token_n=2, knowledge_rep_dim=20,
+                knowl_rep_prot_token_n=3),
+            encoder=BertConfig(
+                vocab_size=ref_ed.knowl_rep_model.base_model.config.vocab_size,
+                d_model=768, n_layers=2, n_heads=2, d_ffn=64,
+                max_positions=128, type_vocab_size=1, norm_eps=1e-5),
+            # pt_lr == krm_lr: the reference's optimizer puts BOTH module
+            # groups at krm_lr (recipe_vl.py:306-308) — pt_lr is parsed
+            # but never reaches the optimizer there.
+            train=RECIPEvlConfig.TrainConfig(
+                krm_lr=1e-4, pt_lr=1e-4, relia_lambda=1.0, gen_lambda=1.0,
+                loc_lambda=1.0, contra_lambda=1.0, query_knowledge_t=1.0,
+                query_prototype_t=1.0, constra_hinge_scale=1.2,
+                edit_hinge_scale=1.2)),
+        text_tokenizer=RobertaTokenizer.from_pretrained(rob_dir))
+    load_reference_editor_ckpt(our_ed, path)
+    return ref_ed, our_ed
+
+
+class TestRECIPEvlTrainOracle:
+    def test_one_step_loss_components(self, rig, recipe_train_pair):
+        """recipe_vl.py:170-259 train_a_batch: q1/q2/q3 contrastive
+        retrieval losses (hinge-selected, prototype-gated), prompted
+        rel/gen CE, prompted loc KL(post‖pre), one Adam step. Coins
+        (rel-vs-gen picks for q1/q2) are scripted identically on both
+        sides; all other draws are forced to 0 by single-key cases."""
+        ref_ed, our_ed = recipe_train_pair
+        our_cases, ref_cases = _trim_cases(rig)
+        coins = [0, 1, 1, 0, 1, 1]  # (q1, q2) per case
+        ref_ed.rng_data_proc = _ScriptedRng(coins)
+        our_ed._rng_data = _ScriptedRng(coins)
+
+        ref_ed.set_train(True)  # organize must keep images + bare fwd
+        # dropout off (see TestSERACvlTrainOracle): the RoBERTa KRM and
+        # the prompt transformer both default to p=0.1.
+        ref_ed.knowl_rep_model.eval()
+        ref_ed.prompt_transformer.eval()
+        organized = ref_ed.organize_batch_data(ref_cases)
+        ref_ed.opt = ref_ed.get_a_new_optimizer()
+        ref_loss, ref_log = ref_ed.train_a_batch(organized)
+
+        batch = our_ed.organize_batch_data(our_cases)
+        assert batch["B"] == B
+        loss, logs = our_ed.train_step(batch)
+
+        pairs = [
+            (logs["contra_loss"], ref_log["Contrastive loss"]),
+            (logs["rel_loss"], ref_log["Reliability loss"]),
+            (logs["gen_loss"], ref_log["Generality loss"]),
+            (logs["loc_loss"], ref_log["Locality loss"]),
+            (loss, ref_loss),
+        ]
+        for ours, ref in pairs:
+            assert ours == pytest.approx(ref, rel=2e-3, abs=2e-4), pairs
+
+        ref_loss2, _ = ref_ed.train_a_batch(organized)
+        loss2, _ = our_ed.train_step(batch)
+        assert loss2 == pytest.approx(ref_loss2, rel=5e-3, abs=5e-4)
+        assert loss2 != pytest.approx(ref_loss, rel=1e-6)
+        ref_ed.set_train(False)
+
+
+# ---------------------------------------------------------------------------
+# LTE_VL
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lte_train_pair(rig):
+    from sentence_transformers import SentenceTransformer
+
+    from test_reference_oracle import _make_tiny_st
+
+    from devqa_tpu.editors.lte_vl import LTEvlConfig, LTEvlTrainable
+
+    st_dir = _make_tiny_st(rig)
+    st = SentenceTransformer(st_dir, device="cpu")
+    rv = _fresh_ref_vllm(rig["hf_tok"], rig["model"])
+
+    from editor.vllm_editors.lte_vl.lte_vl import LTEvl as RefLTE
+    from editor.vllm_editors.lte_vl.lte_vl import LTEvlConfig as RefLTECfg
+
+    ref_cfg = RefLTECfg(
+        edit_model_name="tiny-blip2",
+        train_config=RefLTECfg.TrainConfig(
+            lr=1e-3, relia_lambda=1.0, gen_lambda=1.0, loc_lambda=1.0),
+        fine_tune_modules_path="language_model",
+        retriever_path=st_dir, retrieval_embed_dim=24, sim_threshold=0.3)
+    ref_ed = RefLTE(rv, ref_cfg, device="cpu")
+    ref_ed.vllm_proc_data = rv  # the reference's separate data-prep model
+    ckpt = {"i": 0, "epoch": 0, "loss": 0.0, "ema_loss": None,
+            "train_modules": {
+                k: v.state_dict()
+                for k, v in ref_ed.get_modules_for_training().items()}}
+    path = os.path.join(rig["tmp"], "BestLTETrain")
+    torch.save(ckpt, path)
+
+    # LTE fine-tunes the wrapper's decoder IN PLACE — give it its own
+    # JaxVLLM so the module-shared rig["vllm"] stays pristine.
+    our_vllm = JaxVLLM(rig["cfg"], rig["vllm"].params,
+                       HFTokenizerAdapter(rig["hf_tok"]),
+                       FileImageProvider(IMG_SIZE), bucket_multiple=8)
+    our_ed = LTEvlTrainable(
+        our_vllm,
+        LTEvlConfig(edit_model_name="tiny-blip2", retrieval_embed_dim=24,
+                    sim_threshold=0.3, max_edits=8, max_prefix_len=32,
+                    train_config=LTEvlConfig.TrainConfig(
+                        lr=1e-3, relia_lambda=1.0, gen_lambda=1.0,
+                        loc_lambda=1.0)),
+        sentence_encoder=lambda texts: st.encode(list(texts)))
+    load_reference_editor_ckpt(our_ed, path)
+    return ref_ed, our_ed
+
+
+class TestLTEvlTrainOracle:
+    def test_one_step_loss_components(self, rig, lte_train_pair):
+        """lte_vl.py:205-240 train_a_batch: prefixed rel/gen CE + the
+        averaged two-branch locality KL(pre‖unprefixed)+KL(pre‖prefixed),
+        one Adam step over the WHOLE language model, vs the reference's
+        executable. rng-free on both sides (batch of 1, all picks [0])."""
+        ref_ed, our_ed = lte_train_pair
+        ref_ed.set_train(True)
+        # dropout off (see TestSERACvlTrainOracle): set_train flipped the
+        # fine-tuned language_model to train mode (OPT dropout p=0.1).
+        # eval() the whole backbone — requires_grad is untouched.
+        ref_ed.vllm.model.eval()
+        # The fixture shares ONE BLIP-2 between vllm and vllm_proc_data
+        # (the reference trains with two separate copies, train.py's
+        # data-proc model); set_train's trailing
+        # vllm_proc_data.requires_grad_(False) (lte_vl.py:162-164)
+        # therefore also froze the fine-tuned language_model. Re-enable —
+        # exactly the state a separate proc-data model would leave.
+        for v in ref_ed.get_modules_for_training().values():
+            v.requires_grad_(True)
+        # organize under no_grad, as the frozen proc-data model would
+        # produce: its prefix/xym/pre_logits are CONSTANTS of training
+        # (lte_vl.py:172-189 runs them through vllm_proc_data), so each
+        # train_a_batch must build a fresh graph — with grads attached
+        # here, the second step would hit torch's freed-graph error.
+        with torch.no_grad():
+            organized = ref_ed.organize_batch_data([rig["ref_cases"][0]])
+        ref_ed.opt = ref_ed.get_a_new_optimizer()
+        ref_loss, ref_log = ref_ed.train_a_batch(organized)
+
+        batch = our_ed.organize_batch_data([rig["our_cases"][0]])
+        loss, logs = our_ed.train_step(batch)
+
+        pairs = [
+            (logs["rel_loss"], ref_log["Reliability loss"]),
+            (logs["gen_loss:image_rephrase"],
+             ref_log["Generality loss"]["image_rephrase"]),
+            (logs["loc_loss:t3i3"], ref_log["Locality loss"]["t3i3"]),
+            (loss, ref_loss),
+        ]
+        for ours, ref in pairs:
+            assert ours == pytest.approx(ref, rel=2e-3, abs=2e-4), pairs
+
+        # second step on the SAME batch: pins the Adam update over the
+        # full decoder (the reference reuses organize-time pre_logits;
+        # ours uses the pristine frozen decoder — identical by
+        # construction).
+        ref_loss2, _ = ref_ed.train_a_batch(organized)
+        loss2, _ = our_ed.train_step(batch)
+        assert loss2 == pytest.approx(ref_loss2, rel=5e-3, abs=5e-4)
+        assert loss2 != pytest.approx(ref_loss, rel=1e-6)
+        ref_ed.set_train(False)
