@@ -52,6 +52,48 @@ class QueryBatch:
     input_ids: np.ndarray     # [B, Lt] text tokens (host copy)
 
 
+@dataclasses.dataclass
+class PackedQuery:
+    """A query batch in PRE-assembly form: one int array + the gathered
+    vision rows. Purpose: ONE fused device program per probe chunk.
+
+    ``encode_queries`` costs ~8 device dispatches per chunk (vision row
+    stack, five transfers, assemble, forward); through a remote-dispatch
+    tunnel each program pays a fixed ~5-10ms floor, ~15% of a 120x96
+    chunk's forward (measured, scripts/profile_headline.py). A packed
+    query ships 2 transfers + 1 gather and lets the consumer's jit do
+    assemble + forward + metrics as one program. The vision rows are
+    gathered OUTSIDE the fused program on purpose: gathering in-program
+    would put the cache buffer's CAPACITY into the jit signature, and
+    the buffer grows across phases — each growth would recompile the
+    hot program (30-90s on remote-compile runtimes).
+    """
+
+    ints: jnp.ndarray         # [4, B, Lt] i32: ids, attn, label_ids, label_masks
+    rowmeta: jnp.ndarray      # [2, B] i32: has_image, query_end
+    img_rows: jnp.ndarray     # [B, V, d] gathered vision tokens
+    prompt_lens: np.ndarray   # [B] host
+    has_image: np.ndarray     # [B] host
+    label_masks_full: np.ndarray  # [B, Lt+V] host copy (result assembly)
+
+
+def assemble_packed(params, cfg, ints, rowmeta, img_rows):
+    """Traced assemble for a PackedQuery → (embeds, kv_valid,
+    label_ids, label_masks), all full-layout. Call INSIDE a jit (the
+    whole point); semantics identical to ``encode_queries``'s
+    assemble + numpy label placement (text label j → full j+V for
+    j ≥ img_slot_pos; earlier positions are never supervised)."""
+    ids, attn = ints[0], ints[1]
+    embeds, kv = assemble_embeds(params, cfg, ids, attn, img_rows,
+                                 rowmeta[0])
+    V, p = cfg.n_img_tokens, cfg.img_slot_pos
+    B = ids.shape[0]
+    zeros = jnp.zeros((B, p + V), jnp.int32)
+    labels = jnp.concatenate([zeros, ints[2][:, p:]], axis=1)
+    masks = jnp.concatenate([zeros, ints[3][:, p:]], axis=1)
+    return embeds, kv, labels, masks
+
+
 class JaxVLLM:
     def __init__(
         self,
@@ -82,7 +124,17 @@ class JaxVLLM:
         # of distinct compiled encode programs stays O(1) (remote-compile
         # TPU runtimes pay tens of seconds per new shape).
         self.img_batch_pad = max(1, img_batch_pad)
-        self._img_cache: OrderedDict[str, jnp.ndarray] = OrderedDict()
+        # Vision-token LRU as ONE device buffer [cap+1, V, d] (last row
+        # always zero = the no-image row) + a path→slot map. A dict of
+        # per-image device arrays needs a B-operand jnp.stack per query
+        # batch — B separate buffers through one eager concatenate — and
+        # keeps the rows un-gatherable inside fused programs; a slot
+        # buffer turns every lookup into one jnp.take (or an in-program
+        # gather via packed queries) and every encode batch into one
+        # donated scatter.
+        self._img_cache: OrderedDict[str, int] = OrderedDict()  # path→slot
+        self._img_buf = None
+        self._img_free: list = []
         self._img_cache_size = img_cache_size
         # Compute accounting for MFU reporting (utils/flops.py):
         # images_encoded counts device-encoded rows (padding included —
@@ -140,6 +192,28 @@ class JaxVLLM:
             lambda params, cache, token_ids: dec.decoder_decode_step(
                 params["decoder"], cfg.decoder, cache,
                 params["decoder"]["embed_tokens"][token_ids]))
+        # Donated row scatter for the vision buffer: without donation
+        # every encode batch copies the WHOLE buffer (at the 1000-edit
+        # protocol's ~6k-row capacity that is ~1GB of HBM traffic per
+        # 8-image batch). Donation is safe: consumers only ever hold
+        # GATHERED COPIES of rows (jnp.take), never the buffer itself,
+        # and the single device stream executes any pending readers
+        # before the scatter.
+        self._scatter_rows_jit = jax.jit(
+            lambda buf, idx, rows: buf.at[idx].set(rows),
+            donate_argnums=0)
+        # Fused packed-query program: gather vision rows + assemble +
+        # forward + masked-argmax metrics in ONE device program (see
+        # encode_queries_packed — on remote-dispatch runtimes the
+        # per-program floor makes the multi-dispatch path ~15% slower
+        # per probe chunk).
+        def _packed_metrics(params, ints, rowmeta, img_rows):
+            embeds, kv, labels, masks = assemble_packed(
+                params, cfg, ints, rowmeta, img_rows)
+            return _tok_acc(vllm_logits(params, cfg, embeds, kv),
+                            labels, masks)
+
+        self._packed_metrics_jit = jax.jit(_packed_metrics)
 
     # ---------------- vision ----------------
 
@@ -158,6 +232,44 @@ class JaxVLLM:
                                        min(int(n_images), max_bytes // row))
         return self._img_cache_size
 
+    # -- slot-buffer plumbing (see _img_cache comment in __init__) --
+
+    def _buf_capacity(self) -> int:
+        return 0 if self._img_buf is None else self._img_buf.shape[0] - 1
+
+    def _grow_buf(self, n_needed: int) -> None:
+        """Ensure the buffer holds ≥ n_needed rows (+ the zero row).
+        Doubling growth keeps realloc programs O(log n); new rows are
+        zeros, and the zero row stays LAST so existing slot indices and
+        the no-image index both survive a grow... except the no-image
+        index moves with capacity — callers always read it fresh via
+        ``_zero_slot``."""
+        cap = self._buf_capacity()
+        if cap >= n_needed:
+            return
+        V, d = self.cfg.n_img_tokens, self.cfg.decoder.d_model
+        dtype = jnp.dtype(self.params["decoder"]["embed_tokens"].dtype)
+        new_cap = max(n_needed, 2 * cap, 32)
+        if self._img_buf is None:
+            self._img_buf = jnp.zeros((new_cap + 1, V, d), dtype)
+        else:
+            self._img_buf = jnp.concatenate(
+                [self._img_buf[:cap],
+                 jnp.zeros((new_cap + 1 - cap, V, d), dtype)], axis=0)
+        self._img_free.extend(range(cap, new_cap))
+
+    def _zero_slot(self) -> int:
+        return self._buf_capacity()  # last row, always zeros
+
+    def _alloc_slot(self) -> int:
+        if not self._img_free:
+            self._grow_buf(self._buf_capacity() + 1)
+        return self._img_free.pop()
+
+    def _evict_oldest(self) -> None:
+        _, slot = self._img_cache.popitem(last=False)
+        self._img_free.append(slot)
+
     def _encode_uncached(self, todo: List[str]) -> None:
         """Encode ``todo`` (unique, uncached paths) into the LRU.
 
@@ -167,18 +279,31 @@ class JaxVLLM:
         of how many images missed the cache — on a remote-compile
         runtime every new unique-count costs a 30-90s XLA compile.
         Fixed-size chunks keep the compiled encode program count at 1.
+        Each batch lands in the slot buffer via one donated scatter.
         """
         bp = self.img_batch_pad
         self.counters["images_encoded"] += bp * ((len(todo) + bp - 1) // bp)
         self.counters["images_unique"] += len(todo)
+        self._grow_buf(len(self._img_cache) + len(todo))
         for lo in range(0, len(todo), bp):
             chunk = todo[lo:lo + bp]
             imgs = [self.image_provider(p) for p in chunk]
             imgs.extend([imgs[0]] * (bp - len(chunk)))
             u8 = jnp.asarray(np.stack(imgs))
             toks = self._encode_images_jit(self.params, u8)
-            for i, p in enumerate(chunk):
-                self._img_cache[p] = toks[i]
+            slots = [self._alloc_slot() for _ in chunk]
+            # Pad the scatter to the fixed encode width (same O(1)-shape
+            # rule as the encode itself). Padding rows scatter OUT OF
+            # BOUNDS on purpose — JAX drops OOB scatter updates — since
+            # a duplicate in-bounds index has UNSPECIFIED winner order
+            # and the pad rows are re-encodes of chunk[0], not copies
+            # of the row they'd collide with.
+            idx = np.full((bp,), self._img_buf.shape[0], np.int32)
+            idx[:len(slots)] = slots
+            self._img_buf = self._scatter_rows_jit(
+                self._img_buf, jnp.asarray(idx), toks)
+            for p, s in zip(chunk, slots):
+                self._img_cache[p] = s
                 self._img_cache.move_to_end(p)
 
     def warm_image_cache(self, paths: Sequence[Optional[str]]) -> int:
@@ -205,16 +330,12 @@ class JaxVLLM:
         if todo:
             self._encode_uncached(todo)
             while len(self._img_cache) > self._img_cache_size:
-                self._img_cache.popitem(last=False)
+                self._evict_oldest()
         return len(todo)
 
-    def encode_images(self, paths: Sequence[Optional[str]]) -> Tuple[jnp.ndarray, np.ndarray]:
-        """Paths (None = no image) → (vision tokens [B, V, d], has_image [B]).
-
-        Unique uncached paths are decoded + encoded in one device batch;
-        results are LRU-cached by path.
-        """
-        V, d = self.cfg.n_img_tokens, self.cfg.decoder.d_model
+    def _image_slots(self, paths: Sequence[Optional[str]]) -> Tuple[np.ndarray, np.ndarray]:
+        """Paths (None = no image) → (slot indices [B], has_image [B]),
+        encoding any uncached paths into the slot buffer first."""
         has = np.array([1 if p is not None else 0 for p in paths], np.int32)
         uniq = [p for p in dict.fromkeys(paths) if p is not None]
         # Refresh recency of already-cached paths FIRST: the eviction after
@@ -231,14 +352,23 @@ class JaxVLLM:
             # can reference more unique paths than the cache capacity).
             keep = max(self._img_cache_size, len(uniq))
             while len(self._img_cache) > keep:
-                self._img_cache.popitem(last=False)
-        if self._img_cache:
-            zdtype = next(iter(self._img_cache.values())).dtype
-        else:
-            zdtype = self.params["decoder"]["embed_tokens"].dtype
-        zero = jnp.zeros((V, d), zdtype)
-        rows = [self._img_cache[p] if p is not None else zero for p in paths]
-        return jnp.stack(rows), has
+                self._evict_oldest()
+        if self._img_buf is None:
+            self._grow_buf(1)  # all-None batch before any encode
+        z = self._zero_slot()
+        idx = np.array([self._img_cache[p] if p is not None else z
+                        for p in paths], np.int32)
+        return idx, has
+
+    def encode_images(self, paths: Sequence[Optional[str]]) -> Tuple[jnp.ndarray, np.ndarray]:
+        """Paths (None = no image) → (vision tokens [B, V, d], has_image [B]).
+
+        Unique uncached paths are decoded + encoded in fixed-size device
+        batches into the slot buffer; the batch is ONE gather from it
+        (the old per-row dict needed a B-operand stack per call).
+        """
+        idx, has = self._image_slots(paths)
+        return jnp.take(self._img_buf, jnp.asarray(idx), axis=0), has
 
     # ---------------- queries ----------------
 
@@ -303,6 +433,47 @@ class JaxVLLM:
             label_masks=jnp.asarray(full_masks),
             prompt_lens=prompt_lens, has_image=has, input_ids=tb.input_ids)
         return self._shard_query_batch(qb)
+
+    def encode_queries_packed(
+        self,
+        prompts: Sequence[str],
+        image_paths: Sequence[Optional[str]],
+        targets: Sequence[str],
+    ) -> PackedQuery:
+        """``encode_queries`` in pre-assembly form: tokenize + encode any
+        uncached images, then ship TWO int transfers; the consumer's jit
+        does gather/assemble/forward/metrics as one program (see
+        PackedQuery — the multi-dispatch path pays a per-program floor
+        on remote runtimes). No mesh sharding: callers under a mesh use
+        ``encode_queries``."""
+        samples = self.tokenize_queries(prompts, image_paths, targets)
+        tb = batch_samples(samples, self.tokenizer.pad_token_id,
+                           bucket_multiple=self.bucket_multiple,
+                           min_len=self.min_len)
+        idx, has = self._image_slots(image_paths)
+        img_rows = jnp.take(self._img_buf, jnp.asarray(idx), axis=0)
+        prompt_lens = np.array([s.prompt_len for s in samples], np.int32)
+        V, p = self.cfg.n_img_tokens, self.cfg.img_slot_pos
+        B, Lt = tb.input_ids.shape
+        ints = np.stack([tb.input_ids, tb.attn_mask,
+                         tb.label_ids, tb.label_masks]).astype(np.int32)
+        rowmeta = np.stack([has, prompt_lens + V]).astype(np.int32)
+        full_masks = np.zeros((B, Lt + V), np.int32)
+        full_masks[:, p + V:] = tb.label_masks[:, p:]
+        return PackedQuery(
+            ints=jnp.asarray(ints), rowmeta=jnp.asarray(rowmeta),
+            img_rows=img_rows, prompt_lens=prompt_lens,
+            has_image=has, label_masks_full=full_masks)
+
+    def packed_logits_metrics(self, pq: PackedQuery):
+        """Fused assemble+forward+metrics → (acc [B], pred [B, Lf]) —
+        metric-identical to ``logits_metrics(encode_queries(...))`` in
+        ONE device program."""
+        B, Lt = pq.ints.shape[1], pq.ints.shape[2]
+        self.counters["decoder_tokens"] += int(
+            B * (Lt + self.cfg.n_img_tokens))
+        return self._packed_metrics_jit(self.params, pq.ints, pq.rowmeta,
+                                        pq.img_rows)
 
     def _shard_query_batch(self, qb: QueryBatch) -> QueryBatch:
         """Shard device leaves' rows over the mesh's data axes (no-op
@@ -423,4 +594,5 @@ class JaxVLLM:
         return self.tokenizer.decode(ids.tolist())
 
     def clear_image_cache(self):
+        self._img_free.extend(self._img_cache.values())
         self._img_cache.clear()

@@ -132,3 +132,16 @@ class VLLMEditor(ABC):
                                             qb.label_ids, qb.label_masks)
         return _metrics_jit(self.query_logits(qb), qb.label_ids,
                             qb.label_masks)
+
+    def query_metrics_packed(self, pq):
+        """(acc [B], pred_ids [B, L]) from a :class:`PackedQuery` — the
+        ONE-program probe path (wrapper.encode_queries_packed). Returns
+        None when this editor's query semantics can't ride it: editors
+        that override ``build_query_batch`` (prompt-space demos) or
+        ``query_logits`` (custom forwards) need their own packed program
+        (LiveEdit has one) or the classic QueryBatch path.
+        """
+        if (type(self).build_query_batch is VLLMEditor.build_query_batch
+                and type(self).query_logits is VLLMEditor.query_logits):
+            return self.vllm.packed_logits_metrics(pq)
+        return None

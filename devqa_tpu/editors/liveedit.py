@@ -40,7 +40,7 @@ import optax
 
 from ..core import decoder as dec
 from ..core.losses import token_accuracy
-from ..core.wrapper import JaxVLLM, QueryBatch
+from ..core.wrapper import JaxVLLM, QueryBatch, assemble_packed
 from ..ops.layers import layer_norm
 from ..utils.config import BaseConfig
 from .base import EditRequest, VLLMEditor, instance_jit
@@ -278,6 +278,21 @@ class LiveEdit(VLLMEditor):
     @instance_jit()
     def _edit_batch_jit(self, lparams, state, vparams, embeds, kv_valid,
                         query_ends, n_real):
+        return self._edit_batch_core(lparams, state, vparams, embeds,
+                                     kv_valid, query_ends, n_real)
+
+    @instance_jit()
+    def _edit_batch_packed_jit(self, lparams, state, vparams, ints,
+                               rowmeta, img_rows, n_real):
+        """Packed edit: assemble + rep-extraction + pool scatter in ONE
+        program (same dispatch-floor economics as query_metrics_packed)."""
+        embeds, kv, _, _ = assemble_packed(vparams, self.vllm.cfg, ints,
+                                           rowmeta, img_rows)
+        return self._edit_batch_core(lparams, state, vparams, embeds, kv,
+                                     rowmeta[1], n_real)
+
+    def _edit_batch_core(self, lparams, state, vparams, embeds, kv_valid,
+                         query_ends, n_real):
         cfg = self.cfg
         vcfg = self.vllm.cfg
         reps = dec.decoder_forward(
@@ -321,10 +336,17 @@ class LiveEdit(VLLMEditor):
             # so a ragged tail chunk reuses the compiled width.
             requests = list(requests) \
                 + [requests[-1]] * (pad_width - n_real)
-        qb = self.vllm.encode_queries(
-            [r["prompt"] for r in requests],
-            [r.get("image") for r in requests],
-            [r["target_new"] for r in requests])
+        prompts = [r["prompt"] for r in requests]
+        imgs = [r.get("image") for r in requests]
+        tgts = [r["target_new"] for r in requests]
+        if (hasattr(self.vllm, "encode_queries_packed")
+                and getattr(self.vllm, "mesh", None) is None):
+            pq = self.vllm.encode_queries_packed(prompts, imgs, tgts)
+            self.state = self._edit_batch_packed_jit(
+                self.params, self.state, self.vllm.params, pq.ints,
+                pq.rowmeta, pq.img_rows, jnp.asarray(n_real, jnp.int32))
+            return
+        qb = self.vllm.encode_queries(prompts, imgs, tgts)
         qe = jnp.asarray(self.vllm.query_end_positions(qb))
         self.state = self._edit_batch_jit(
             self.params, self.state, self.vllm.params, qb.embeds,
@@ -371,6 +393,23 @@ class LiveEdit(VLLMEditor):
         return self._metrics_fused_jit(
             self.params, self.state, self.vllm.params, qb.embeds, qb.kv_valid,
             qe, jnp.asarray(qb.has_image), qb.label_ids, qb.label_masks)
+
+    @instance_jit()
+    def _metrics_packed_jit(self, lparams, state, vparams, ints, rowmeta,
+                            img_rows):
+        embeds, kv, labels, masks = assemble_packed(
+            vparams, self.vllm.cfg, ints, rowmeta, img_rows)
+        logits = self._edited_logits(lparams, state, vparams, embeds, kv,
+                                     rowmeta[1], rowmeta[0])
+        return token_accuracy(logits, labels, masks)
+
+    def query_metrics_packed(self, pq):
+        """One-program probe path: assemble + edited forward + metrics
+        fused (wrapper.PackedQuery — each extra device program pays a
+        fixed dispatch floor on remote runtimes)."""
+        return self._metrics_packed_jit(self.params, self.state,
+                                        self.vllm.params, pq.ints,
+                                        pq.rowmeta, pq.img_rows)
 
 
 # ---------------------------------------------------------------------------

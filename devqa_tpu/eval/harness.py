@@ -112,6 +112,9 @@ class EditorEvaluation:
         # BYPASSED vllm.logits' counter (see _query_logits_counted);
         # bench MFU = these + vllm.counters (utils/flops.py).
         self.probe_tokens = 0
+        # Lazily learned: does this editor support the one-program packed
+        # probe path? (None = not yet asked; see _try_packed_metrics.)
+        self._packed_editor_ok = None
         editor_name, model_name = editor.name_of_editor_and_model()
         evaluation_name = evaluation_name or time.strftime("%Y.%m.%d-%H.%M.%S")
         self.result_dir = os.path.join(results_dir, editor_name, model_name,
@@ -152,6 +155,40 @@ class EditorEvaluation:
         counted = vllm.counters["decoder_tokens"] - c0
         self.probe_tokens += max(0, ntok - counted)
         return accs, preds
+
+    def _try_packed_metrics(self, prompts, images, targets, via_editor):
+        """One-program probe dispatch (wrapper.PackedQuery): vision
+        gather + assemble + forward + metrics fused, 2 transfers — on
+        remote-dispatch runtimes the classic QueryBatch path pays a
+        fixed per-program floor ~8 times per chunk (measured ~15% of a
+        120x96 chunk, scripts/profile_headline.py). Returns
+        (acc, pred, label_masks np) or None when unsupported: loc_topk
+        needs materialized logits, mesh runs need QueryBatch sharding,
+        and prompt-space/custom-forward editors without their own packed
+        program fall back (editors/base.query_metrics_packed)."""
+        vllm = getattr(self.editor, "vllm", None)
+        if (self.loc_topk or vllm is None
+                or getattr(vllm, "mesh", None) is not None
+                or not hasattr(vllm, "encode_queries_packed")
+                or (via_editor and self._packed_editor_ok is False)):
+            return None
+        pq = vllm.encode_queries_packed(prompts, images, targets)
+        ntok = int(pq.label_masks_full.shape[0]
+                   * pq.label_masks_full.shape[1])
+        c0 = vllm.counters["decoder_tokens"]
+        if via_editor:
+            out = self.editor.query_metrics_packed(pq)
+            self._packed_editor_ok = out is not None
+            if out is None:
+                return None
+        else:
+            out = vllm.packed_logits_metrics(pq)
+        # same no-double-count decoder-token accounting as
+        # _query_metrics_counted
+        counted = vllm.counters["decoder_tokens"] - c0
+        self.probe_tokens += max(0, ntok - counted)
+        a, p = out
+        return a, p, pq.label_masks_full
 
     def _k_for(self, sub: str) -> int:
         """k=1 for text locality, k=loc_topk for multimodal locality —
@@ -466,6 +503,14 @@ class FusedEditorEvaluation(EditorEvaluation):
             # two-dispatch path (metric-identical either way,
             # tests/test_fused_eval.py).
             tk = None
+            via_editor = edited or getattr(
+                self.editor, "pre_edit_locality_via_editor", False)
+            packed = self._try_packed_metrics(prompts, images, targets,
+                                              via_editor)
+            if packed is not None:
+                a, p, masks = packed
+                pending.append((real, a, p, masks, None))
+                continue
             if edited:
                 qb = self.editor.build_query_batch(prompts, images, targets)
                 if self.loc_topk:

@@ -137,82 +137,95 @@ def main():
             ("  %.1f TF/s  mfu=%.3f" % (e.get("tflops_per_s", 0),
              e.get("mfu_vs_197", 0))) if flops else ""))
 
+    if os.environ.get("PROFILE_SKIP_OPS") == "1":
+        # fast path for iterating on items 8-9: warm the two hot
+        # programs once, skip the op-level timing sections
+        fetch(editor.query_logits(qb))
+        reqs0 = [{"prompt": prompts[i], "image": images[i],
+                  "target_new": targets[i]} for i in range(10)]
+        editor.edit_batch(reqs0, pad_width=10)
+        _skip = True
+    else:
+        _skip = False
+
     # 1. the actual hot program
-    report("editor.query_logits",
-           timed(lambda: editor.query_logits(qb)), chunk_flops)
+    if not _skip:
+        report("editor.query_logits",
+               timed(lambda: editor.query_logits(qb)), chunk_flops)
 
-    # 2. bare decoder + lm head
-    report("vllm.logits",
-           timed(lambda: vllm.logits(qb.embeds, qb.kv_valid)), chunk_flops)
+    if not _skip:
+        # 2. bare decoder + lm head
+        report("vllm.logits",
+               timed(lambda: vllm.logits(qb.embeds, qb.kv_valid)), chunk_flops)
 
-    # 3. decoder layers only (no lm head)
-    fwd_only = jax.jit(lambda p, e, k: dec.decoder_forward(
-        p["decoder"], dcfg, e, k))
-    flops_nohead = B * L * FL.decoder_flops_per_token(dcfg, L,
-                                                      with_lm_head=False)
-    report("decoder_forward (no head)",
-           timed(lambda: fwd_only(params, qb.embeds, qb.kv_valid)),
-           flops_nohead)
+        # 3. decoder layers only (no lm head)
+        fwd_only = jax.jit(lambda p, e, k: dec.decoder_forward(
+            p["decoder"], dcfg, e, k))
+        flops_nohead = B * L * FL.decoder_flops_per_token(dcfg, L,
+                                                          with_lm_head=False)
+        report("decoder_forward (no head)",
+               timed(lambda: fwd_only(params, qb.embeds, qb.kv_valid)),
+               flops_nohead)
 
-    # 3b. lm head alone (final norm + vocab projection)
-    head = jax.jit(lambda p, h: dec.decoder_logits(p["decoder"], dcfg, h))
-    hid = fwd_only(params, qb.embeds, qb.kv_valid)
-    report("lm head (norm+proj)",
-           timed(lambda: head(params, hid)),
-           B * L * 2 * dcfg.d_model * dcfg.vocab_size)
+        # 3b. lm head alone (final norm + vocab projection)
+        head = jax.jit(lambda p, h: dec.decoder_logits(p["decoder"], dcfg, h))
+        hid = fwd_only(params, qb.embeds, qb.kv_valid)
+        report("lm head (norm+proj)",
+               timed(lambda: head(params, hid)),
+               B * L * 2 * dcfg.d_model * dcfg.vocab_size)
 
-    # 4. matmul speed-of-light: same matmul sequence, no attention/norms.
-    def sol(p, x):
-        def body(h, lp):
-            q = linear(h, lp["q"]["w"], lp["q"].get("b"))
-            k = linear(h, lp["k"]["w"], lp["k"].get("b"))
-            v = linear(h, lp["v"]["w"], lp["v"].get("b"))
-            o = linear(q + k + v, lp["o"]["w"], lp["o"].get("b"))
-            m = linear(jax.nn.relu(linear(o, lp["fc1"]["w"], lp["fc1"]["b"])),
-                       lp["fc2"]["w"], lp["fc2"]["b"])
-            return h + m, None
+        # 4. matmul speed-of-light: same matmul sequence, no attention/norms.
+        def sol(p, x):
+            def body(h, lp):
+                q = linear(h, lp["q"]["w"], lp["q"].get("b"))
+                k = linear(h, lp["k"]["w"], lp["k"].get("b"))
+                v = linear(h, lp["v"]["w"], lp["v"].get("b"))
+                o = linear(q + k + v, lp["o"]["w"], lp["o"].get("b"))
+                m = linear(jax.nn.relu(linear(o, lp["fc1"]["w"], lp["fc1"]["b"])),
+                           lp["fc2"]["w"], lp["fc2"]["b"])
+                return h + m, None
 
-        h, _ = jax.lax.scan(body, x, p["decoder"]["layers"])
-        return jnp.dot(h, p["decoder"]["embed_tokens"].T,
-                       preferred_element_type=jnp.float32)
+            h, _ = jax.lax.scan(body, x, p["decoder"]["layers"])
+            return jnp.dot(h, p["decoder"]["embed_tokens"].T,
+                           preferred_element_type=jnp.float32)
 
-    sol_jit = jax.jit(sol)
-    sol_flops = B * L * (dcfg.n_layers * (8 * dcfg.d_model ** 2
-                                          + 4 * dcfg.d_model * dcfg.d_ffn)
-                         + 2 * dcfg.d_model * dcfg.vocab_size)
-    report("matmul speed-of-light",
-           timed(lambda: sol_jit(params, qb.embeds)), sol_flops)
+        sol_jit = jax.jit(sol)
+        sol_flops = B * L * (dcfg.n_layers * (8 * dcfg.d_model ** 2
+                                              + 4 * dcfg.d_model * dcfg.d_ffn)
+                             + 2 * dcfg.d_model * dcfg.vocab_size)
+        report("matmul speed-of-light",
+               timed(lambda: sol_jit(params, qb.embeds)), sol_flops)
 
-    # 5. XLA attention op alone at the probe geometry
-    H, dh = dcfg.n_heads, dcfg.d_model // dcfg.n_heads
-    q = jnp.asarray(rng.normal(size=(B, H, L, dh)), jnp.bfloat16)
-    kv = jnp.ones((B, L), jnp.int32)
-    attn = jax.jit(lambda q, kv: xla_attention(q, q, q, kv, True)
-                   .astype(jnp.float32).sum())
-    t_attn = timed(lambda: attn(q, kv))
-    report("xla attention op (1 layer)", t_attn,
-           2 * 2 * B * H * L * L * dh)
-    results["xla attention x%d layers" % dcfg.n_layers] = {
-        "ms": round(t_attn * 1e3 * dcfg.n_layers, 2)}
-    log("  -> x%d layers = %.1f ms" % (dcfg.n_layers,
-                                       t_attn * 1e3 * dcfg.n_layers))
+        # 5. XLA attention op alone at the probe geometry
+        H, dh = dcfg.n_heads, dcfg.d_model // dcfg.n_heads
+        q = jnp.asarray(rng.normal(size=(B, H, L, dh)), jnp.bfloat16)
+        kv = jnp.ones((B, L), jnp.int32)
+        attn = jax.jit(lambda q, kv: xla_attention(q, q, q, kv, True)
+                       .astype(jnp.float32).sum())
+        t_attn = timed(lambda: attn(q, kv))
+        report("xla attention op (1 layer)", t_attn,
+               2 * 2 * B * H * L * L * dh)
+        results["xla attention x%d layers" % dcfg.n_layers] = {
+            "ms": round(t_attn * 1e3 * dcfg.n_layers, 2)}
+        log("  -> x%d layers = %.1f ms" % (dcfg.n_layers,
+                                           t_attn * 1e3 * dcfg.n_layers))
 
-    # 6. the edit program (width 10)
-    reqs = [{"prompt": prompts[i], "image": images[i],
-             "target_new": targets[i]} for i in range(10)]
+        # 6. the edit program (width 10)
+        reqs = [{"prompt": prompts[i], "image": images[i],
+                 "target_new": targets[i]} for i in range(10)]
 
-    def do_edit():
-        editor.edit_batch(reqs, pad_width=10)
-        return editor.state["count"]
+        def do_edit():
+            editor.edit_batch(reqs, pad_width=10)
+            return editor.state["count"]
 
-    report("edit_batch w10 (incl host)", timed(do_edit))
+        report("edit_batch w10 (incl host)", timed(do_edit))
 
-    # 7. metrics program over the logits
-    from devqa_tpu.eval.harness import _metrics_jit
-    logits = editor.query_logits(qb)
-    report("metrics (argmax+acc)",
-           timed(lambda: _metrics_jit(logits, qb.label_ids,
-                                      qb.label_masks)[0]))
+        # 7. metrics program over the logits
+        from devqa_tpu.eval.harness import _metrics_jit
+        logits = editor.query_logits(qb)
+        report("metrics (argmax+acc)",
+               timed(lambda: _metrics_jit(logits, qb.label_ids,
+                                          qb.label_masks)[0]))
 
     # 8. host-side batch build with warm vision cache
     t0 = time.perf_counter()
@@ -253,16 +266,49 @@ def main():
     #    (the fused harness's dispatch-phase discipline), fetch at the
     #    end: per-chunk wall at perfect overlap == the device program
     #    time (item 1); == item 1 + build time if nothing overlaps.
+    #    Per-step host timings expose WHICH call blocks the enqueue.
+    # warm the fused editor metrics program (not measured elsewhere)
+    am = editor.query_metrics(qb)
+    fetch(am[0])
+    report("editor.query_metrics (solo)",
+           timed(lambda: editor.query_metrics(qb)[0]), chunk_flops)
     N = 4
     outs = []
     t0 = time.perf_counter()
+    seg_build, seg_disp = [], []
     for _ in range(N):
+        tb0 = time.perf_counter()
         qb_i = editor.build_query_batch(prompts, images, targets)
+        tb1 = time.perf_counter()
         outs.append(editor.query_metrics(qb_i))
+        seg_build.append(time.perf_counter() - tb0)
+        seg_disp.append(time.perf_counter() - tb1)
+        seg_build[-1] -= seg_disp[-1]
+    t_fetch0 = time.perf_counter()
     for a, p in outs:
         fetch(a)
-    per = (time.perf_counter() - t0) / N
+    t_end = time.perf_counter()
+    per = (t_end - t0) / N
+    log("  pipe host: build %s ms, metrics-dispatch %s ms, tail fetch "
+        "%.0f ms" % ([round(x * 1e3) for x in seg_build],
+                     [round(x * 1e3) for x in seg_disp],
+                     (t_end - t_fetch0) * 1e3))
     report("pipelined chunk (build+metrics x%d)" % N, per, chunk_flops)
+
+    # 9b. the PACKED one-program path (wrapper.encode_queries_packed):
+    #     2 transfers + 1 gather + 1 fused program per chunk.
+    pq = vllm.encode_queries_packed(prompts, images, targets)
+    am = editor.query_metrics_packed(pq)
+    fetch(am[0])  # compile
+    outs = []
+    t0 = time.perf_counter()
+    for _ in range(N):
+        pq_i = vllm.encode_queries_packed(prompts, images, targets)
+        outs.append(editor.query_metrics_packed(pq_i))
+    for a, p in outs:
+        fetch(a)
+    per_packed = (time.perf_counter() - t0) / N
+    report("pipelined packed chunk (x%d)" % N, per_packed, chunk_flops)
 
     # analytic summary
     results["geometry"] = {"B": B, "L": L,

@@ -47,6 +47,47 @@ class TestFusedEquivalence:
         r3 = ev3.evaluate_sequential_edit(edit_n=2)
         assert collect_accs(r1) == collect_accs(r3)
 
+    def test_packed_query_metrics_identical(self, tmp_path):
+        """The one-program packed probe path (wrapper.PackedQuery:
+        2 transfers + gather + fused assemble/forward/metrics) is
+        metric-identical to the classic QueryBatch path, for BOTH the
+        editor-fused program (LiveEdit) and the base default
+        (vllm.packed_logits_metrics)."""
+        from devqa_tpu.editors.null import NullEditor
+
+        vllm = make_tiny_vllm()
+        editor = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=3)
+        path, recs = write_records(str(tmp_path), 3)
+        prompts = [r["src"] for r in recs]
+        images = [r["image"] for r in recs]
+        targets = [r["alt"] for r in recs]
+        editor.edit_one_piece({"prompt": prompts[0], "image": images[0],
+                               "target_new": targets[0]})
+
+        qb = vllm.encode_queries(prompts, images, targets)
+        pq = vllm.encode_queries_packed(prompts, images, targets)
+        a1, p1 = editor.query_metrics(qb)
+        a2, p2 = editor.query_metrics_packed(pq)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=1e-6)
+        assert np.array_equal(np.asarray(p1), np.asarray(p2))
+        assert np.array_equal(pq.label_masks_full,
+                              np.asarray(qb.label_masks))
+
+        null_ed = NullEditor(vllm)
+        a3, p3 = null_ed.query_metrics(qb)
+        a4, p4 = null_ed.query_metrics_packed(pq)
+        np.testing.assert_allclose(np.asarray(a3), np.asarray(a4),
+                                   rtol=1e-6)
+        assert np.array_equal(np.asarray(p3), np.asarray(p4))
+
+        # the fused harness actually rides the packed path for LiveEdit
+        data = EVQA(path, str(tmp_path) + "/imgs", encoder=hash_encoder(16))
+        fe = FusedEditorEvaluation(editor, data, "P", str(tmp_path / "rp"),
+                                   max_rows=16)
+        fe.evaluate_sequential_edit(edit_n=3)
+        assert fe._packed_editor_ok is True
+
     def test_ike_like_sequential_editor_falls_back(self, tmp_path):
         """Editors without exact batch-edit go through the sequential edit
         loop inside the fused harness."""

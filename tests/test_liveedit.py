@@ -156,10 +156,10 @@ class TestEditBatchPadding:
         vllm = make_tiny_vllm()
         e = LiveEdit(vllm, tiny_liveedit_cfg(vllm), seed=3)
         e.edit_batch(self._reqs(8))           # compiles width 8
-        n0 = e._edit_batch_jit._cache_size()
+        n0 = e._edit_batch_packed_jit._cache_size()
         e.edit_batch(self._reqs(3), pad_width=8)  # ragged tail, padded
-        assert e._edit_batch_jit._cache_size() == n0
+        assert e._edit_batch_packed_jit._cache_size() == n0
         assert int(e.state["count"]) == 11
         # without the hint the tail would compile a second width
         e.edit_batch(self._reqs(3))
-        assert e._edit_batch_jit._cache_size() == n0 + 1
+        assert e._edit_batch_packed_jit._cache_size() == n0 + 1
