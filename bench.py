@@ -315,6 +315,25 @@ def bench_attention_op(reps=3, iters=8, deadline=None):
             "speedup": round(t_x / t_f, 2),
             "flash_tflops": round(flops / t_f / 1e12, 1),
         }
+        # jax's official TPU flash kernel on the SAME shapes — the
+        # "beat, don't trail" anchor (VERDICT r3 item 2). Full-valid kv
+        # (kv above is all-ones) so causal=True is an apples-to-apples
+        # mask for all three.
+        try:
+            from jax.experimental.pallas.ops.tpu import flash_attention as JF
+            bs = JF.BlockSizes(
+                block_q=512, block_k_major=1024, block_k=1024, block_b=1,
+                block_q_major_dkv=512, block_k_major_dkv=512,
+                block_q_dkv=512, block_k_dkv=512,
+                block_q_dq=512, block_k_dq=512, block_k_major_dq=512)
+            t_j = timed(lambda q, k, v: JF.flash_attention(
+                q, k, v, causal=True, sm_scale=1.0 / (D ** 0.5),
+                block_sizes=bs))
+            res[f"L{L}"]["jaxflash_ms"] = round(t_j * 1e3, 2)
+            res[f"L{L}"]["jaxflash_tflops"] = round(flops / t_j / 1e12, 1)
+            res[f"L{L}"]["vs_jaxflash"] = round(t_j / t_f, 3)
+        except Exception as e:
+            log("jax official flash kernel failed:", repr(e))
         log("attention op L=%d:" % L, res[f"L{L}"])
     return res
 

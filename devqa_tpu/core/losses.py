@@ -46,6 +46,52 @@ def predict_ids(logits):
     return jnp.argmax(logits, axis=-1)
 
 
+def gathered_label_positions(label_masks, n_pos: int):
+    """Per-row indices of the first ``n_pos`` supervised positions.
+
+    ``jnp.argsort`` is stable, so supervised positions come out in
+    ascending sequence order; rows with fewer than ``n_pos`` labels are
+    padded with unsupervised positions whose returned validity is 0.
+    Callers must guarantee no row has MORE than ``n_pos`` supervised
+    positions (checked on host against the label-mask row sums — a
+    dropped position would silently change the metric).
+
+    Returns (positions [B, n_pos] i32, valid [B, n_pos] i32).
+    """
+    order = jnp.argsort(1 - label_masks.astype(jnp.int32),
+                        axis=-1)[:, :n_pos]
+    valid = jnp.take_along_axis(label_masks.astype(jnp.int32), order,
+                                axis=-1)
+    return order, valid
+
+
+def gathered_token_accuracy(hidden, label_ids, label_masks, n_pos: int,
+                            head_fn):
+    """``token_accuracy`` with the LM head evaluated ONLY at supervised
+    positions: gather [B, n_pos, d] hidden rows, then ``head_fn`` →
+    argmax. The teacher-forced metric never reads logits at unsupervised
+    positions, so projecting all L positions onto the vocabulary is pure
+    waste — at the headline geometry (96-token rows, ≤32 supervised) the
+    full head is the single most expensive op after the layer matmuls
+    (26.5ms of a 433ms chunk, scripts/profile_headline.py) and 2/3 of it
+    drops out here. Same accuracy, bit-for-bit.
+
+    Returns (acc [B], pred [B, n_pos], valid [B, n_pos]) — ``pred`` is in
+    GATHERED layout: ``pred[b][valid[b] == 1]`` equals
+    ``full_pred[b][label_masks[b] == 1]`` of the classic path, which is
+    the only slice any consumer reads (eval/harness result assembly,
+    locality_agreement).
+    """
+    pos, valid = gathered_label_positions(label_masks, n_pos)
+    h = jnp.take_along_axis(hidden, pos[..., None], axis=1)
+    pred = predict_ids(head_fn(h))
+    lab = jnp.take_along_axis(label_ids, pos, axis=-1)
+    m = valid.astype(jnp.float32)
+    acc = ((pred == lab).astype(jnp.float32) * m).sum(-1) \
+        / jnp.maximum(m.sum(-1), 1.0)
+    return acc, pred, valid
+
+
 def token_accuracy(logits, label_ids, label_masks):
     """Per-row masked argmax accuracy — ``accuracy_and_prediction``.
 

@@ -323,11 +323,30 @@ def vllm_logits(
 ) -> jnp.ndarray:
     """The reference's ``get_llm_outpt`` (full-sequence teacher forcing,
     use_cache=False — blip2.py:68-75) with optional editor interventions."""
-    h = dec.decoder_forward(
+    h = vllm_hidden(params, cfg, inputs_embeds, kv_valid,
+                    layer_residual=layer_residual,
+                    mlp_residual=mlp_residual)
+    return dec.decoder_logits(params["decoder"], cfg.decoder, h)
+
+
+def vllm_hidden(
+    params,
+    cfg: VLLMConfig,
+    inputs_embeds: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    *,
+    layer_residual: Optional[Tuple[int, Callable]] = None,
+    mlp_residual: Optional[Tuple[int, Callable]] = None,
+) -> jnp.ndarray:
+    """``vllm_logits`` without the LM head: final-layer hidden states.
+    Callers that only need logits at a few positions (teacher-forced
+    metrics) gather rows from this before projecting (losses.
+    gathered_token_accuracy) instead of paying the head at every
+    position."""
+    return dec.decoder_forward(
         params["decoder"], cfg.decoder, inputs_embeds, kv_valid,
         layer_residual=layer_residual, mlp_residual=mlp_residual,
         modality=vllm_modality(cfg, *inputs_embeds.shape[:2]))
-    return dec.decoder_logits(params["decoder"], cfg.decoder, h)
 
 
 def vllm_hidden_at(

@@ -18,6 +18,7 @@ harness consume:
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -214,6 +215,28 @@ class JaxVLLM:
                             labels, masks)
 
         self._packed_metrics_jit = jax.jit(_packed_metrics)
+        # Gathered-head variant: project ONLY supervised positions onto
+        # the vocabulary (losses.gathered_token_accuracy — the metric
+        # never reads the rest; the full head is 26.5ms of a 433ms
+        # headline chunk and 2/3 of it is unsupervised positions).
+        # Engaged per call by packed_logits_metrics when every row fits
+        # the static gather width; DEVQA_GATHER_HEAD_P=0 disables.
+        self._gather_positions = int(
+            os.environ.get("DEVQA_GATHER_HEAD_P", "32"))
+
+        from .losses import gathered_token_accuracy as _gtok_acc
+        from .vllm import vllm_hidden as _vllm_hidden
+
+        def _packed_metrics_gathered(params, ints, rowmeta, img_rows):
+            embeds, kv, labels, masks = assemble_packed(
+                params, cfg, ints, rowmeta, img_rows)
+            h = _vllm_hidden(params, cfg, embeds, kv)
+            return _gtok_acc(
+                h, labels, masks, self._gather_positions,
+                lambda hg: dec.decoder_logits(
+                    params["decoder"], cfg.decoder, hg))
+
+        self._packed_metrics_gathered_jit = jax.jit(_packed_metrics_gathered)
 
     # ---------------- vision ----------------
 
@@ -466,14 +489,33 @@ class JaxVLLM:
             has_image=has, label_masks_full=full_masks)
 
     def packed_logits_metrics(self, pq: PackedQuery):
-        """Fused assemble+forward+metrics → (acc [B], pred [B, Lf]) —
+        """Fused assemble+forward+metrics → (acc [B], pred, valid) —
         metric-identical to ``logits_metrics(encode_queries(...))`` in
-        ONE device program."""
+        ONE device program.
+
+        When every row's supervised span fits the static gather width
+        (checked here against the host label-mask copy), the LM head runs
+        only at supervised positions and ``pred`` comes back in GATHERED
+        layout with its validity mask; otherwise ``pred`` is full-layout
+        and ``valid`` is None (consumers read ``pred[valid_or_masks ==
+        1]`` either way — same tokens, same order)."""
         B, Lt = pq.ints.shape[1], pq.ints.shape[2]
         self.counters["decoder_tokens"] += int(
             B * (Lt + self.cfg.n_img_tokens))
-        return self._packed_metrics_jit(self.params, pq.ints, pq.rowmeta,
+        if self._gather_head_ok(pq):
+            return self._packed_metrics_gathered_jit(
+                self.params, pq.ints, pq.rowmeta, pq.img_rows)
+        a, p = self._packed_metrics_jit(self.params, pq.ints, pq.rowmeta,
                                         pq.img_rows)
+        return a, p, None
+
+    def _gather_head_ok(self, pq: PackedQuery) -> bool:
+        """Gathered-head eligibility: enabled, strictly narrower than the
+        full layout, and no row overflows the static gather width."""
+        P = self._gather_positions
+        Lf = pq.label_masks_full.shape[1]
+        return (P > 0 and P < Lf
+                and int(pq.label_masks_full.sum(axis=1).max(initial=0)) <= P)
 
     def _shard_query_batch(self, qb: QueryBatch) -> QueryBatch:
         """Shard device leaves' rows over the mesh's data axes (no-op

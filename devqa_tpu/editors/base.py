@@ -134,12 +134,15 @@ class VLLMEditor(ABC):
                             qb.label_masks)
 
     def query_metrics_packed(self, pq):
-        """(acc [B], pred_ids [B, L]) from a :class:`PackedQuery` — the
-        ONE-program probe path (wrapper.encode_queries_packed). Returns
-        None when this editor's query semantics can't ride it: editors
-        that override ``build_query_batch`` (prompt-space demos) or
-        ``query_logits`` (custom forwards) need their own packed program
-        (LiveEdit has one) or the classic QueryBatch path.
+        """(acc [B], pred_ids, valid_or_None) from a :class:`PackedQuery`
+        — the ONE-program probe path (wrapper.encode_queries_packed);
+        ``valid`` is the gathered-layout validity mask when the wrapper
+        took its gathered-head program (wrapper.packed_logits_metrics),
+        else None with full-layout preds. Returns None when this editor's
+        query semantics can't ride it: editors that override
+        ``build_query_batch`` (prompt-space demos) or ``query_logits``
+        (custom forwards) need their own packed program (LiveEdit has
+        one) or the classic QueryBatch path.
         """
         if (type(self).build_query_batch is VLLMEditor.build_query_batch
                 and type(self).query_logits is VLLMEditor.query_logits):

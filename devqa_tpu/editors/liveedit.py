@@ -39,7 +39,7 @@ import numpy as np
 import optax
 
 from ..core import decoder as dec
-from ..core.losses import token_accuracy
+from ..core.losses import gathered_token_accuracy, token_accuracy
 from ..core.wrapper import JaxVLLM, QueryBatch, assemble_packed
 from ..ops.layers import layer_norm
 from ..utils.config import BaseConfig
@@ -354,17 +354,24 @@ class LiveEdit(VLLMEditor):
 
     # ---------------- inference ----------------
 
+    def _edited_hidden(self, lparams, state, vparams, embeds, kv_valid,
+                       query_ends, has_image):
+        """Traced forward (no LM head) under the current pools."""
+        vcfg = self.vllm.cfg
+        fn = make_residual_fn(lparams, self.cfg, state, vcfg.vt_range,
+                              kv_valid, query_ends, has_image)
+        return dec.decoder_forward(
+            vparams["decoder"], vcfg.decoder, embeds, kv_valid,
+            layer_residual=(self.cfg.edit_layer_i, fn))
+
     def _edited_logits(self, lparams, state, vparams, embeds, kv_valid,
                        query_ends, has_image):
         """Traced forward under the current pools (shared by the logits
         and the fused-metrics jits)."""
-        vcfg = self.vllm.cfg
-        fn = make_residual_fn(lparams, self.cfg, state, vcfg.vt_range,
-                              kv_valid, query_ends, has_image)
-        h = dec.decoder_forward(
-            vparams["decoder"], vcfg.decoder, embeds, kv_valid,
-            layer_residual=(self.cfg.edit_layer_i, fn))
-        return dec.decoder_logits(vparams["decoder"], vcfg.decoder, h)
+        h = self._edited_hidden(lparams, state, vparams, embeds, kv_valid,
+                                query_ends, has_image)
+        return dec.decoder_logits(vparams["decoder"], self.vllm.cfg.decoder,
+                                  h)
 
     @instance_jit()
     def _logits_jit(self, lparams, state, vparams, embeds, kv_valid,
@@ -403,13 +410,37 @@ class LiveEdit(VLLMEditor):
                                      rowmeta[1], rowmeta[0])
         return token_accuracy(logits, labels, masks)
 
+    @instance_jit()
+    def _metrics_packed_gathered_jit(self, lparams, state, vparams, ints,
+                                     rowmeta, img_rows):
+        """Gathered-head packed metrics: the LM head runs only at
+        supervised positions (losses.gathered_token_accuracy — 2/3 of
+        the head's 26.5ms/chunk is unsupervised positions at the
+        headline geometry). Eligibility is checked on host by
+        query_metrics_packed (wrapper._gather_head_ok)."""
+        vcfg = self.vllm.cfg
+        embeds, kv, labels, masks = assemble_packed(
+            vparams, vcfg, ints, rowmeta, img_rows)
+        h = self._edited_hidden(lparams, state, vparams, embeds, kv,
+                                rowmeta[1], rowmeta[0])
+        return gathered_token_accuracy(
+            h, labels, masks, self.vllm._gather_positions,
+            lambda hg: dec.decoder_logits(vparams["decoder"], vcfg.decoder,
+                                          hg))
+
     def query_metrics_packed(self, pq):
         """One-program probe path: assemble + edited forward + metrics
         fused (wrapper.PackedQuery — each extra device program pays a
-        fixed dispatch floor on remote runtimes)."""
-        return self._metrics_packed_jit(self.params, self.state,
+        fixed dispatch floor on remote runtimes). Returns (acc, pred,
+        valid_or_None) per the wrapper's packed contract."""
+        if self.vllm._gather_head_ok(pq):
+            return self._metrics_packed_gathered_jit(
+                self.params, self.state, self.vllm.params, pq.ints,
+                pq.rowmeta, pq.img_rows)
+        a, p = self._metrics_packed_jit(self.params, self.state,
                                         self.vllm.params, pq.ints,
                                         pq.rowmeta, pq.img_rows)
+        return a, p, None
 
 
 # ---------------------------------------------------------------------------

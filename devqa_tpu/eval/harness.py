@@ -187,8 +187,11 @@ class EditorEvaluation:
         # _query_metrics_counted
         counted = vllm.counters["decoder_tokens"] - c0
         self.probe_tokens += max(0, ntok - counted)
-        a, p = out
-        return a, p, pq.label_masks_full
+        a, p, valid = out
+        # Gathered-head preds carry their own validity mask; consumers
+        # only ever read pred[mask == 1], which yields the same tokens in
+        # the same order either way (losses.gathered_token_accuracy).
+        return a, p, (pq.label_masks_full if valid is None else valid)
 
     def _k_for(self, sub: str) -> int:
         """k=1 for text locality, k=loc_topk for multimodal locality —

@@ -305,8 +305,8 @@ def main():
     for _ in range(N):
         pq_i = vllm.encode_queries_packed(prompts, images, targets)
         outs.append(editor.query_metrics_packed(pq_i))
-    for a, p in outs:
-        fetch(a)
+    for out in outs:
+        fetch(out[0])
     per_packed = (time.perf_counter() - t0) / N
     report("pipelined packed chunk (x%d)" % N, per_packed, chunk_flops)
 

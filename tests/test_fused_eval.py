@@ -66,8 +66,12 @@ class TestFusedEquivalence:
 
         qb = vllm.encode_queries(prompts, images, targets)
         pq = vllm.encode_queries_packed(prompts, images, targets)
+        n_lab = pq.label_masks_full.sum(axis=1)
+        # Full-head packed route (gathered head disabled)
+        vllm._gather_positions = 0
         a1, p1 = editor.query_metrics(qb)
-        a2, p2 = editor.query_metrics_packed(pq)
+        a2, p2, v2 = editor.query_metrics_packed(pq)
+        assert v2 is None
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                    rtol=1e-6)
         assert np.array_equal(np.asarray(p1), np.asarray(p2))
@@ -76,10 +80,29 @@ class TestFusedEquivalence:
 
         null_ed = NullEditor(vllm)
         a3, p3 = null_ed.query_metrics(qb)
-        a4, p4 = null_ed.query_metrics_packed(pq)
+        a4, p4, v4 = null_ed.query_metrics_packed(pq)
+        assert v4 is None
         np.testing.assert_allclose(np.asarray(a3), np.asarray(a4),
                                    rtol=1e-6)
         assert np.array_equal(np.asarray(p3), np.asarray(p4))
+
+        # Gathered-head packed route: LM head at supervised positions
+        # only — accs identical, preds equal at extracted mask spans
+        # (the only slice any consumer reads).
+        vllm._gather_positions = int(n_lab.max())
+        assert vllm._gather_head_ok(pq)
+        for ed, (a_ref, p_ref) in ((editor, (a1, p1)), (null_ed, (a3, p3))):
+            ag, pg, vg = ed.query_metrics_packed(pq)
+            assert vg is not None
+            np.testing.assert_allclose(np.asarray(a_ref), np.asarray(ag),
+                                       rtol=1e-6)
+            pg, vg = np.asarray(pg), np.asarray(vg)
+            p_ref = np.asarray(p_ref)
+            masks = np.asarray(qb.label_masks)
+            for b in range(pg.shape[0]):
+                assert np.array_equal(p_ref[b][masks[b] == 1],
+                                      pg[b][vg[b] == 1])
+        vllm._gather_positions = 32
 
         # the fused harness actually rides the packed path for LiveEdit
         data = EVQA(path, str(tmp_path) + "/imgs", encoder=hash_encoder(16))
