@@ -239,6 +239,7 @@ def _flash_fwd(
     nq = pl.cdiv(lq, block_q)
     nk = pl.cdiv(lk, block_k)
     sm_scale = 1.0 / (d ** 0.5)
+    causal_offset = lk - lq
 
     qr = q.reshape(b * h, lq, d)
     kr = k.reshape(b * h, lk, d)
@@ -257,9 +258,31 @@ def _flash_fwd(
         block_k=block_k,
         sm_scale=sm_scale,
         kv_len=lk,
-        causal_offset=lk - lq,
+        causal_offset=causal_offset,
         with_lse=return_lse,
     )
+    # Causal DMA steering: above-diagonal (iq, ik) steps are compute-
+    # skipped in the kernel (`run`), but a naive k/v index map would
+    # still DMA their never-read blocks — at L=4096 causal that is ~44%
+    # of all k/v fetch bandwidth and each skipped step still WAITS on
+    # its fetch. Remap skipped steps to block 0 (the next q-row's first
+    # k block, so the fetch doubles as its prefetch) — the trick jax's
+    # official kernel uses (flash_attention.py kv_index_map: "If the kv
+    # block is skipped, prefetch the next valid kv block").
+    if causal:
+        def _ik_live(iq, ik):
+            last_valid = (iq * block_q + causal_offset + block_q - 1) \
+                // block_k
+            return jnp.where(ik <= last_valid, ik, 0)
+    else:
+        def _ik_live(iq, ik):
+            return ik
+
+    kv_spec = pl.BlockSpec((1, block_k, d),
+                           lambda bh, iq, ik: (bh, _ik_live(iq, ik), 0))
+    mask_spec = pl.BlockSpec(
+        (1, 8, block_k),
+        lambda bh, iq, ik: (bh // num_heads, 0, _ik_live(iq, ik)))
     out_specs = pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0))
     out_shape = jax.ShapeDtypeStruct((b * h, lq, d), q.dtype)
     if return_lse:
@@ -273,11 +296,9 @@ def _flash_fwd(
         grid=(b * h, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec(
-                (1, 8, block_k), lambda bh, iq, ik: (bh // num_heads, 0, ik)
-            ),
+            kv_spec,
+            kv_spec,
+            mask_spec,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -521,13 +542,38 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
     deltar = jnp.broadcast_to(delta[:, None, :], (b * h, 8, lq))
 
     num_heads = h
+    causal_offset = lk - lq
     common = dict(causal=causal, block_q=block_q, block_k=block_k,
-                  sm_scale=sm_scale, kv_len=lk, causal_offset=lk - lq,
+                  sm_scale=sm_scale, kv_len=lk, causal_offset=causal_offset,
                   q_len=lq)
+    # Causal DMA steering (see _flash_fwd): compute-skipped steps must
+    # not stall on fetches of blocks they never read. dq's inner axis is
+    # ik (trailing skips → steer to 0, the next q-row's first block);
+    # dkv's inner axis is iq (leading skips → steer to the first
+    # below-diagonal q block of this k row).
+    if causal:
+        def _ik_live(iq, ik):
+            last_valid = (iq * block_q + causal_offset + block_q - 1) \
+                // block_k
+            return jnp.where(ik <= last_valid, ik, 0)
+
+        def _iq_live(ik, iq):
+            first_valid = jnp.maximum(
+                0, (ik * block_k - causal_offset) // block_q)
+            return jnp.maximum(iq, first_valid)
+    else:
+        def _ik_live(iq, ik):
+            return ik
+
+        def _iq_live(ik, iq):
+            return iq
+
     q_spec = pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0))
-    k_spec_q = pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0))
+    k_spec_q = pl.BlockSpec((1, block_k, d),
+                            lambda bh, iq, ik: (bh, _ik_live(iq, ik), 0))
     mask_spec_q = pl.BlockSpec(
-        (1, 8, block_k), lambda bh, iq, ik: (bh // num_heads, 0, ik))
+        (1, 8, block_k),
+        lambda bh, iq, ik: (bh // num_heads, 0, _ik_live(iq, ik)))
     row_spec_q = pl.BlockSpec((1, 8, block_q), lambda bh, iq, ik: (bh, 0, iq))
 
     dq = pl.pallas_call(
@@ -543,11 +589,13 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
     )(qr, kr, vr, maskr, dor, lser, deltar)
 
     # grid order (bh, k-blocks, q-blocks) for the k/v accumulation
-    q_spec2 = pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0))
+    q_spec2 = pl.BlockSpec((1, block_q, d),
+                           lambda bh, ik, iq: (bh, _iq_live(ik, iq), 0))
     k_spec2 = pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0))
     mask_spec2 = pl.BlockSpec(
         (1, 8, block_k), lambda bh, ik, iq: (bh // num_heads, 0, ik))
-    row_spec2 = pl.BlockSpec((1, 8, block_q), lambda bh, ik, iq: (bh, 0, iq))
+    row_spec2 = pl.BlockSpec((1, 8, block_q),
+                             lambda bh, ik, iq: (bh, 0, _iq_live(ik, iq)))
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, **common),
         grid=(b * h, nk, nq),

@@ -1,0 +1,90 @@
+"""Tightly-interleaved A/B: our flash forward vs jax's official TPU
+flash kernel. Cross-minute tunnel drift makes separately-timed op
+benchmarks at this scale meaningless (observed: the SAME jax kernel
+measured 6.8ms and 23.0ms in two processes minutes apart) — so this
+alternates A/B/A/B within one process and reports per-round pairs.
+
+Run: python scripts/ab_flash_vs_jax.py   (one TPU process only)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from devqa_tpu.ops import attention as A
+    from jax.experimental.pallas.ops.tpu import flash_attention as JF
+
+    B, H, D = 2, 32, 128
+    rng = np.random.default_rng(0)
+    out = {}
+    for L in (2048, 4096):
+        q = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
+        kv = jnp.ones((B, L), jnp.int32)
+        flops = 4 * B * H * L * L * D / 2
+
+        import functools
+        bq = int(os.environ.get("AB_BQ", "512"))
+        bk = int(os.environ.get("AB_BK", "1024"))
+        ours = jax.jit(lambda q, k, v: A._flash_fwd(
+            q, k, v, kv, True, block_q=bq, block_k=bk)
+            .astype(jnp.float32).sum())
+        bs = JF.BlockSizes(
+            block_q=512, block_k_major=1024, block_k=1024, block_b=1,
+            block_q_major_dkv=512, block_k_major_dkv=512,
+            block_q_dkv=512, block_k_dkv=512,
+            block_q_dq=512, block_k_dq=512, block_k_major_dq=512)
+        theirs = jax.jit(lambda q, k, v: JF.flash_attention(
+            q, k, v, causal=True, sm_scale=1.0 / (D ** 0.5), block_sizes=bs)
+            .astype(jnp.float32).sum())
+        # numeric sanity while we're here
+        a, b_ = float(ours(q, k, v)), float(theirs(q, k, v))
+        log("L%d sums: ours %.1f jax %.1f" % (L, a, b_))
+        assert abs(a - b_) / max(abs(b_), 1) < 2e-2
+
+        def once(f, iters=16):
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(iters):
+                acc = f(q, k, v)
+            float(acc)
+            return (time.perf_counter() - t0) / iters
+
+        pairs = []
+        for r in range(5):
+            pairs.append((once(ours), once(theirs)))
+        ratios = [tj / to for to, tj in pairs]
+        log("L%d rounds (ours_ms, jax_ms): %s" %
+            (L, [(round(a * 1e3, 2), round(b2 * 1e3, 2)) for a, b2 in pairs]))
+        t_o = min(p[0] for p in pairs)
+        t_j = min(p[1] for p in pairs)
+        out[f"L{L}"] = {
+            "ours_ms": round(t_o * 1e3, 2),
+            "jax_ms": round(t_j * 1e3, 2),
+            "ours_tflops": round(flops / t_o / 1e12, 1),
+            "jax_tflops": round(flops / t_j / 1e12, 1),
+            "ratio_jax_over_ours": round(t_j / t_o, 3),
+            "per_round_ratio": [round(r, 3) for r in ratios],
+        }
+        log("L%d: ours %.2fms (%.1f TF/s) jax %.2fms (%.1f TF/s)" %
+            (L, t_o * 1e3, flops / t_o / 1e12, t_j * 1e3,
+             flops / t_j / 1e12))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
