@@ -31,6 +31,7 @@ Layout: q, k, v are [B, H, L, D].
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -116,6 +117,8 @@ def _flash_kernel(
     kv_len: int,
     causal_offset: int,
     with_lse: bool = False,
+    block_k_minor: int = 0,
+    assume_valid: bool = False,
 ):
     if with_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
@@ -140,66 +143,90 @@ def _flash_kernel(
     if causal:
         run = k_start <= q_start + causal_offset + block_q - 1
 
+    # The fetched k-major block is processed in statically-unrolled minor
+    # chunks: chunk j+1's s-dot has no data dependency on chunk j's
+    # online-softmax update, so Mosaic can overlap the MXU with the VPU
+    # across chunks — the same structure the official jax kernel gets
+    # from its unrolled pl.loop over block_k within block_k_major.
+    # block_k_minor == block_k (or 0) degrades to one chunk.
+    bkm = block_k_minor if 0 < block_k_minor < block_k else block_k
+    n_minor = (block_k + bkm - 1) // bkm
+
     @pl.when(run)
     def _compute():
         # Operands stay in their input dtype (bf16 on the hot path): the
         # MXU accumulates in f32 via preferred_element_type, and bf16
         # inputs run at full MXU rate (f32 inputs cost ~4x on v5e).
         q = q_ref[0]
-        k = k_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # [block_q, block_k]
 
-        def _update(s, masked, mask):
-            m_prev = m_scr[:, :1]                       # [block_q, 1]
-            m_cur = jnp.max(s, axis=1, keepdims=True)   # [block_q, 1]
-            m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(s - m_new)                      # [block_q, block_k]
+        def _update(s, masked, mask, v):
+            # m/l statistics stay FULL-LANE [block_q, 128] end to end:
+            # lane-slicing ([:, :1]) and re-broadcasting per step costs
+            # cross-lane shuffles; full-lane maximum/multiply are plain
+            # elementwise VPU ops (the official jax kernel does the
+            # same). The lane-broadcasts that remain (m_cur, p_sum) are
+            # unavoidable reductions of s.
+            m_prev = m_scr[...]                          # [block_q, 128]
+            m_cur = jnp.max(s, axis=1, keepdims=True)    # [block_q, 1]
+            m_new = jnp.maximum(m_prev, m_cur)           # [block_q, 128]
+            p = jnp.exp(s - m_new[:, :1])                # [block_q, bkm]
             if masked:
                 # Rows with every key masked stay all-NEG_INF: force p→0.
                 p = jnp.where(mask, p, 0.0)
-            corr = jnp.exp(m_prev - m_new)              # [block_q, 1]
-            l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
-            # SELECT-zero ragged v tail rows: their p is 0 but 0·NaN = NaN
-            # inside the dot if the undefined padding decodes as NaN.
-            v = _zero_oob_rows(v_ref[0], k_start, kv_len) if masked \
-                else v_ref[0]
-            acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+            corr = jnp.exp(m_prev - m_new)               # [block_q, 128]
+            l_new = l_scr[...] * corr \
+                + jnp.sum(p, axis=1, keepdims=True)      # [block_q, 128]
+            # acc is [block_q, d] with d possibly != 128 (head dims
+            # 80/88): scale by corr's first lane, broadcast over d.
+            acc_scr[...] = acc_scr[...] * corr[:, :1] + jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-            l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+            m_scr[...] = m_new
+            l_scr[...] = l_new
 
-        # Interior fast path (the bulk of a long-sequence grid): a block
-        # whose keys are all in-range, all kv-valid and (if causal)
-        # entirely below the diagonal needs NO mask — skipping the two
-        # iotas + compares + selects removes ~6 VPU passes over
-        # [block_q, block_k] per block (the official jax kernel exploits
-        # the same structure by splitting its grid at the diagonal).
-        in_range = k_start + block_k <= kv_len
-        all_valid = jnp.min(mask_ref[0, 0]) > 0
-        below_diag = (not causal) or (
-            k_start + block_k - 1 <= q_start + causal_offset)
-        full = jnp.logical_and(in_range & below_diag, all_valid)
+        for j in range(n_minor):
+            ks = k_start + j * bkm                # absolute chunk start
+            k = k_ref[0, j * bkm:(j + 1) * bkm, :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * sm_scale  # [block_q, bkm]
+            mrow = mask_ref[0, 0, j * bkm:(j + 1) * bkm]
 
-        @pl.when(full)
-        def _fast():
-            _update(s, False, None)
+            # Interior fast path (the bulk of a long-sequence grid): a
+            # chunk whose keys are all in-range, all kv-valid and (if
+            # causal) entirely below the diagonal needs NO mask —
+            # skipping the two iotas + compares + selects removes ~6 VPU
+            # passes over [block_q, bkm] per chunk.
+            in_range = ks + bkm <= kv_len
+            all_valid = True if assume_valid else jnp.min(mrow) > 0
+            below_diag = (not causal) or (
+                ks + bkm - 1 <= q_start + causal_offset)
+            full = jnp.logical_and(in_range & below_diag, all_valid)
 
-        @pl.when(jnp.logical_not(full))
-        def _slow():
-            mask = jnp.broadcast_to(mask_ref[0, 0][None, :] > 0, s.shape)
-            # Ragged tail block: keys past the true kv length are padding
-            # reads with undefined contents — mask them explicitly.
-            ki = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            mask = jnp.logical_and(mask, ki < kv_len)
-            if causal:
-                qi = (q_start + causal_offset
-                      + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
-                mask = jnp.logical_and(mask, ki <= qi)
-            _update(jnp.where(mask, s, NEG_INF), True, mask)
+            @pl.when(full)
+            def _fast(s=s, j=j):
+                _update(s, False, None, v_ref[0, j * bkm:(j + 1) * bkm, :])
+
+            @pl.when(jnp.logical_not(full))
+            def _slow(s=s, mrow=mrow, ks=ks, j=j):
+                mask = jnp.broadcast_to(mrow[None, :] > 0, s.shape)
+                # Ragged tail chunk: keys past the true kv length are
+                # padding reads with undefined contents — mask them
+                # explicitly.
+                ki = ks + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                mask = jnp.logical_and(mask, ki < kv_len)
+                if causal:
+                    qi = (q_start + causal_offset
+                          + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+                    mask = jnp.logical_and(mask, ki <= qi)
+                # SELECT-zero ragged v tail rows: their p is 0 but
+                # 0·NaN = NaN inside the dot if the undefined padding
+                # decodes as NaN.
+                v = _zero_oob_rows(v_ref[0, j * bkm:(j + 1) * bkm, :],
+                                   ks, kv_len)
+                _update(jnp.where(mask, s, NEG_INF), True, mask, v)
 
     @pl.when(ik == nk - 1)
     def _finalize():
@@ -219,6 +246,10 @@ def _flash_kernel(
 #: VMEM at 512x1024: s+p (f32) 4MB + operands <1MB — comfortable.
 FLASH_BLOCK_Q = 512
 FLASH_BLOCK_K = 1024
+#: Minor-chunk width for the unrolled inner k loop (0 = single chunk).
+#: See _flash_kernel: minor chunks let the MXU of chunk j+1 overlap the
+#: VPU softmax of chunk j within one grid step.
+FLASH_BLOCK_K_MINOR = 0
 
 
 def _flash_fwd(
@@ -231,6 +262,7 @@ def _flash_fwd(
     block_k: int = FLASH_BLOCK_K,
     interpret: bool = False,
     return_lse: bool = False,
+    block_k_minor: int = 0,
 ):
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -260,6 +292,9 @@ def _flash_fwd(
         kv_len=lk,
         causal_offset=causal_offset,
         with_lse=return_lse,
+        block_k_minor=(block_k_minor if block_k_minor
+                       else FLASH_BLOCK_K_MINOR),
+        assume_valid=os.environ.get("DEVQA_FLASH_ASSUME_VALID") == "1",
     )
     # Causal DMA steering: above-diagonal (iq, ik) steps are compute-
     # skipped in the kernel (`run`), but a naive k/v index map would

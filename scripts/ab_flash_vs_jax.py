@@ -37,11 +37,11 @@ def main():
         kv = jnp.ones((B, L), jnp.int32)
         flops = 4 * B * H * L * L * D / 2
 
-        import functools
         bq = int(os.environ.get("AB_BQ", "512"))
         bk = int(os.environ.get("AB_BK", "1024"))
+        bkm = int(os.environ.get("AB_BKM", "0"))
         ours = jax.jit(lambda q, k, v: A._flash_fwd(
-            q, k, v, kv, True, block_q=bq, block_k=bk)
+            q, k, v, kv, True, block_q=bq, block_k=bk, block_k_minor=bkm)
             .astype(jnp.float32).sum())
         bs = JF.BlockSizes(
             block_q=512, block_k_major=1024, block_k=1024, block_b=1,
@@ -63,6 +63,27 @@ def main():
                 acc = f(q, k, v)
             float(acc)
             return (time.perf_counter() - t0) / iters
+
+        if os.environ.get("AB_MASKED") == "1":
+            # The framework's ACTUAL regime: ragged kv-validity (padded
+            # rows). Ours takes the mask natively; jax's kernel needs
+            # segment_ids (valid=1 vs pad=2 mismatches every q segment).
+            kvn = np.ones((B, L), np.int32)
+            kvn[:, -L // 8:] = 0  # 12.5% padded tail per row
+            kv = jnp.asarray(kvn)
+            ours = jax.jit(lambda q, k, v: A._flash_fwd(
+                q, k, v, kv, True, block_q=bq, block_k=bk,
+                block_k_minor=bkm).astype(jnp.float32).sum())
+            seg = JF.SegmentIds(
+                q=jnp.asarray(np.ones((B, L), np.int32)),
+                kv=jnp.asarray(np.where(kvn > 0, 1, 2).astype(np.int32)))
+            theirs = jax.jit(lambda q, k, v: JF.flash_attention(
+                q, k, v, segment_ids=seg, causal=True,
+                sm_scale=1.0 / (D ** 0.5), block_sizes=bs)
+                .astype(jnp.float32).sum())
+            a, b_ = float(ours(q, k, v)), float(theirs(q, k, v))
+            log("L%d masked sums: ours %.1f jax %.1f" % (L, a, b_))
+            assert abs(a - b_) / max(abs(b_), 1) < 2e-2
 
         pairs = []
         for r in range(5):
