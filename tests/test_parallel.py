@@ -214,7 +214,14 @@ class TestInitDistributed:
             return
         from devqa_tpu.parallel import distributed as D
 
-        ok = D.init_distributed(coordinator_address="localhost:18427",
+        # Ephemeral port: a fixed one collides with TIME_WAIT leftovers
+        # of earlier runs and made this flaky in full-suite runs.
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        ok = D.init_distributed(coordinator_address="localhost:%d" % port,
                                 num_processes=1, process_id=0)
         assert ok is True
         assert D._initialized
