@@ -613,23 +613,29 @@ def bench_serve(vllm, n_req=None, new_tokens=24):
         eng.shutdown()
 
 
+def jit_cache_sizes(*objs):
+    """name → compiled-program cache size for every instance-held jit of
+    the given objects plus the harness module's fused metric jits."""
+    import devqa_tpu.eval.harness as H
+
+    out, seen = {}, set()
+    for o in list(objs) + [H]:
+        for k, v in vars(o).items():
+            if hasattr(v, "_cache_size") and id(v) not in seen:
+                seen.add(id(v))
+                try:
+                    out["%s.%s" % (type(o).__name__, k)] = v._cache_size()
+                except Exception:
+                    pass
+    return out
+
+
 def total_jit_cache_size(*objs):
     """Sum of compiled-program cache sizes across every instance-held jit
     of the given objects plus the harness module's fused metric jits.
     A delta of 0 across a phase proves the phase compiled NOTHING new
     (the O(1)-shape claim made precise)."""
-    import devqa_tpu.eval.harness as H
-
-    n, seen = 0, set()
-    for o in list(objs) + [H]:
-        for v in vars(o).values():
-            if hasattr(v, "_cache_size") and id(v) not in seen:
-                seen.add(id(v))
-                try:
-                    n += v._cache_size()
-                except Exception:
-                    pass
-    return n
+    return sum(jit_cache_sizes(*objs).values())
 
 
 def bench_sequential_1000(vllm, editor, tmp, max_rows,
@@ -666,12 +672,34 @@ def bench_sequential_1000(vllm, editor, tmp, max_rows,
         results_dir=os.path.join(sub, "res"), max_rows=max_rows,
         pad_rows=True, hoist_pre=True, edit_chunk=10,
         pre_rows=pre_rows, post_rows=post_rows)
-    shapes0 = total_jit_cache_size(vllm, editor)
+    # Warm split: the harness just raised the run-level gathered-head
+    # width to THIS dataset's max supervised span, so the probe programs
+    # may differ from the headline phase's — compile them on 10 cases
+    # BEFORE the timed region (new_compiled_shapes must measure routing
+    # shapes, not first-use compiles).
+    warm = copy.copy(data)
+    warm.cases = data.data[:10]
+    fw = FusedEditorEvaluation(
+        editor, warm, evaluation_name="seq1000_warm",
+        results_dir=os.path.join(sub, "res"), max_rows=max_rows,
+        pad_rows=True, hoist_pre=True, edit_chunk=10,
+        pre_rows=pre_rows, post_rows=post_rows)
+    with contextlib.redirect_stdout(sys.stderr):
+        fw.evaluate_sequential_edit(edit_n=10)
+    vllm.clear_image_cache()
+    editor.restore_to_original_model()
+    sizes0 = jit_cache_sizes(vllm, editor)
+    shapes0 = sum(sizes0.values())
     c0 = dict(vllm.counters)
     t0 = time.time()
     with contextlib.redirect_stdout(sys.stderr):
         fe.evaluate_sequential_edit(edit_n=n_cases)
     dt = time.time() - t0
+    sizes1 = jit_cache_sizes(vllm, editor)
+    grew = {k: v - sizes0.get(k, 0) for k, v in sizes1.items()
+            if v != sizes0.get(k, 0)}
+    if grew:
+        log("seq1000 fresh-compile sources:", grew)
     dec_tokens, n_imgs, mfu = mfu_accounting(
         vllm, c0, fe.probe_tokens, dt, dec_ftok, vis_fimg, peak)
     out = {

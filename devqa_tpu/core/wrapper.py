@@ -253,6 +253,12 @@ class JaxVLLM:
         if row > 0:  # text-only configs (V=0) cache nothing
             self._img_cache_size = max(self._img_cache_size,
                                        min(int(n_images), max_bytes // row))
+            # Pre-grow the slot buffer to the final capacity NOW: lazy
+            # doubling inside an eval/train loop recompiles the donated
+            # scatter program once per growth step (each buffer capacity
+            # is a new shape) — measured as the only fresh compiles in
+            # the 1000-edit bench phase. One up-front grow = one shape.
+            self._grow_buf(self._img_cache_size)
         return self._img_cache_size
 
     # -- slot-buffer plumbing (see _img_cache comment in __init__) --

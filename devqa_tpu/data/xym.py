@@ -79,6 +79,17 @@ def tokenize_sample(
     return SampleTokens(input_ids=input_ids, prompt_len=prompt_len, image_id=image_id)
 
 
+def label_width(tokenizer: Tokenizer, prompt: str, target: str) -> int:
+    """Supervised-position count of a (prompt, target) probe — the
+    label-mask row sum its tokenized sample will carry (mask spans
+    [prompt_len-1, len-1), i.e. one position per target token). Used to
+    pre-size the gathered-head width for a whole evaluation run
+    (eval/harness) without building the batches."""
+    joined = join_prompt_target(prompt, target)
+    return (len(tokenizer.encode(joined))
+            - len(tokenizer.encode(prompt)))
+
+
 def build_xym(
     tokenizer: Tokenizer,
     prompts: Sequence[str],

@@ -121,13 +121,20 @@ class EditorEvaluation:
                                        evaluation_name)
         # Right-size the vision-token cache: sequential-edit splits revisit
         # each case's images pre- and post-edit, and an undersized LRU
-        # re-encodes through the ViT (bounded device-memory growth).
+        # re-encodes through the ViT (bounded device-memory growth). Size
+        # from the PROBE GRID's unique images (what the run actually
+        # encodes — a superset of the case images when locality probes
+        # draw cross-case images), so the slot buffer pre-grows once and
+        # the donated-scatter program never recompiles mid-run.
         vllm = getattr(editor, "vllm", None)
         if vllm is not None and hasattr(vllm, "ensure_image_cache_capacity"):
             from ..data.schema import unique_image_paths
 
+            probe_imgs = {s.image for case in eval_data.data
+                          for s in case_probe_specs(case) if s.image}
             vllm.ensure_image_cache_capacity(
-                len(unique_image_paths(eval_data.data)))
+                max(len(unique_image_paths(eval_data.data)),
+                    len(probe_imgs)))
 
     def _query_logits_counted(self, qb) -> jnp.ndarray:
         """editor.query_logits with decoder-token accounting that does NOT
@@ -478,6 +485,27 @@ class FusedEditorEvaluation(EditorEvaluation):
         # split loop is exactly protocol-equivalent and removes ~45% of
         # per-split decoder tokens.
         self.hoist_pre = hoist_pre
+        # Run-level gathered-head width: the fused harness knows its
+        # whole probe grid up front, so size the gather to the run's
+        # max supervised span (rounded up to 16) instead of letting
+        # long-answer chunks fall back to the full-head program mid-run
+        # (a fresh 30-90s compile INSIDE the timed region on remote
+        # runtimes; measured: 7% of 1000-case chunks overflow the
+        # default 32). Raise-only: a later harness on a wider dataset
+        # raises it again; width ≥ row sums stays exact at slightly
+        # less head savings, so monotonic growth is always correct.
+        vllm = getattr(self.editor, "vllm", None)
+        if vllm is not None and getattr(vllm, "_gather_positions", 0):
+            from ..data.xym import label_width
+
+            pairs = {(s.prompt, s.target)
+                     for case in self.eval_data.data
+                     for s in case_probe_specs(case)}
+            if pairs:
+                w = max(label_width(vllm.tokenizer, p, t)
+                        for p, t in pairs)
+                vllm._gather_positions = max(
+                    vllm._gather_positions, -(-max(w, 1) // 16) * 16)
 
     def _dispatch_probe_rows(self, specs, edited: bool, rows=None):
         """Dispatch probe specs (chunked) to the device WITHOUT fetching:

@@ -244,8 +244,8 @@ def _flash_kernel(
 #: L=4096); 512x1024 reaches 34-39 TFLOP/s, within ~10% of jax's official
 #: flash kernel on the same shapes and 5x faster than XLA attention.
 #: VMEM at 512x1024: s+p (f32) 4MB + operands <1MB — comfortable.
-FLASH_BLOCK_Q = 512
-FLASH_BLOCK_K = 1024
+FLASH_BLOCK_Q = int(os.environ.get("DEVQA_FLASH_BQ", "512"))
+FLASH_BLOCK_K = int(os.environ.get("DEVQA_FLASH_BK", "1024"))
 #: Minor-chunk width for the unrolled inner k loop (0 = single chunk).
 #: See _flash_kernel: minor chunks let the MXU of chunk j+1 overlap the
 #: VPU softmax of chunk j within one grid step.
