@@ -72,7 +72,9 @@ REAL_VQA_EVAL = \
 
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    # Wall-clock stamps: device/tunnel stalls land BETWEEN prints, and
+    # un-stamped logs made a 25-minute hole undiagnosable (r4).
+    print(time.strftime("[%H:%M:%S]"), *a, file=sys.stderr, flush=True)
 
 
 def use_real_data() -> bool:
@@ -1067,7 +1069,12 @@ def main():
         # FULL bench (every phase) measures ~4-8 min end to end; the cap
         # only bites on cold-cache/bad-tunnel days, dropping phases in
         # reverse priority order.
-        phase_cap = float(os.environ.get("BENCH_PHASE_CAP_S", "1200"))
+        # 1500s: a heavy-tailed-compile day was observed eating the whole
+        # 1200s cap in the headline phase alone, silently dropping the
+        # llava phase (prefix-cache A/B + llava vs_baseline — per-round
+        # driver-visible evidence). Each phase still bounds itself via
+        # its deadline args, and the bench always prints its JSON line.
+        phase_cap = float(os.environ.get("BENCH_PHASE_CAP_S", "1500"))
         phase_s = {}
 
         def phase_on(name, need_s):
@@ -1134,8 +1141,12 @@ def main():
                     % (a.shape, a.dtype, a.nbytes / 2**20))
         except Exception as e:
             log("live_arrays unavailable:", repr(e))
+        # need_s 160: with the persistent compile cache warm the phase
+        # runs in ~100-150s; 240 was observed skipping it on a day when
+        # earlier phases overran (the phase also self-bounds on
+        # ``deadline``, so a slight overrun cannot hang the bench).
         llava_res = run_phase(
-            "BENCH_LLAVA", 240,
+            "BENCH_LLAVA", 160,
             lambda: bench_llava_pipeline(deadline=t_start + phase_cap))
         # Free the llava phase's 4096-wide model + jit executables before
         # the flash phase: its L=4096 XLA-attention op microbench
