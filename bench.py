@@ -442,7 +442,7 @@ def bench_llava_pipeline(n_cases=8, deadline=None):
         if os.environ.get("BENCH_LLAVA_BASE", "1") == "1" \
                 and not past("baseline"):
             from devqa_tpu.core.losses import token_accuracy
-            from devqa_tpu.data.schema import case_probe_specs
+            from devqa_tpu.eval.harness import case_probe_specs
 
             vllm_b = JaxVLLM(cfg, params, vllm.tokenizer,
                              SyntheticImageProvider(cfg.vit.image_size),

@@ -227,16 +227,22 @@ class JaxVLLM:
         from .losses import gathered_token_accuracy as _gtok_acc
         from .vllm import vllm_hidden as _vllm_hidden
 
-        def _packed_metrics_gathered(params, ints, rowmeta, img_rows):
+        def _packed_metrics_gathered(params, ints, rowmeta, img_rows, n_pos):
+            # n_pos is a STATIC argument, not a closed-over read of
+            # self._gather_positions: the harness raises the width
+            # mid-process (run-level sizing), and a closure read at trace
+            # time would let same-shape calls reuse a stale narrower
+            # executable, silently dropping supervised positions.
             embeds, kv, labels, masks = assemble_packed(
                 params, cfg, ints, rowmeta, img_rows)
             h = _vllm_hidden(params, cfg, embeds, kv)
             return _gtok_acc(
-                h, labels, masks, self._gather_positions,
+                h, labels, masks, n_pos,
                 lambda hg: dec.decoder_logits(
                     params["decoder"], cfg.decoder, hg))
 
-        self._packed_metrics_gathered_jit = jax.jit(_packed_metrics_gathered)
+        self._packed_metrics_gathered_jit = jax.jit(
+            _packed_metrics_gathered, static_argnums=4)
 
     # ---------------- vision ----------------
 
@@ -510,7 +516,8 @@ class JaxVLLM:
             B * (Lt + self.cfg.n_img_tokens))
         if self._gather_head_ok(pq):
             return self._packed_metrics_gathered_jit(
-                self.params, pq.ints, pq.rowmeta, pq.img_rows)
+                self.params, pq.ints, pq.rowmeta, pq.img_rows,
+                self._gather_positions)
         a, p = self._packed_metrics_jit(self.params, pq.ints, pq.rowmeta,
                                         pq.img_rows)
         return a, p, None

@@ -410,21 +410,24 @@ class LiveEdit(VLLMEditor):
                                      rowmeta[1], rowmeta[0])
         return token_accuracy(logits, labels, masks)
 
-    @instance_jit()
+    @instance_jit(static_argnums=(6,))
     def _metrics_packed_gathered_jit(self, lparams, state, vparams, ints,
-                                     rowmeta, img_rows):
+                                     rowmeta, img_rows, n_pos):
         """Gathered-head packed metrics: the LM head runs only at
         supervised positions (losses.gathered_token_accuracy — 2/3 of
         the head's 26.5ms/chunk is unsupervised positions at the
         headline geometry). Eligibility is checked on host by
-        query_metrics_packed (wrapper._gather_head_ok)."""
+        query_metrics_packed (wrapper._gather_head_ok). ``n_pos`` is a
+        STATIC argument (not a closed-over ``self.vllm._gather_positions``
+        read) so run-level width raises retrace instead of silently
+        reusing a narrower stale executable."""
         vcfg = self.vllm.cfg
         embeds, kv, labels, masks = assemble_packed(
             vparams, vcfg, ints, rowmeta, img_rows)
         h = self._edited_hidden(lparams, state, vparams, embeds, kv,
                                 rowmeta[1], rowmeta[0])
         return gathered_token_accuracy(
-            h, labels, masks, self.vllm._gather_positions,
+            h, labels, masks, n_pos,
             lambda hg: dec.decoder_logits(vparams["decoder"], vcfg.decoder,
                                           hg))
 
@@ -436,7 +439,7 @@ class LiveEdit(VLLMEditor):
         if self.vllm._gather_head_ok(pq):
             return self._metrics_packed_gathered_jit(
                 self.params, self.state, self.vllm.params, pq.ints,
-                pq.rowmeta, pq.img_rows)
+                pq.rowmeta, pq.img_rows, self.vllm._gather_positions)
         a, p = self._metrics_packed_jit(self.params, self.state,
                                         self.vllm.params, pq.ints,
                                         pq.rowmeta, pq.img_rows)

@@ -132,9 +132,12 @@ class EditorEvaluation:
 
             probe_imgs = {s.image for case in eval_data.data
                           for s in case_probe_specs(case) if s.image}
+            # UNION of case and probe images, not max of the two set
+            # sizes: partially-overlapping sets would undercount and the
+            # LRU could thrash (re-encode) — the exact problem this
+            # sizing exists to prevent.
             vllm.ensure_image_cache_capacity(
-                max(len(unique_image_paths(eval_data.data)),
-                    len(probe_imgs)))
+                len(set(unique_image_paths(eval_data.data)) | probe_imgs))
 
     def _query_logits_counted(self, qb) -> jnp.ndarray:
         """editor.query_logits with decoder-token accounting that does NOT

@@ -150,6 +150,13 @@ def _flash_kernel(
     # from its unrolled pl.loop over block_k within block_k_major.
     # block_k_minor == block_k (or 0) degrades to one chunk.
     bkm = block_k_minor if 0 < block_k_minor < block_k else block_k
+    # The knob is user-settable (FLASH_BLOCK_K_MINOR / AB_BKM): a
+    # non-divisor would make the last minor chunk's ref slice exceed
+    # block_k while the in_range/ks arithmetic assumes full-width chunks
+    # — round DOWN to the largest divisor instead of relying on slice
+    # clamping staying accidentally correct.
+    while block_k % bkm:
+        bkm -= 1
     n_minor = (block_k + bkm - 1) // bkm
 
     @pl.when(run)
@@ -310,6 +317,12 @@ def _flash_fwd(
         with_lse=return_lse,
         block_k_minor=(block_k_minor if block_k_minor
                        else FLASH_BLOCK_K_MINOR),
+        # FULL-VALID-ONLY benchmark knob: skips the fwd fast path's
+        # kv-validity check, so ANY masked key (right-padded rows, the
+        # non-prefix vision-slot masking above) silently attends garbage.
+        # Read at TRACE time — flipping the env var mid-process does not
+        # affect already-compiled programs. Only set it for all-valid
+        # microbenchmarks (bench.py flash.op phases).
         assume_valid=os.environ.get("DEVQA_FLASH_ASSUME_VALID") == "1",
     )
     # Causal DMA steering: above-diagonal (iq, ik) steps are compute-
