@@ -85,6 +85,17 @@ def use_real_data() -> bool:
             and os.path.exists(REAL_VQA_EVAL))
 
 
+def bench_tiny() -> bool:
+    """BENCH_TINY=1: every phase runs its FULL code path on tiny shapes
+    (CPU-runnable). tests/test_bench_smoke.py executes main() this way so
+    a NameError/ImportError inside a try/except'd phase can never again
+    ship silently to the one real driver run (round 4's llava phase died
+    on an import typo after 90s of warm-up — the phase try/except is
+    correct for tunnel weather but converts typos into silent data loss
+    unless something executes the code before the driver does)."""
+    return os.environ.get("BENCH_TINY") == "1"
+
+
 def build_cases(n, tmp, synthetic=False):
     if use_real_data() and not synthetic:
         with open(REAL_VQA_EVAL) as f:
@@ -212,16 +223,21 @@ def bench_flash_regime(reps=3, iters=4, deadline=None):
     from devqa_tpu.core import decoder as dec
     from devqa_tpu.core import vllm as V
 
-    n_layers = int(os.environ.get("BENCH_FLASH_LAYERS", "8"))
+    tiny = bench_tiny()
+    n_layers = int(os.environ.get("BENCH_FLASH_LAYERS",
+                                  "2" if tiny else "8"))
     # L=1280 (e.g. IKE demos prepended to a 576-token LLaVA query) shows
     # the clearest flash-vs-XLA delta (measured: 1.09x vs 1.03x at 640);
     # the win grows with L (XLA materializes O(L^2) scores, flash O(L)).
-    B = int(os.environ.get("BENCH_FLASH_B", "2"))
-    L = int(os.environ.get("BENCH_FLASH_L", "1280"))
+    B = int(os.environ.get("BENCH_FLASH_B", "1" if tiny else "2"))
+    L = int(os.environ.get("BENCH_FLASH_L", "128" if tiny else "1280"))
     dcfg = dec.vicuna_7b_config()
     import dataclasses
 
     dcfg = dataclasses.replace(dcfg, n_layers=n_layers)
+    if tiny:  # CPU smoke: same code path, laptop-sized matmuls
+        dcfg = dataclasses.replace(dcfg, d_model=128, n_heads=2,
+                                   d_ffn=256, vocab_size=512)
     cfg = V.text_only_vllm_config(dcfg, name="flashbench")
     t0 = time.time()
     params = jax.jit(lambda k: V.init_vllm_params(cfg, k, jnp.bfloat16))(
@@ -283,12 +299,16 @@ def bench_attention_op(reps=3, iters=8, deadline=None):
     from devqa_tpu.ops import attention as A
 
     res = {}
-    for L in (2048, 4096):
+    op_ls = tuple(int(s) for s in os.environ.get(
+        "BENCH_OP_LS", "128" if bench_tiny() else "2048,4096").split(","))
+    op_b, op_h = (int(s) for s in os.environ.get(
+        "BENCH_OP_BH", "1,2" if bench_tiny() else "2,32").split(","))
+    for L in op_ls:
         if deadline is not None and time.time() > deadline:
             log("attention-op microbench: deadline hit, skipping L>=%d" % L)
             break
         rng = np.random.default_rng(0)
-        B, H, D = 2, 32, 128
+        B, H, D = op_b, op_h, 128
         q = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
         v = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
@@ -307,7 +327,8 @@ def bench_attention_op(reps=3, iters=8, deadline=None):
                 best = min(best, (time.time() - t0) / iters)
             return best
 
-        t_f = timed(lambda q, k, v: A._flash_fwd(q, k, v, kv, True))
+        t_f = timed(lambda q, k, v: A._flash_fwd(
+            q, k, v, kv, True, interpret=A._interpret_mode()))
         t_x = timed(lambda q, k, v: A.xla_attention(q, k, v, kv, True))
         # causal: ~half the score pairs are live
         flops = 4 * B * H * L * L * D / 2
@@ -369,12 +390,25 @@ def bench_llava_pipeline(n_cases=8, deadline=None):
     from devqa_tpu.retrieval.store import hash_encoder
     from devqa_tpu.utils import flops as FL
 
-    n_layers = int(os.environ.get("BENCH_LLAVA_LAYERS", "8"))
-    max_rows = int(os.environ.get("BENCH_LLAVA_ROWS", "30"))
+    tiny = bench_tiny()
+    n_layers = int(os.environ.get("BENCH_LLAVA_LAYERS",
+                                  "2" if tiny else "8"))
+    max_rows = int(os.environ.get("BENCH_LLAVA_ROWS",
+                                  "6" if tiny else "30"))
     cfg = V.llava_v15_7b_config()
     cfg = dataclasses.replace(
         cfg, name="llava-bench",
         decoder=dataclasses.replace(cfg.decoder, n_layers=n_layers))
+    if tiny:  # CPU smoke: same mlp-bridge llava code path, tiny dims
+        cfg = dataclasses.replace(
+            cfg,
+            vit=dataclasses.replace(cfg.vit, image_size=32, patch_size=16,
+                                    d_model=32, n_layers=2, n_heads=2,
+                                    d_ffn=64),
+            vit_feature_layer=1, n_img_tokens=4,
+            decoder=dataclasses.replace(cfg.decoder, d_model=64, n_heads=2,
+                                        d_ffn=128, vocab_size=512,
+                                        max_positions=256))
     t0 = time.time()
     params = jax.jit(lambda k: V.init_vllm_params(cfg, k, jnp.bfloat16))(
         jax.random.PRNGKey(2))
@@ -502,9 +536,11 @@ def bench_llava_pipeline(n_cases=8, deadline=None):
         new_tok = 12
 
         def drive(prefix_images):
-            eng = BatchingEngine(vllm, n_slots=4, max_len=704,
-                                 steps_per_dispatch=4,
-                                 prefix_cache_images=prefix_images).start()
+            eng = BatchingEngine(
+                vllm, n_slots=4,
+                max_len=min(704, cfg.decoder.max_positions - 8),
+                steps_per_dispatch=4,
+                prefix_cache_images=prefix_images).start()
             try:
                 # Warm both prefill widths + decode; with the cache on,
                 # the repeated warm image also compiles+warms the
@@ -558,7 +594,10 @@ def bench_serve(vllm, n_req=None, new_tokens=24):
 
     n_req = n_req or int(os.environ.get("BENCH_SERVE_REQS", "24"))
     n_seq = int(os.environ.get("BENCH_SERVE_SEQ_REQS", "6"))
-    eng = BatchingEngine(vllm, n_slots=8, max_len=160,
+    # Clamp to the model's position table (tiny smoke configs have
+    # max_positions=128; the 2.7b run keeps the pinned 160).
+    eng = BatchingEngine(vllm, n_slots=8,
+                         max_len=min(160, vllm.cfg.decoder.max_positions - 8),
                          steps_per_dispatch=4).start()
     try:
         # Warm both prefill widths (1 and n_slots) + the decode program.
@@ -743,6 +782,9 @@ def bench_continuity(cfg, params, reps=3):
     from devqa_tpu.retrieval.store import hash_encoder
 
     # Pinned: every constant below is part of the protocol definition.
+    # (BENCH_CONTINUITY_REPS exists ONLY for the CPU smoke test; the
+    # driver run never sets it, so the protocol stays best-of-3.)
+    reps = int(os.environ.get("BENCH_CONTINUITY_REPS", str(reps)))
     N_CASES, SPLIT, BUCKET = 20, 10, 32
     PRE_ROWS, POST_ROWS, MAX_ROWS, IMG_PAD = 90, 120, 60, 8
 
@@ -751,7 +793,8 @@ def bench_continuity(cfg, params, reps=3):
                    bucket_multiple=BUCKET, min_len=BUCKET,
                    img_cache_size=512, img_batch_pad=IMG_PAD)
     lcfg = LiveEditConfig(edit_model_name=cfg.name,
-                          llm_mid_dim=cfg.decoder.d_model, edit_layer_i=21,
+                          llm_mid_dim=cfg.decoder.d_model,
+                          edit_layer_i=min(21, cfg.decoder.n_layers - 2),
                           max_edits=1024, retrieve_top_k=8)
     editor = LiveEdit(vllm, lcfg, seed=0)
     with tempfile.TemporaryDirectory() as tmp:
@@ -802,7 +845,8 @@ def bench_train_step(vllm, n_steps=6):
     cfg = vllm.cfg
     lcfg = LiveEditConfig(edit_model_name=cfg.name,
                           llm_mid_dim=cfg.decoder.d_model,
-                          edit_layer_i=21, max_edits=32)
+                          edit_layer_i=min(21, cfg.decoder.n_layers - 2),
+                          max_edits=32)
     editor = LiveEditTrainable(vllm, lcfg, seed=0)
     with tempfile.TemporaryDirectory() as tmp:
         path = build_cases(8, tmp)
@@ -858,7 +902,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    _enable_compile_cache(jax)
+    # No persistent cache in tiny/CPU smoke mode: XLA's CPU AOT loader
+    # warns about machine-feature mismatches on reload (tests/conftest.py
+    # keeps CPU runs cache-free for the same reason).
+    if not bench_tiny():
+        _enable_compile_cache(jax)
 
     from devqa_tpu.core import vllm as V
     from devqa_tpu.core.tokenizer import ToyTokenizer
@@ -872,7 +920,8 @@ def main():
     from devqa_tpu.utils import flops as FL
 
     log("devices:", jax.devices())
-    cfg = V.blip2_opt_2_7b_config()
+    cfg = V.tiny_vllm_config("opt") if bench_tiny() \
+        else V.blip2_opt_2_7b_config()
     dtype = jnp.bfloat16
     t0 = time.time()
     params = jax.jit(lambda k: V.init_vllm_params(cfg, k, dtype))(
@@ -915,7 +964,7 @@ def main():
                    min_len=bucket, img_cache_size=max(256, n_all_cases * 8),
                    img_batch_pad=img_pad)
     lcfg = LiveEditConfig(edit_model_name=cfg.name, llm_mid_dim=cfg.decoder.d_model,
-                          edit_layer_i=21,
+                          edit_layer_i=min(21, cfg.decoder.n_layers - 2),
                           # 1024 = the shipped config's pool capacity
                           # (configs/liveedit/blip2-opt-2.7b.yaml) — and
                           # it lets the sequential_1000 phase reuse every
