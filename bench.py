@@ -758,6 +758,88 @@ def bench_sequential_1000(vllm, editor, tmp, max_rows,
     return out
 
 
+def bench_sequential_secondary(vllm, tmp, deadline=None):
+    """Sequential-edit generality BEYOND LiveEdit (VERDICT r4 item 7):
+    the 1000-edit headline only ever exercises LiveEdit, leaving the
+    'editors hold fixed-capacity ring-buffer state; sequential editing is
+    jit-stable' claim CPU-test-only for the other editors. This phase
+    runs T-Patcher (editors/tp_vl.py — ring-buffer neuron pool, fori_loop
+    inner training, reference tp_vl.py:125-148) for 200 sequential edits
+    on the resident model with a fixed probe chunk re-measured every 50
+    edits, and proves shape stability the same way seq1000 does:
+    ``new_compiled_shapes`` (instance-jit cache delta across the timed
+    region) == 0."""
+    from devqa_tpu.core.losses import token_accuracy
+    from devqa_tpu.editors.tp_vl import TPvl, TPvlConfig
+    from devqa_tpu.eval.harness import case_probe_specs
+    import jax
+
+    from devqa_tpu.data.schema import EVQA
+    from devqa_tpu.retrieval.store import hash_encoder
+
+    cfg = vllm.cfg
+    n = int(os.environ.get("BENCH_SEQ2_CASES", "200"))
+    steps = int(os.environ.get("BENCH_SEQ2_STEPS", "25"))
+    editor = TPvl(vllm, TPvlConfig(
+        edit_model_name=cfg.name,
+        edit_layer=min(31, cfg.decoder.n_layers - 1),
+        num_steps=steps, max_edits=max(256, n)))
+    sub = os.path.join(tmp, "seq2")
+    os.makedirs(sub, exist_ok=True)
+    path = build_cases(n, sub)
+    data = EVQA(path, sub, encoder=hash_encoder(16))
+    cases = data.data
+    vllm.ensure_image_cache_capacity(4 * n + 16)
+    metrics = jax.jit(token_accuracy)
+
+    # Fixed-shape probe chunk (first case's first 8 specs): re-measured
+    # as the pool fills, so the query program must stay one compiled
+    # shape from edit 0 to edit 200.
+    specs = [s for c in cases[:2] for s in case_probe_specs(c)][:8]
+    qb = vllm.encode_queries([s.prompt for s in specs],
+                             [s.image for s in specs],
+                             [s.target for s in specs])
+
+    def probe():
+        a, _ = metrics(editor.query_logits(qb), qb.label_ids, qb.label_masks)
+        return fetch_scalar(a)
+
+    # Warm every program OUTSIDE the timed region (edit + probe).
+    editor.edit_one_piece(cases[0].requests[0])
+    editor.edit_one_piece(cases[1].requests[0])
+    probe()
+    editor.restore_to_original_model()
+    sizes0 = jit_cache_sizes(vllm, editor)
+    shapes0 = sum(sizes0.values())
+    t0 = time.time()
+    done = 0
+    for i, c in enumerate(cases):
+        editor.edit_one_piece(c.requests[0])
+        done = i + 1
+        if done % 50 == 0:
+            probe()
+        if deadline is not None and time.time() > deadline:
+            log("seq_secondary: deadline hit after %d edits" % done)
+            break
+    probe()
+    dt = time.time() - t0
+    grew = {k: v - sizes0.get(k, 0)
+            for k, v in jit_cache_sizes(vllm, editor).items()
+            if v != sizes0.get(k, 0)}
+    if grew:
+        log("seq_secondary fresh-compile sources:", grew)
+    out = {
+        "editor": "tp_vl",
+        "edits": done,
+        "edits_per_s": round(done / dt, 3),
+        "inner_steps_per_edit": steps,
+        "new_compiled_shapes": total_jit_cache_size(vllm, editor) - shapes0,
+        "pool_live": int(editor.state["count"]),
+    }
+    log("sequential_secondary:", out)
+    return out
+
+
 def bench_continuity(cfg, params, reps=3):
     """FROZEN cross-round protocol line (VERDICT r3 item 9): synthetic
     records, 32-token bucket, 20 cases fused in splits of 10, best-of-3,
@@ -829,6 +911,11 @@ def bench_continuity(cfg, params, reps=3):
             best = max(best, N_CASES / dt)
     out = {"cases_per_s": round(best, 3),
            "protocol": "synthetic20_bucket32_split10_rows90-120_bo3"}
+    # Cross-round anchor (VERDICT r4 item 6): r04 recorded 6.796 cases/s
+    # under this exact protocol — the ratio is the first tunnel-weather-
+    # independent cross-round comparison this line exists to provide.
+    if not bench_tiny():
+        out["vs_r04"] = round(best / 6.796, 3)
     log("continuity:", out)
     return out
 
@@ -1160,6 +1247,12 @@ def main():
                                           post_rows=post_rows))
         train_res = run_phase("BENCH_TRAIN", 120,
                               lambda: bench_train_step(vllm))
+        # Second editor's sequential line (VERDICT r4 item 7): TP_VL on
+        # the resident model — needs it, so before the free below.
+        seq2_res = run_phase(
+            "BENCH_SEQ2", 150,
+            lambda: bench_sequential_secondary(
+                vllm, tmp, deadline=t_start + phase_cap))
         # FROZEN cross-round continuity line (VERDICT r3 item 9): shares
         # the resident 2.7b params, so it must run before the free below.
         continuity_res = run_phase(
@@ -1222,6 +1315,8 @@ def main():
         out["mfu"] = mfu
     if seq1000_res:
         out["sequential_1000"] = seq1000_res
+    if seq2_res:
+        out["sequential_secondary"] = seq2_res
     if continuity_res:
         out["continuity"] = continuity_res
     if flash_res:

@@ -201,7 +201,7 @@ class JaxVLLM:
         # and the single device stream executes any pending readers
         # before the scatter.
         self._scatter_rows_jit = jax.jit(
-            lambda buf, idx, rows: buf.at[idx].set(rows),
+            lambda buf, idx, rows: buf.at[idx].set(rows.astype(buf.dtype)),
             donate_argnums=0)
         # Fused packed-query program: gather vision rows + assemble +
         # forward + masked-argmax metrics in ONE device program (see

@@ -35,6 +35,7 @@ SMOKE_ENV = {
     # budget gating) — the whole point is executing all of them
     "BENCH_SERVE": "1",
     "BENCH_SEQ1000": "1",
+    "BENCH_SEQ2": "1",
     "BENCH_TRAIN": "1",
     "BENCH_CONTINUITY": "1",
     "BENCH_LLAVA": "1",
@@ -43,6 +44,8 @@ SMOKE_ENV = {
     "BENCH_SERVE_REQS": "6",
     "BENCH_SERVE_SEQ_REQS": "2",
     "BENCH_SEQ1000_CASES": "20",
+    "BENCH_SEQ2_CASES": "8",
+    "BENCH_SEQ2_STEPS": "2",
     "BENCH_CONTINUITY_REPS": "1",
     "BENCH_LLAVA_SERVE_REQS": "4",
 }
@@ -101,6 +104,9 @@ def test_all_phases_emitted(bench_json):
     assert bench_json["serve"]["tokens_per_s"] > 0
     assert bench_json["serve"]["batching_speedup"] > 0
     assert bench_json["sequential_1000"]["cases_per_s"] > 0
+    seq2 = bench_json["sequential_secondary"]
+    assert seq2["editor"] == "tp_vl" and seq2["edits_per_s"] > 0
+    assert seq2["new_compiled_shapes"] == 0
     assert bench_json["train"]["liveedit_steps_per_s"] > 0
     assert bench_json["continuity"]["cases_per_s"] > 0
     assert bench_json["continuity"]["protocol"] == \
