@@ -327,13 +327,21 @@ def bench_attention_op(reps=3, iters=8, deadline=None):
                 best = min(best, (time.time() - t0) / iters)
             return best
 
+        # Primary: the NO-MASK kernel specialization (kv_valid=None) —
+        # the same input contract as jax's official causal kernel (it has
+        # no kv-validity input), so vs_jaxflash is apples-to-apples.
+        # flash_masked_ms tracks the pipeline's masked-kernel contract.
         t_f = timed(lambda q, k, v: A._flash_fwd(
+            q, k, v, None, True, interpret=A._interpret_mode()))
+        t_fm = timed(lambda q, k, v: A._flash_fwd(
             q, k, v, kv, True, interpret=A._interpret_mode()))
         t_x = timed(lambda q, k, v: A.xla_attention(q, k, v, kv, True))
         # causal: ~half the score pairs are live
         flops = 4 * B * H * L * L * D / 2
         res[f"L{L}"] = {
             "flash_ms": round(t_f * 1e3, 2),
+            "flash_masked_ms": round(t_fm * 1e3, 2),
+            "masked_overhead": round(t_fm / t_f, 3),
             "xla_ms": round(t_x * 1e3, 2),
             "speedup": round(t_x / t_f, 2),
             "flash_tflops": round(flops / t_f / 1e12, 1),

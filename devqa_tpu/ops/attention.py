@@ -107,9 +107,8 @@ def _flash_kernel(
     q_ref,        # VMEM [1, block_q, d]
     k_ref,        # VMEM [1, block_k, d]
     v_ref,        # VMEM [1, block_k, d]
-    mask_ref,     # VMEM [1, 8, block_k] int32 kv-validity (sublane-tiled)
-    o_ref,        # VMEM [1, block_q, d]
-    *rest,        # [lse_ref [1, 8, block_q]] + scratches (m, l, acc)
+    *rest,        # [mask_ref [1, 8, block_k]] + o_ref +
+                  # [lse_ref [1, 8, block_q]] + scratches (m, l, acc)
     causal: bool,
     block_q: int,
     block_k: int,
@@ -119,7 +118,17 @@ def _flash_kernel(
     with_lse: bool = False,
     block_k_minor: int = 0,
     assume_valid: bool = False,
+    has_mask: bool = True,
 ):
+    # ``has_mask=False`` is the kv_valid=None specialization: NO mask
+    # operand exists (one less DMA stream per grid step) and every
+    # validity check folds away statically — the variant jax's official
+    # causal kernel implements (it has no kv-validity input at all).
+    if has_mask:
+        mask_ref, rest = rest[0], rest[1:]
+    else:
+        mask_ref = None
+    o_ref, rest = rest[0], rest[1:]
     if with_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -199,7 +208,8 @@ def _flash_kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32
             ) * sm_scale  # [block_q, bkm]
-            mrow = mask_ref[0, 0, j * bkm:(j + 1) * bkm]
+            mrow = mask_ref[0, 0, j * bkm:(j + 1) * bkm] if has_mask \
+                else None
 
             # Interior fast path (the bulk of a long-sequence grid): a
             # chunk whose keys are all in-range, all kv-valid and (if
@@ -207,7 +217,8 @@ def _flash_kernel(
             # skipping the two iotas + compares + selects removes ~6 VPU
             # passes over [block_q, bkm] per chunk.
             in_range = ks + bkm <= kv_len
-            all_valid = True if assume_valid else jnp.min(mrow) > 0
+            all_valid = True if (assume_valid or not has_mask) \
+                else jnp.min(mrow) > 0
             below_diag = (not causal) or (
                 ks + bkm - 1 <= q_start + causal_offset)
             full = jnp.logical_and(in_range & below_diag, all_valid)
@@ -218,12 +229,14 @@ def _flash_kernel(
 
             @pl.when(jnp.logical_not(full))
             def _slow(s=s, mrow=mrow, ks=ks, j=j):
-                mask = jnp.broadcast_to(mrow[None, :] > 0, s.shape)
                 # Ragged tail chunk: keys past the true kv length are
                 # padding reads with undefined contents — mask them
                 # explicitly.
                 ki = ks + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                mask = jnp.logical_and(mask, ki < kv_len)
+                mask = ki < kv_len
+                if has_mask:
+                    mask = jnp.logical_and(
+                        mask, jnp.broadcast_to(mrow[None, :] > 0, s.shape))
                 if causal:
                     qi = (q_start + causal_offset
                           + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
@@ -299,11 +312,13 @@ def _flash_fwd(
     qr = q.reshape(b * h, lq, d)
     kr = k.reshape(b * h, lk, d)
     vr = v.reshape(b * h, lk, d)
-    # Sublane-tiled mask [B, 8, Lk]: TPU block specs need the 2nd-to-last
-    # block dim divisible by 8; broadcasting to 8 rows satisfies tiling at
-    # negligible cost.
-    maskr = jnp.broadcast_to(
-        kv_valid.astype(jnp.int32)[:, None, :], (b, 8, lk))
+    has_mask = kv_valid is not None
+    if has_mask:
+        # Sublane-tiled mask [B, 8, Lk]: TPU block specs need the
+        # 2nd-to-last block dim divisible by 8; broadcasting to 8 rows
+        # satisfies tiling at negligible cost.
+        maskr = jnp.broadcast_to(
+            kv_valid.astype(jnp.int32)[:, None, :], (b, 8, lk))
 
     num_heads = h
     kernel = functools.partial(
@@ -324,6 +339,7 @@ def _flash_fwd(
         # affect already-compiled programs. Only set it for all-valid
         # microbenchmarks (bench.py flash.op phases).
         assume_valid=os.environ.get("DEVQA_FLASH_ASSUME_VALID") == "1",
+        has_mask=has_mask,
     )
     # Causal DMA steering: above-diagonal (iq, ik) steps are compute-
     # skipped in the kernel (`run`), but a naive k/v index map would
@@ -355,15 +371,19 @@ def _flash_fwd(
                                   lambda bh, iq, ik: (bh, 0, iq)))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((b * h, 8, lq), jnp.float32))
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+        kv_spec,
+        kv_spec,
+    ]
+    operands = [qr, kr, vr]
+    if has_mask:
+        in_specs.append(mask_spec)
+        operands.append(maskr)
     out = pl.pallas_call(
         kernel,
         grid=(b * h, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-            kv_spec,
-            kv_spec,
-            mask_spec,
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -378,7 +398,7 @@ def _flash_fwd(
         ),
         interpret=interpret,
         **_CP_KW,
-    )(qr, kr, vr, maskr)
+    )(*operands)
     if return_lse:
         o, lse = out
         return o.reshape(b, h, lq, d), lse[:, 0, :].reshape(b, h, lq)
@@ -439,6 +459,8 @@ def _interior_fast(mask_ref, k_start, q_start, causal, causal_offset,
     q_in = q_start + block_q <= q_len
     below = True if not causal else (
         k_start + block_k - 1 <= q_start + causal_offset)
+    if mask_ref is None:  # kv_valid=None specialization: no mask operand
+        return in_range & q_in & below
     all_valid = jnp.min(mask_ref[0, 0]) > 0
     return jnp.logical_and(in_range & q_in & below, all_valid)
 
@@ -446,8 +468,10 @@ def _interior_fast(mask_ref, k_start, q_start, causal, causal_offset,
 def _block_mask(mask_row, k_start, q_start, shape, causal, causal_offset,
                 kv_len, q_len):
     ki = k_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    mask = jnp.broadcast_to(mask_row[None, :] > 0, shape)
-    mask = jnp.logical_and(mask, ki < kv_len)
+    mask = ki < kv_len
+    if mask_row is not None:
+        mask = jnp.logical_and(
+            mask, jnp.broadcast_to(mask_row[None, :] > 0, shape))
     # Ragged q tail: rows past the true q length read undefined padding
     # (lse/delta included) — without this bound the dkv grid, which
     # accumulates ACROSS q-blocks, would sum tail garbage into real
@@ -469,9 +493,14 @@ def _zero_oob_rows(x, start, limit):
     return jnp.where(rows < limit, x, jnp.zeros_like(x))
 
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                         delta_ref, dq_ref, acc_scr, *, causal, block_q,
-                         block_k, sm_scale, kv_len, causal_offset, q_len):
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, *rest, causal, block_q,
+                         block_k, sm_scale, kv_len, causal_offset, q_len,
+                         has_mask=True):
+    if has_mask:
+        mask_ref, rest = rest[0], rest[1:]
+    else:
+        mask_ref = None
+    do_ref, lse_ref, delta_ref, dq_ref, acc_scr = rest
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -509,7 +538,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
             # SELECT-zero ragged k/v tails (ds is 0 there, 0·NaN = NaN)
             k = _zero_oob_rows(k_ref[0], k_start, kv_len)
             v = _zero_oob_rows(v_ref[0], k_start, kv_len)
-            mask = _block_mask(mask_ref[0, 0], k_start, q_start,
+            mask = _block_mask(mask_ref[0, 0] if has_mask else None,
+                               k_start, q_start,
                                (block_q, block_k), causal, causal_offset,
                                kv_len, q_len)
             _, ds = _bwd_p_ds(q, k, v, do_ref[0], lse_ref[0, 0],
@@ -521,10 +551,14 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                          delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
-                          causal, block_q, block_k, sm_scale, kv_len,
-                          causal_offset, q_len):
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, *rest, causal, block_q,
+                          block_k, sm_scale, kv_len, causal_offset, q_len,
+                          has_mask=True):
+    if has_mask:
+        mask_ref, rest = rest[0], rest[1:]
+    else:
+        mask_ref = None
+    do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr = rest
     ik = pl.program_id(1)
     iq = pl.program_id(2)
     nq = pl.num_programs(2)
@@ -568,7 +602,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
             # accumulates ACROSS q-blocks into real keys' gradients.
             q = _zero_oob_rows(q_ref[0], q_start, q_len)
             do = _zero_oob_rows(do_ref[0], q_start, q_len)
-            mask = _block_mask(mask_ref[0, 0], k_start, q_start,
+            mask = _block_mask(mask_ref[0, 0] if has_mask else None,
+                               k_start, q_start,
                                (block_q, block_k), causal, causal_offset,
                                kv_len, q_len)
             p, ds = _bwd_p_ds(q, k_ref[0], v_ref[0], do, lse_ref[0, 0],
@@ -597,8 +632,10 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
     kr = k.reshape(b * h, lk, d)
     vr = v.reshape(b * h, lk, d)
     dor = do.reshape(b * h, lq, d)
-    maskr = jnp.broadcast_to(kv_valid.astype(jnp.int32)[:, None, :],
-                             (b, 8, lk))
+    has_mask = kv_valid is not None
+    if has_mask:
+        maskr = jnp.broadcast_to(kv_valid.astype(jnp.int32)[:, None, :],
+                                 (b, 8, lk))
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1).reshape(b * h, lq)               # D rows
     lser = jnp.broadcast_to(lse.reshape(b * h, lq)[:, None, :],
@@ -609,7 +646,7 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
     causal_offset = lk - lq
     common = dict(causal=causal, block_q=block_q, block_k=block_k,
                   sm_scale=sm_scale, kv_len=lk, causal_offset=causal_offset,
-                  q_len=lq)
+                  q_len=lq, has_mask=has_mask)
     # Causal DMA steering (see _flash_fwd): compute-skipped steps must
     # not stall on fetches of blocks they never read. dq's inner axis is
     # ik (trailing skips → steer to 0, the next q-row's first block);
@@ -640,17 +677,21 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
         lambda bh, iq, ik: (bh // num_heads, 0, _ik_live(iq, ik)))
     row_spec_q = pl.BlockSpec((1, 8, block_q), lambda bh, iq, ik: (bh, 0, iq))
 
+    dq_specs = [q_spec, k_spec_q, k_spec_q]
+    dq_ops = [qr, kr, vr]
+    if has_mask:
+        dq_specs.append(mask_spec_q)
+        dq_ops.append(maskr)
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, **common),
         grid=(b * h, nq, nk),
-        in_specs=[q_spec, k_spec_q, k_spec_q, mask_spec_q, q_spec,
-                  row_spec_q, row_spec_q],
+        in_specs=dq_specs + [q_spec, row_spec_q, row_spec_q],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
         **_CP_KW,
-    )(qr, kr, vr, maskr, dor, lser, deltar)
+    )(*dq_ops, dor, lser, deltar)
 
     # grid order (bh, k-blocks, q-blocks) for the k/v accumulation
     q_spec2 = pl.BlockSpec((1, block_q, d),
@@ -660,11 +701,15 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
         (1, 8, block_k), lambda bh, ik, iq: (bh // num_heads, 0, ik))
     row_spec2 = pl.BlockSpec((1, 8, block_q),
                              lambda bh, ik, iq: (bh, 0, _iq_live(ik, iq)))
+    dkv_specs = [q_spec2, k_spec2, k_spec2]
+    dkv_ops = [qr, kr, vr]
+    if has_mask:
+        dkv_specs.append(mask_spec2)
+        dkv_ops.append(maskr)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, **common),
         grid=(b * h, nk, nq),
-        in_specs=[q_spec2, k_spec2, k_spec2, mask_spec2, q_spec2,
-                  row_spec2, row_spec2],
+        in_specs=dkv_specs + [q_spec2, row_spec2, row_spec2],
         out_specs=(k_spec2, k_spec2),
         out_shape=(jax.ShapeDtypeStruct((b * h, lk, d), k.dtype),
                    jax.ShapeDtypeStruct((b * h, lk, d), v.dtype)),
@@ -672,7 +717,7 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
                         pltpu.VMEM((block_k, d), jnp.float32)],
         interpret=interpret,
         **_CP_KW,
-    )(qr, kr, vr, maskr, dor, lser, deltar)
+    )(*dkv_ops, dor, lser, deltar)
     return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
             dv.reshape(b, h, lk, d))
 
@@ -771,6 +816,8 @@ def _sharded_flash(q, k, v, kv_valid, causal, mesh):
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
+    if kv_valid is None:  # uniform operand structure across the mesh
+        kv_valid = jnp.ones((q.shape[0], k.shape[2]), jnp.int32)
     spec = P("dp", "tp", None, None)
     kw = dict(mesh=mesh, in_specs=(spec, spec, spec, P("dp", None)),
               out_specs=spec)
@@ -862,9 +909,12 @@ def multihead_attention(
     ``lengths``: [B] sugar for a valid-prefix mask.
     """
     lk = k.shape[2]
-    if kv_valid is None:
-        if lengths is not None:
-            kv_valid = (jnp.arange(lk)[None, :] < lengths[:, None]).astype(jnp.int32)
-        else:
-            kv_valid = jnp.ones((q.shape[0], lk), jnp.int32)
-    return _attention(q, k, v, kv_valid.astype(jnp.int32), causal)
+    if kv_valid is None and lengths is not None:
+        kv_valid = (jnp.arange(lk)[None, :]
+                    < lengths[:, None]).astype(jnp.int32)
+    if kv_valid is not None:
+        kv_valid = kv_valid.astype(jnp.int32)
+    # kv_valid=None flows through as the NO-MASK kernel specialization:
+    # no mask operand, no validity logic (vision towers, full-valid
+    # benchmark shapes) — do not upgrade it to an all-ones mask.
+    return _attention(q, k, v, kv_valid, causal)

@@ -40,7 +40,14 @@ def main():
         bq = int(os.environ.get("AB_BQ", "512"))
         bk = int(os.environ.get("AB_BK", "1024"))
         bkm = int(os.environ.get("AB_BKM", "0"))
+        # Primary contender: the kv_valid=None no-mask specialization —
+        # jax's kernel has no kv-validity input, so this is the
+        # apples-to-apples pair. ours_masked tracks the pipeline's
+        # masked contract in the same interleaved rounds.
         ours = jax.jit(lambda q, k, v: A._flash_fwd(
+            q, k, v, None, True, block_q=bq, block_k=bk, block_k_minor=bkm)
+            .astype(jnp.float32).sum())
+        ours_masked = jax.jit(lambda q, k, v: A._flash_fwd(
             q, k, v, kv, True, block_q=bq, block_k=bk, block_k_minor=bkm)
             .astype(jnp.float32).sum())
         bs = JF.BlockSizes(
@@ -85,12 +92,16 @@ def main():
             log("L%d masked sums: ours %.1f jax %.1f" % (L, a, b_))
             assert abs(a - b_) / max(abs(b_), 1) < 2e-2
 
+        masked_on = os.environ.get("AB_MASKED") != "1"  # skip dup there
         pairs = []
         for r in range(5):
-            pairs.append((once(ours), once(theirs)))
-        ratios = [tj / to for to, tj in pairs]
-        log("L%d rounds (ours_ms, jax_ms): %s" %
-            (L, [(round(a * 1e3, 2), round(b2 * 1e3, 2)) for a, b2 in pairs]))
+            row = (once(ours), once(theirs),
+                   once(ours_masked) if masked_on else None)
+            pairs.append(row)
+        ratios = [tj / to for to, tj, _ in pairs]
+        log("L%d rounds (ours_ms, jax_ms, ours_masked_ms): %s" %
+            (L, [tuple(round(x * 1e3, 2) for x in p if x is not None)
+                 for p in pairs]))
         t_o = min(p[0] for p in pairs)
         t_j = min(p[1] for p in pairs)
         out[f"L{L}"] = {
@@ -101,6 +112,10 @@ def main():
             "ratio_jax_over_ours": round(t_j / t_o, 3),
             "per_round_ratio": [round(r, 3) for r in ratios],
         }
+        if masked_on:
+            t_m = min(p[2] for p in pairs)
+            out[f"L{L}"]["ours_masked_ms"] = round(t_m * 1e3, 2)
+            out[f"L{L}"]["masked_overhead"] = round(t_m / t_o, 3)
         log("L%d: ours %.2fms (%.1f TF/s) jax %.2fms (%.1f TF/s)" %
             (L, t_o * 1e3, flops / t_o / 1e12, t_j * 1e3,
              flops / t_j / 1e12))

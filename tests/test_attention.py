@@ -89,6 +89,32 @@ class TestFlashKernel:
         ref = xla_attention(q, k, v, kv_valid=kv, causal=True)
         np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_no_mask_variant_matches_xla(self, qkv, causal):
+        """kv_valid=None compiles the mask-free kernel specialization
+        (no mask operand, no validity logic) — vision towers and
+        full-valid benchmark shapes take this path."""
+        q, k, v = qkv
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = _flash_fwd(q, k, v, None, causal, block_q=32, block_k=32)
+        ref = xla_attention(q, k, v, kv_valid=None, causal=causal)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_no_mask_ragged_tail(self, qkv):
+        """A kv length no block size divides still masks OOB tail keys in
+        the no-mask variant (the in-range bound is independent of
+        kv_valid)."""
+        q, k, v = qkv
+        q, k, v = q[:, :, :48, :], k[:, :, :48, :], v[:, :, :48, :]
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = _flash_fwd(q, k, v, None, True, block_q=32, block_k=32)
+        ref = xla_attention(q, k, v, kv_valid=None, causal=True)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
     def test_fully_masked_rows_finite(self, qkv):
         q, k, v = qkv
         lengths = jnp.array([1, 1], jnp.int32)
@@ -184,6 +210,29 @@ class TestFlashBackward:
 
         def loss_xla(q, k, v):
             return jnp.sum(w * xla_attention(q, k, v, kv_valid=kv,
+                                             causal=causal))
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gx, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3, err_msg=name)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_no_mask_grads_match_xla(self, qkv, causal, monkeypatch):
+        """kv_valid=None end to end: mask-free Pallas fwd saves lse and
+        the mask-free bwd kernels produce XLA-matching grads."""
+        monkeypatch.setenv("DEVQA_FLASH_INTERPRET", "1")
+        q, k, v = qkv
+        w = jnp.asarray(np.random.default_rng(9).normal(
+            size=(2, 4, 64, 32)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(w * multihead_attention(q, k, v, None,
+                                                   causal=causal))
+
+        def loss_xla(q, k, v):
+            return jnp.sum(w * xla_attention(q, k, v, kv_valid=None,
                                              causal=causal))
 
         gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
