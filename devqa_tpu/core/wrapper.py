@@ -55,36 +55,43 @@ class QueryBatch:
 
 @dataclasses.dataclass
 class PackedQuery:
-    """A query batch in PRE-assembly form: one int array + the gathered
-    vision rows. Purpose: ONE fused device program per probe chunk.
+    """A query batch in PRE-assembly form: one int array + the vision
+    slot buffer. Purpose: ONE fused device program per probe chunk.
 
     ``encode_queries`` costs ~8 device dispatches per chunk (vision row
     stack, five transfers, assemble, forward); through a remote-dispatch
     tunnel each program pays a fixed ~5-10ms floor, ~15% of a 120x96
     chunk's forward (measured, scripts/profile_headline.py). A packed
-    query ships 2 transfers + 1 gather and lets the consumer's jit do
-    assemble + forward + metrics as one program. The vision rows are
-    gathered OUTSIDE the fused program on purpose: gathering in-program
-    would put the cache buffer's CAPACITY into the jit signature, and
-    the buffer grows across phases — each growth would recompile the
-    hot program (30-90s on remote-compile runtimes).
+    query ships 2 transfers and lets the consumer's jit do vision-row
+    gather + assemble + forward + metrics as one program. The gather
+    moved IN-program (r5): the eager ``jnp.take`` was one more tunnel
+    dispatch plus a [B, V, d] HBM round-trip per chunk, and the buffer
+    capacity it was avoiding in the jit signature is pre-grown once per
+    run by ``ensure_image_cache_capacity`` (harness/bench both call it),
+    so the capacity-keyed recompile happens at warm-up, not mid-run.
+
+    ``img_buf`` is the LIVE slot buffer at dispatch time — consumers
+    must pass it to their fused program promptly (a later donated
+    scatter rebinding ``vllm._img_buf`` does not mutate this reference,
+    so deferred use stays CORRECT but may read pre-refresh rows).
     """
 
     ints: jnp.ndarray         # [4, B, Lt] i32: ids, attn, label_ids, label_masks
-    rowmeta: jnp.ndarray      # [2, B] i32: has_image, query_end
-    img_rows: jnp.ndarray     # [B, V, d] gathered vision tokens
+    rowmeta: jnp.ndarray      # [3, B] i32: has_image, query_end, img_slot
+    img_buf: jnp.ndarray      # [cap+1, V, d] vision slot buffer (device)
     prompt_lens: np.ndarray   # [B] host
     has_image: np.ndarray     # [B] host
     label_masks_full: np.ndarray  # [B, Lt+V] host copy (result assembly)
 
 
-def assemble_packed(params, cfg, ints, rowmeta, img_rows):
+def assemble_packed(params, cfg, ints, rowmeta, img_buf):
     """Traced assemble for a PackedQuery → (embeds, kv_valid,
     label_ids, label_masks), all full-layout. Call INSIDE a jit (the
     whole point); semantics identical to ``encode_queries``'s
     assemble + numpy label placement (text label j → full j+V for
     j ≥ img_slot_pos; earlier positions are never supervised)."""
     ids, attn = ints[0], ints[1]
+    img_rows = jnp.take(img_buf, rowmeta[2], axis=0)
     embeds, kv = assemble_embeds(params, cfg, ids, attn, img_rows,
                                  rowmeta[0])
     V, p = cfg.n_img_tokens, cfg.img_slot_pos
@@ -208,9 +215,9 @@ class JaxVLLM:
         # encode_queries_packed — on remote-dispatch runtimes the
         # per-program floor makes the multi-dispatch path ~15% slower
         # per probe chunk).
-        def _packed_metrics(params, ints, rowmeta, img_rows):
+        def _packed_metrics(params, ints, rowmeta, img_buf):
             embeds, kv, labels, masks = assemble_packed(
-                params, cfg, ints, rowmeta, img_rows)
+                params, cfg, ints, rowmeta, img_buf)
             return _tok_acc(vllm_logits(params, cfg, embeds, kv),
                             labels, masks)
 
@@ -227,14 +234,14 @@ class JaxVLLM:
         from .losses import gathered_token_accuracy as _gtok_acc
         from .vllm import vllm_hidden as _vllm_hidden
 
-        def _packed_metrics_gathered(params, ints, rowmeta, img_rows, n_pos):
+        def _packed_metrics_gathered(params, ints, rowmeta, img_buf, n_pos):
             # n_pos is a STATIC argument, not a closed-over read of
             # self._gather_positions: the harness raises the width
             # mid-process (run-level sizing), and a closure read at trace
             # time would let same-shape calls reuse a stale narrower
             # executable, silently dropping supervised positions.
             embeds, kv, labels, masks = assemble_packed(
-                params, cfg, ints, rowmeta, img_rows)
+                params, cfg, ints, rowmeta, img_buf)
             h = _vllm_hidden(params, cfg, embeds, kv)
             return _gtok_acc(
                 h, labels, masks, n_pos,
@@ -486,18 +493,17 @@ class JaxVLLM:
                            bucket_multiple=self.bucket_multiple,
                            min_len=self.min_len)
         idx, has = self._image_slots(image_paths)
-        img_rows = jnp.take(self._img_buf, jnp.asarray(idx), axis=0)
         prompt_lens = np.array([s.prompt_len for s in samples], np.int32)
         V, p = self.cfg.n_img_tokens, self.cfg.img_slot_pos
         B, Lt = tb.input_ids.shape
         ints = np.stack([tb.input_ids, tb.attn_mask,
                          tb.label_ids, tb.label_masks]).astype(np.int32)
-        rowmeta = np.stack([has, prompt_lens + V]).astype(np.int32)
+        rowmeta = np.stack([has, prompt_lens + V, idx]).astype(np.int32)
         full_masks = np.zeros((B, Lt + V), np.int32)
         full_masks[:, p + V:] = tb.label_masks[:, p:]
         return PackedQuery(
             ints=jnp.asarray(ints), rowmeta=jnp.asarray(rowmeta),
-            img_rows=img_rows, prompt_lens=prompt_lens,
+            img_buf=self._img_buf, prompt_lens=prompt_lens,
             has_image=has, label_masks_full=full_masks)
 
     def packed_logits_metrics(self, pq: PackedQuery):
@@ -516,10 +522,10 @@ class JaxVLLM:
             B * (Lt + self.cfg.n_img_tokens))
         if self._gather_head_ok(pq):
             return self._packed_metrics_gathered_jit(
-                self.params, pq.ints, pq.rowmeta, pq.img_rows,
+                self.params, pq.ints, pq.rowmeta, pq.img_buf,
                 self._gather_positions)
         a, p = self._packed_metrics_jit(self.params, pq.ints, pq.rowmeta,
-                                        pq.img_rows)
+                                        pq.img_buf)
         return a, p, None
 
     def _gather_head_ok(self, pq: PackedQuery) -> bool:

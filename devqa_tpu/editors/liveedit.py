@@ -283,11 +283,11 @@ class LiveEdit(VLLMEditor):
 
     @instance_jit()
     def _edit_batch_packed_jit(self, lparams, state, vparams, ints,
-                               rowmeta, img_rows, n_real):
+                               rowmeta, img_buf, n_real):
         """Packed edit: assemble + rep-extraction + pool scatter in ONE
         program (same dispatch-floor economics as query_metrics_packed)."""
         embeds, kv, _, _ = assemble_packed(vparams, self.vllm.cfg, ints,
-                                           rowmeta, img_rows)
+                                           rowmeta, img_buf)
         return self._edit_batch_core(lparams, state, vparams, embeds, kv,
                                      rowmeta[1], n_real)
 
@@ -344,7 +344,7 @@ class LiveEdit(VLLMEditor):
             pq = self.vllm.encode_queries_packed(prompts, imgs, tgts)
             self.state = self._edit_batch_packed_jit(
                 self.params, self.state, self.vllm.params, pq.ints,
-                pq.rowmeta, pq.img_rows, jnp.asarray(n_real, jnp.int32))
+                pq.rowmeta, pq.img_buf, jnp.asarray(n_real, jnp.int32))
             return
         qb = self.vllm.encode_queries(prompts, imgs, tgts)
         qe = jnp.asarray(self.vllm.query_end_positions(qb))
@@ -403,16 +403,16 @@ class LiveEdit(VLLMEditor):
 
     @instance_jit()
     def _metrics_packed_jit(self, lparams, state, vparams, ints, rowmeta,
-                            img_rows):
+                            img_buf):
         embeds, kv, labels, masks = assemble_packed(
-            vparams, self.vllm.cfg, ints, rowmeta, img_rows)
+            vparams, self.vllm.cfg, ints, rowmeta, img_buf)
         logits = self._edited_logits(lparams, state, vparams, embeds, kv,
                                      rowmeta[1], rowmeta[0])
         return token_accuracy(logits, labels, masks)
 
     @instance_jit(static_argnums=(6,))
     def _metrics_packed_gathered_jit(self, lparams, state, vparams, ints,
-                                     rowmeta, img_rows, n_pos):
+                                     rowmeta, img_buf, n_pos):
         """Gathered-head packed metrics: the LM head runs only at
         supervised positions (losses.gathered_token_accuracy — 2/3 of
         the head's 26.5ms/chunk is unsupervised positions at the
@@ -423,7 +423,7 @@ class LiveEdit(VLLMEditor):
         reusing a narrower stale executable."""
         vcfg = self.vllm.cfg
         embeds, kv, labels, masks = assemble_packed(
-            vparams, vcfg, ints, rowmeta, img_rows)
+            vparams, vcfg, ints, rowmeta, img_buf)
         h = self._edited_hidden(lparams, state, vparams, embeds, kv,
                                 rowmeta[1], rowmeta[0])
         return gathered_token_accuracy(
@@ -439,10 +439,10 @@ class LiveEdit(VLLMEditor):
         if self.vllm._gather_head_ok(pq):
             return self._metrics_packed_gathered_jit(
                 self.params, self.state, self.vllm.params, pq.ints,
-                pq.rowmeta, pq.img_rows, self.vllm._gather_positions)
+                pq.rowmeta, pq.img_buf, self.vllm._gather_positions)
         a, p = self._metrics_packed_jit(self.params, self.state,
                                         self.vllm.params, pq.ints,
-                                        pq.rowmeta, pq.img_rows)
+                                        pq.rowmeta, pq.img_buf)
         return a, p, None
 
 
