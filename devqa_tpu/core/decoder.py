@@ -553,6 +553,64 @@ def decoder_logits(params, cfg: DecoderConfig, hidden) -> jnp.ndarray:
     return logits
 
 
+def _head_chunk(V: int, target: int = 8192, floor: int = 1024) -> int:
+    """Largest divisor of V that is ≤ target (≥ floor), else 0 (caller
+    falls back to the materialized head). OPT's 50272 → 6284, LLaMA's
+    32000 → 8000."""
+    if V <= target:
+        return V
+    for c in range(target, floor - 1, -1):
+        if V % c == 0:
+            return c
+    return 0
+
+
+def decoder_pred_ids(params, cfg: DecoderConfig, hidden) -> jnp.ndarray:
+    """argmax over the vocabulary of ``decoder_logits(hidden)`` WITHOUT
+    materializing the [..., V] f32 logits: the head runs as a
+    ``lax.scan`` over vocabulary chunks keeping only a running
+    (max, argmax) per position, so HBM sees O(positions) instead of
+    O(positions × V) — the teacher-forced accuracy metric only ever
+    reads the argmax (losses.gathered_token_accuracy). Bit-identical to
+    ``jnp.argmax(decoder_logits(...), -1)``: same f32 accumulation per
+    element, and ties resolve to the first index in both (strict ``>``
+    keeps the earlier chunk's winner)."""
+    vc = _head_chunk(_head_weight(params, cfg).shape[1])
+    if vc == 0:  # prime-ish vocab: no useful divisor
+        return jnp.argmax(decoder_logits(params, cfg, hidden), axis=-1)
+    if cfg.arch in ("opt", "gptj"):
+        h = layer_norm(hidden, params["final_norm"]["scale"],
+                       params["final_norm"]["bias"], cfg.norm_eps)
+    else:
+        h = rms_norm(hidden, params["final_norm"]["scale"], cfg.norm_eps)
+    w = _head_weight(params, cfg)
+    bias = params.get("lm_head_b")
+    lead = h.shape[:-1]
+    h2 = h.reshape(-1, h.shape[-1])
+    n = w.shape[1] // vc
+
+    def body(carry, i):
+        best, besti = carry
+        wc = jax.lax.dynamic_slice_in_dim(w, i * vc, vc, axis=1)
+        lg = jnp.dot(h2, wc, preferred_element_type=jnp.float32)
+        if bias is not None:
+            lg = lg + jax.lax.dynamic_slice_in_dim(bias, i * vc, vc, 0)
+        m = jnp.max(lg, axis=-1)
+        ai = jnp.argmax(lg, axis=-1).astype(jnp.int32) + i * vc
+        upd = m > best
+        return (jnp.where(upd, m, best), jnp.where(upd, ai, besti)), None
+
+    init = (jnp.full((h2.shape[0],), -jnp.inf, jnp.float32),
+            jnp.zeros((h2.shape[0],), jnp.int32))
+    (best, besti), _ = jax.lax.scan(body, init, jnp.arange(n))
+    return besti.reshape(lead)
+
+
+def _head_weight(params, cfg: DecoderConfig):
+    return params["embed_tokens"].T if cfg.tie_word_embeddings \
+        else params["lm_head"]
+
+
 def decoder_apply(
     params, cfg: DecoderConfig, inputs_embeds, kv_valid, **kw
 ) -> jnp.ndarray:

@@ -66,7 +66,7 @@ def gathered_label_positions(label_masks, n_pos: int):
 
 
 def gathered_token_accuracy(hidden, label_ids, label_masks, n_pos: int,
-                            head_fn):
+                            head_fn=None, pred_fn=None):
     """``token_accuracy`` with the LM head evaluated ONLY at supervised
     positions: gather [B, n_pos, d] hidden rows, then ``head_fn`` →
     argmax. The teacher-forced metric never reads logits at unsupervised
@@ -84,7 +84,10 @@ def gathered_token_accuracy(hidden, label_ids, label_masks, n_pos: int,
     """
     pos, valid = gathered_label_positions(label_masks, n_pos)
     h = jnp.take_along_axis(hidden, pos[..., None], axis=1)
-    pred = predict_ids(head_fn(h))
+    # pred_fn (e.g. decoder.decoder_pred_ids) maps gathered hidden rows
+    # straight to argmax ids without materializing [B, n_pos, V] f32
+    # logits — bit-identical to predict_ids(head_fn(h)).
+    pred = pred_fn(h) if pred_fn is not None else predict_ids(head_fn(h))
     lab = jnp.take_along_axis(label_ids, pos, axis=-1)
     m = valid.astype(jnp.float32)
     acc = ((pred == lab).astype(jnp.float32) * m).sum(-1) \

@@ -245,7 +245,7 @@ class JaxVLLM:
             h = _vllm_hidden(params, cfg, embeds, kv)
             return _gtok_acc(
                 h, labels, masks, n_pos,
-                lambda hg: dec.decoder_logits(
+                pred_fn=lambda hg: dec.decoder_pred_ids(
                     params["decoder"], cfg.decoder, hg))
 
         self._packed_metrics_gathered_jit = jax.jit(

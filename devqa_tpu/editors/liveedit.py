@@ -428,8 +428,8 @@ class LiveEdit(VLLMEditor):
                                 rowmeta[1], rowmeta[0])
         return gathered_token_accuracy(
             h, labels, masks, n_pos,
-            lambda hg: dec.decoder_logits(vparams["decoder"], vcfg.decoder,
-                                          hg))
+            pred_fn=lambda hg: dec.decoder_pred_ids(vparams["decoder"],
+                                                    vcfg.decoder, hg))
 
     def query_metrics_packed(self, pq):
         """One-program probe path: assemble + edited forward + metrics

@@ -361,3 +361,53 @@ class TestMiniGPT4Composition:
         np.testing.assert_allclose(np.asarray(bare)[0, 1:],
                                    np.asarray(slotted)[0, 1 + V:],
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestScannedArgmaxHead:
+    """decoder_pred_ids: the scanned-vocab argmax head must be
+    bit-identical to argmax over the materialized logits (it replaces
+    the [rows, V] f32 tensor in the gathered-metric programs)."""
+
+    @pytest.mark.parametrize("arch", ["opt", "llama"])
+    def test_matches_materialized_head(self, arch):
+        cfg, params = tiny_decoder(arch)
+        h = jax.random.normal(jax.random.PRNGKey(3), (2, 5, cfg.d_model))
+        full = jnp.argmax(dec.decoder_logits(params, cfg, h), axis=-1)
+        pred = dec.decoder_pred_ids(params, cfg, h)
+        np.testing.assert_array_equal(np.asarray(pred), np.asarray(full))
+
+    def test_chunked_path_matches(self):
+        # vocab > chunk target forces the scan (several chunks)
+        cfg = dec.DecoderConfig(
+            arch="opt", vocab_size=640, d_model=16, n_layers=2, n_heads=2,
+            d_ffn=32, max_positions=64, activation="relu",
+            tie_word_embeddings=True)
+        params = dec.init_decoder_params(cfg, jax.random.PRNGKey(1))
+        h = jax.random.normal(jax.random.PRNGKey(4), (3, 7, cfg.d_model))
+        import devqa_tpu.core.decoder as D
+        assert D._head_chunk(cfg.vocab_size, target=128, floor=16) == 128
+        full = jnp.argmax(dec.decoder_logits(params, cfg, h), axis=-1)
+        # exercise the multi-chunk scan by shrinking the chunk target
+        orig = D._head_chunk
+        try:
+            D._head_chunk = lambda V, target=128, floor=16: orig(
+                V, target=128, floor=16)
+            pred = dec.decoder_pred_ids(params, cfg, h)
+        finally:
+            D._head_chunk = orig
+        np.testing.assert_array_equal(np.asarray(pred), np.asarray(full))
+
+    def test_gptj_biased_head(self):
+        cfg = dec.DecoderConfig(
+            arch="gptj", vocab_size=64, d_model=16, n_layers=2, n_heads=2,
+            d_ffn=32, max_positions=64, activation="gelu",
+            tie_word_embeddings=False)
+        params = dec.init_decoder_params(cfg, jax.random.PRNGKey(2))
+        if "lm_head_b" not in params:
+            params = dict(params,
+                          lm_head_b=jax.random.normal(
+                              jax.random.PRNGKey(5), (cfg.vocab_size,)))
+        h = jax.random.normal(jax.random.PRNGKey(6), (2, 4, cfg.d_model))
+        full = jnp.argmax(dec.decoder_logits(params, cfg, h), axis=-1)
+        pred = dec.decoder_pred_ids(params, cfg, h)
+        np.testing.assert_array_equal(np.asarray(pred), np.asarray(full))
