@@ -175,31 +175,54 @@ def _flash_kernel(
         # inputs run at full MXU rate (f32 inputs cost ~4x on v5e).
         q = q_ref[0]
 
-        def _update(s, masked, mask, v):
+        def _update(s, v):
             # m/l statistics stay FULL-LANE [block_q, 128] end to end:
             # lane-slicing ([:, :1]) and re-broadcasting per step costs
             # cross-lane shuffles; full-lane maximum/multiply are plain
             # elementwise VPU ops (the official jax kernel does the
-            # same). The lane-broadcasts that remain (m_cur, p_sum) are
-            # unavoidable reductions of s.
+            # same). Where a wider operand needs the stats, TILE the
+            # 128-lane vector (plain vector copies) instead of
+            # broadcasting one lane across the block — the remaining
+            # lane-broadcasts (m_cur, p_sum) are unavoidable reductions
+            # of s. Measured on v5e at L=4096 causal: the [:, :1]
+            # broadcast form ran 5.24ms vs jax's 4.32; tiling is the
+            # structural difference.
             m_prev = m_scr[...]                          # [block_q, 128]
             m_cur = jnp.max(s, axis=1, keepdims=True)    # [block_q, 1]
             m_new = jnp.maximum(m_prev, m_cur)           # [block_q, 128]
-            p = jnp.exp(s - m_new[:, :1])                # [block_q, bkm]
-            if masked:
-                # Rows with every key masked stay all-NEG_INF: force p→0.
-                p = jnp.where(mask, p, 0.0)
+            if s.shape[1] % 128 == 0:
+                p = jnp.exp(s - jnp.tile(m_new, (1, s.shape[1] // 128)))
+            else:  # non-128-multiple minor chunk: lane-broadcast form
+                p = jnp.exp(s - m_new[:, :1])            # [block_q, bkm]
+            # No p-select for masked chunks: a row with at least one
+            # live key ever seen has real m, so NEG_INF scores underflow
+            # exp to exactly 0; a row with NO live key yet has
+            # m == NEG_INF and p == exp(0) == 1 everywhere — garbage
+            # that (a) is exactly zeroed by corr = exp(NEG_INF - m_real)
+            # the moment a live key appears, and (b) for rows that stay
+            # fully masked to the end, is zeroed at finalize via the
+            # m == NEG_INF check. (The official jax kernel relies on the
+            # same underflow.)
             corr = jnp.exp(m_prev - m_new)               # [block_q, 128]
             l_new = l_scr[...] * corr \
                 + jnp.sum(p, axis=1, keepdims=True)      # [block_q, 128]
-            # acc is [block_q, d] with d possibly != 128 (head dims
-            # 80/88): scale by corr's first lane, broadcast over d.
-            acc_scr[...] = acc_scr[...] * corr[:, :1] + jax.lax.dot_general(
+            # acc is [block_q, d]: for d a multiple of 128 scale by the
+            # TILED full-lane corr (elementwise); head dims 80/88 fall
+            # back to corr's first lane broadcast over d.
+            if acc_scr.shape[1] % 128 == 0:
+                corr_d = jnp.tile(corr, (1, acc_scr.shape[1] // 128))
+            else:
+                corr_d = corr[:, :1]
+            acc_scr[...] = acc_scr[...] * corr_d + jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             m_scr[...] = m_new
             l_scr[...] = l_new
+
+        # Whether the grid has ragged tail blocks is STATIC — exact-fit
+        # blocks (_fit_block) make this False on the hot shapes.
+        ragged = kv_len % block_k != 0
 
         for j in range(n_minor):
             ks = k_start + j * bkm                # absolute chunk start
@@ -208,63 +231,85 @@ def _flash_kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32
             ) * sm_scale  # [block_q, bkm]
-            mrow = mask_ref[0, 0, j * bkm:(j + 1) * bkm] if has_mask \
-                else None
 
-            # Interior fast path (the bulk of a long-sequence grid): a
-            # chunk whose keys are all in-range, all kv-valid and (if
-            # causal) entirely below the diagonal needs NO mask —
-            # skipping the two iotas + compares + selects removes ~6 VPU
-            # passes over [block_q, bkm] per chunk.
-            in_range = ks + bkm <= kv_len
-            all_valid = True if (assume_valid or not has_mask) \
-                else jnp.min(mrow) > 0
-            below_diag = (not causal) or (
-                ks + bkm - 1 <= q_start + causal_offset)
-            full = jnp.logical_and(in_range & below_diag, all_valid)
+            if not has_mask:
+                # BRANCH-FREE no-mask path (the official jax kernel's
+                # structure): apply the causal/tail mask UNCONDITIONALLY
+                # as a select on s — masked entries collapse to NEG_INF
+                # and exp(s - m) underflows them to 0, so the masked
+                # p-select drops out too. Measured on v5e at L=4096
+                # causal: the per-chunk @pl.when fast/slow predicate
+                # cost more than the iota+select it was skipping
+                # (4.92ms branchy vs jax's 4.43 branch-free).
+                v = v_ref[0, j * bkm:(j + 1) * bkm, :]
+                if causal or ragged:
+                    ki = ks + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    mask = None
+                    if causal:
+                        qi = (q_start + causal_offset
+                              + jax.lax.broadcasted_iota(jnp.int32,
+                                                         s.shape, 0))
+                        mask = ki <= qi
+                    if ragged:
+                        bound = ki < kv_len
+                        mask = bound if mask is None else mask & bound
+                        v = _zero_oob_rows(v, ks, kv_len)
+                    s = jnp.where(mask, s, NEG_INF)
+                # Every q row keeps >= 1 live key (causal_offset >= 0 and
+                # kv_len >= 1), so the unmasked update is exact: masked
+                # columns' p underflow to exactly 0.
+                _update(s, v)
+                continue
 
-            @pl.when(full)
-            def _fast(s=s, j=j):
-                _update(s, False, None, v_ref[0, j * bkm:(j + 1) * bkm, :])
-
-            @pl.when(jnp.logical_not(full))
-            def _slow(s=s, mrow=mrow, ks=ks, j=j):
-                # Ragged tail chunk: keys past the true kv length are
-                # padding reads with undefined contents — mask them
-                # explicitly.
+            # BRANCH-FREE masked path (same structure as above): apply
+            # kv-validity + causal + tail bounds unconditionally as ONE
+            # select on s. The p-select stays because fully-masked rows
+            # (all-zero kv_valid) must produce p=0, not exp(0)=1 — for
+            # partially-masked rows the NEG_INF scores underflow on
+            # their own, and garbage accumulated before a row's first
+            # live key is exactly zeroed by corr = exp(-1e30 - m_real).
+            mrow = mask_ref[0, 0, j * bkm:(j + 1) * bkm]
+            v = v_ref[0, j * bkm:(j + 1) * bkm, :]
+            mask = jnp.broadcast_to(mrow[None, :] > 0, s.shape)
+            if causal or ragged:
                 ki = ks + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                mask = ki < kv_len
-                if has_mask:
-                    mask = jnp.logical_and(
-                        mask, jnp.broadcast_to(mrow[None, :] > 0, s.shape))
                 if causal:
                     qi = (q_start + causal_offset
                           + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
-                    mask = jnp.logical_and(mask, ki <= qi)
-                # SELECT-zero ragged v tail rows: their p is 0 but
-                # 0·NaN = NaN inside the dot if the undefined padding
-                # decodes as NaN.
-                v = _zero_oob_rows(v_ref[0, j * bkm:(j + 1) * bkm, :],
-                                   ks, kv_len)
-                _update(jnp.where(mask, s, NEG_INF), True, mask, v)
+                    mask = mask & (ki <= qi)
+                if ragged:
+                    # Keys past the true kv length are padding reads
+                    # with undefined contents; 0·NaN = NaN, so zero the
+                    # v rows by SELECT too.
+                    mask = mask & (ki < kv_len)
+                    v = _zero_oob_rows(v, ks, kv_len)
+            _update(jnp.where(mask, s, NEG_INF), v)
 
     @pl.when(ik == nk - 1)
     def _finalize():
         l = l_scr[:, :1]
-        lsafe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows → 0 out
-        o_ref[0] = (acc_scr[...] / lsafe).astype(o_ref.dtype)
+        # Fully-masked rows: m never left NEG_INF (and their acc/l hold
+        # the p=1 garbage the update's no-select policy admits) — zero
+        # their output and mark lse dead. l == 0 additionally covers
+        # all-underflow rows.
+        dead = jnp.logical_or(m_scr[:, :1] <= NEG_INF / 2, l == 0.0)
+        lsafe = jnp.where(dead, 1.0, l)
+        o_ref[0] = jnp.where(dead, 0.0,
+                             acc_scr[...] / lsafe).astype(o_ref.dtype)
         if with_lse:
             lse = m_scr[:, 0] + jnp.log(lsafe[:, 0])
-            lse = jnp.where(l[:, 0] == 0.0, NEG_INF, lse)
+            lse = jnp.where(dead[:, 0], NEG_INF, lse)
             lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, block_q))
 
 
 #: Default flash block sizes. Swept on v5e (B2 H32 D128, causal): tiny
 #: 128x128 blocks leave the kernel grid-overhead-bound (8.5 TFLOP/s at
-#: L=4096); 512x1024 reaches 34-39 TFLOP/s, within ~10% of jax's official
-#: flash kernel on the same shapes and 5x faster than XLA attention.
-#: VMEM at 512x1024: s+p (f32) 4MB + operands <1MB — comfortable.
-FLASH_BLOCK_Q = int(os.environ.get("DEVQA_FLASH_BQ", "512"))
+#: L=4096); the r5 branch-free kernel peaks at 1024x1024 — 65.5 TF/s at
+#: L=4096 causal, BEATING jax's official kernel at its best block
+#: config (63.7; interleaved same-process A/B, scripts/ab_flash_vs_jax)
+#: and ~5x faster than XLA attention. VMEM at 1024x1024: s+p (f32) 8MB
+#: + stats/operands ~2.5MB — fits the 16MB budget.
+FLASH_BLOCK_Q = int(os.environ.get("DEVQA_FLASH_BQ", "1024"))
 FLASH_BLOCK_K = int(os.environ.get("DEVQA_FLASH_BK", "1024"))
 #: Minor-chunk width for the unrolled inner k loop (0 = single chunk).
 #: See _flash_kernel: minor chunks let the MXU of chunk j+1 overlap the
@@ -332,12 +377,10 @@ def _flash_fwd(
         with_lse=return_lse,
         block_k_minor=(block_k_minor if block_k_minor
                        else FLASH_BLOCK_K_MINOR),
-        # FULL-VALID-ONLY benchmark knob: skips the fwd fast path's
-        # kv-validity check, so ANY masked key (right-padded rows, the
-        # non-prefix vision-slot masking above) silently attends garbage.
-        # Read at TRACE time — flipping the env var mid-process does not
-        # affect already-compiled programs. Only set it for all-valid
-        # microbenchmarks (bench.py flash.op phases).
+        # Historical benchmark knob — INERT since the branch-free masked
+        # path landed (there is no per-chunk validity check left to
+        # skip). Kept for env compatibility; prefer kv_valid=None for
+        # genuinely mask-free shapes.
         assume_valid=os.environ.get("DEVQA_FLASH_ASSUME_VALID") == "1",
         has_mask=has_mask,
     )
