@@ -493,21 +493,6 @@ def _bwd_p_ds(q, k, v, do, lse_row, delta_row, mask, sm_scale):
     return p, ds
 
 
-def _interior_fast(mask_ref, k_start, q_start, causal, causal_offset,
-                   block_q, block_k, kv_len, q_len):
-    """Scalar predicate: TRUE iff this block needs no masking at all —
-    keys in range and kv-valid, q rows in range, and (if causal) the
-    whole block below the diagonal. The bulk of a long-sequence grid."""
-    in_range = k_start + block_k <= kv_len
-    q_in = q_start + block_q <= q_len
-    below = True if not causal else (
-        k_start + block_k - 1 <= q_start + causal_offset)
-    if mask_ref is None:  # kv_valid=None specialization: no mask operand
-        return in_range & q_in & below
-    all_valid = jnp.min(mask_ref[0, 0]) > 0
-    return jnp.logical_and(in_range & q_in & below, all_valid)
-
-
 def _block_mask(mask_row, k_start, q_start, shape, causal, causal_offset,
                 kv_len, q_len):
     ki = k_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -525,6 +510,39 @@ def _block_mask(mask_row, k_start, q_start, shape, causal, causal_offset,
         qi = (q_start + causal_offset
               + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
         mask = jnp.logical_and(mask, ki <= qi)
+    return mask
+
+
+def _bwd_block_mask(mask_ref, k_start, q_start, shape, causal,
+                    causal_offset, kv_len, q_len, block_q, block_k):
+    """Mask for the BRANCH-FREE backward path — or None when no term is
+    statically needed (no kv mask, non-causal, exact-fit blocks), which
+    lets _bwd_p_ds skip every select. Unlike the forward, the backward
+    cannot rely on exp underflow for masked columns (s is real there;
+    the masked-ness lives in the forward's lse), so masked terms must be
+    selected out — but the fwd A/B showed the per-block @pl.when
+    predicate costs more than iota+select work, so terms are applied
+    unconditionally, gated only on STATIC facts."""
+    terms = []
+    need_k_iota = causal or (kv_len % block_k != 0)
+    if need_k_iota:
+        ki = k_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        if causal:
+            qi = (q_start + causal_offset
+                  + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+            terms.append(ki <= qi)
+        if kv_len % block_k != 0:
+            terms.append(ki < kv_len)
+    if q_len % block_q != 0:
+        qrow = q_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        terms.append(qrow < q_len)
+    if mask_ref is not None:
+        terms.append(jnp.broadcast_to(mask_ref[0, 0][None, :] > 0, shape))
+    if not terms:
+        return None
+    mask = terms[0]
+    for t in terms[1:]:
+        mask = jnp.logical_and(mask, t)
     return mask
 
 
@@ -559,35 +577,24 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, *rest, causal, block_q,
 
     @pl.when(run)
     def _compute():
-        full = _interior_fast(mask_ref, k_start, q_start, causal,
-                              causal_offset, block_q, block_k, kv_len,
-                              q_len)
-
-        def _accum(k, ds):
-            acc_scr[...] += jax.lax.dot_general(
-                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        @pl.when(full)
-        def _fast():
-            _, ds = _bwd_p_ds(q_ref[0], k_ref[0], v_ref[0], do_ref[0],
-                              lse_ref[0, 0], delta_ref[0, 0], None,
-                              sm_scale)
-            _accum(k_ref[0], ds)
-
-        @pl.when(jnp.logical_not(full))
-        def _slow():
-            q = q_ref[0]
+        # Branch-free (see _bwd_block_mask): mask terms applied
+        # unconditionally, gated only on STATIC facts — the fwd A/B
+        # showed the per-block fast/slow predicate costs more than the
+        # iota+select work it skips.
+        k, v = k_ref[0], v_ref[0]
+        if kv_len % block_k != 0:
             # SELECT-zero ragged k/v tails (ds is 0 there, 0·NaN = NaN)
-            k = _zero_oob_rows(k_ref[0], k_start, kv_len)
-            v = _zero_oob_rows(v_ref[0], k_start, kv_len)
-            mask = _block_mask(mask_ref[0, 0] if has_mask else None,
-                               k_start, q_start,
-                               (block_q, block_k), causal, causal_offset,
-                               kv_len, q_len)
-            _, ds = _bwd_p_ds(q, k, v, do_ref[0], lse_ref[0, 0],
-                              delta_ref[0, 0], mask, sm_scale)
-            _accum(k, ds)
+            k = _zero_oob_rows(k, k_start, kv_len)
+            v = _zero_oob_rows(v, k_start, kv_len)
+        mask = _bwd_block_mask(mask_ref if has_mask else None, k_start,
+                               q_start, (block_q, block_k), causal,
+                               causal_offset, kv_len, q_len, block_q,
+                               block_k)
+        _, ds = _bwd_p_ds(q_ref[0], k, v, do_ref[0], lse_ref[0, 0],
+                          delta_ref[0, 0], mask, sm_scale)
+        acc_scr[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(ik == nk - 1)
     def _finalize():
@@ -618,40 +625,26 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, *rest, causal, block_q,
 
     @pl.when(run)
     def _compute():
-        full = _interior_fast(mask_ref, k_start, q_start, causal,
-                              causal_offset, block_q, block_k, kv_len,
-                              q_len)
-
-        def _accum(q, do, p, ds):
-            dv_scr[...] += jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dk_scr[...] += jax.lax.dot_general(
-                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        @pl.when(full)
-        def _fast():
-            p, ds = _bwd_p_ds(q_ref[0], k_ref[0], v_ref[0], do_ref[0],
-                              lse_ref[0, 0], delta_ref[0, 0], None,
-                              sm_scale)
-            _accum(q_ref[0], do_ref[0], p, ds)
-
-        @pl.when(jnp.logical_not(full))
-        def _slow():
-            # SELECT-zero ragged q/do tails: the q-row bound in
-            # _block_mask zeroes their p/ds, but the dots below still
-            # multiply the raw operands (0·NaN = NaN), and this grid
-            # accumulates ACROSS q-blocks into real keys' gradients.
-            q = _zero_oob_rows(q_ref[0], q_start, q_len)
-            do = _zero_oob_rows(do_ref[0], q_start, q_len)
-            mask = _block_mask(mask_ref[0, 0] if has_mask else None,
-                               k_start, q_start,
-                               (block_q, block_k), causal, causal_offset,
-                               kv_len, q_len)
-            p, ds = _bwd_p_ds(q, k_ref[0], v_ref[0], do, lse_ref[0, 0],
-                              delta_ref[0, 0], mask, sm_scale)
-            _accum(q, do, p, ds)
+        # Branch-free; this grid accumulates ACROSS q-blocks into real
+        # keys' gradients, so ragged q/do tails are SELECT-zeroed (the
+        # q-row mask term zeroes their p/ds, but the dots below still
+        # multiply the raw operands, and 0·NaN = NaN).
+        q, do = q_ref[0], do_ref[0]
+        if q_len % block_q != 0:
+            q = _zero_oob_rows(q, q_start, q_len)
+            do = _zero_oob_rows(do, q_start, q_len)
+        mask = _bwd_block_mask(mask_ref if has_mask else None, k_start,
+                               q_start, (block_q, block_k), causal,
+                               causal_offset, kv_len, q_len, block_q,
+                               block_k)
+        p, ds = _bwd_p_ds(q, k_ref[0], v_ref[0], do, lse_ref[0, 0],
+                          delta_ref[0, 0], mask, sm_scale)
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(iq == nq - 1)
     def _finalize():
@@ -659,10 +652,19 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, *rest, causal, block_q,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+#: Backward block defaults — swept on v5e at the branch-free structure
+#: (L=4096 causal fwd+bwd, interleaved): 256x512 ran 17.5-19.5ms,
+#: 512x1024 14.8-15.4ms; 512x512 and 1024x512 within noise of that.
+FLASH_BWD_BQ = int(os.environ.get("DEVQA_FLASH_BWD_BQ", "512"))
+FLASH_BWD_BK = int(os.environ.get("DEVQA_FLASH_BWD_BK", "1024"))
+
+
 def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
-               block_q: int = 256, block_k: int = 512,
+               block_q: int = 0, block_k: int = 0,
                interpret: bool = False):
     """Pallas flash backward → (dq, dk, dv). Shapes as in _flash_fwd."""
+    block_q = block_q or FLASH_BWD_BQ
+    block_k = block_k or FLASH_BWD_BK
     b, h, lq, d = q.shape
     lk = k.shape[2]
     block_q = _fit_block(lq, block_q, 128)
