@@ -19,9 +19,14 @@ def isolate_in_subprocess(test_id: str) -> bool:
     process can segfault (upstream bug; reproduced across 4 full-suite
     runs, always after the mesh tests). Subprocess isolation contains
     both the mesh state and any crash."""
-    if os.environ.get("DEVQA_IN_SUBPROC") == "1":
+    # Distinct marker from the conftest orchestrator's per-FILE
+    # subprocess flag: under `pytest tests/` every file already runs
+    # with DEVQA_IN_SUBPROC=1, and keying on it ran this test INLINE in
+    # a process whose jax backend was already initialized by earlier
+    # tests in the file (jax.distributed.initialize then raises).
+    if os.environ.get("DEVQA_ISOLATED") == "1":
         return False
-    env = {**os.environ, "DEVQA_IN_SUBPROC": "1"}
+    env = {**os.environ, "DEVQA_ISOLATED": "1", "DEVQA_IN_SUBPROC": "1"}
     r = subprocess.run([sys.executable, "-m", "pytest", test_id, "-q",
                         "--no-header", "-p", "no:cacheprovider"],
                        env=env, cwd=REPO)
