@@ -196,6 +196,22 @@ class JaxVLLM:
                     params["decoder"], cfg.decoder, prefix, embeds, kv,
                     max_len),
             static_argnums=4)
+        # Slot-buffer variant: the serve engine's prefix cache is ONE
+        # device buffer (k/v [layers, cap+1, H, P, hd], valid
+        # [cap+1, P], last row zeros) and the per-request rows are
+        # gathered IN-PROGRAM — the per-wave eager jnp.stack of LRU
+        # entries was 3 extra tunnel dispatches and a ~300MB HBM copy
+        # per 4-row wave at llava scale (same economics as the vision
+        # slot buffer / packed-query gather).
+        self._prefill_continue_idx_jit = jax.jit(
+            lambda params, bufk, bufv, bufvalid, idx, embeds, kv, max_len:
+                dec.decoder_prefill_continue(
+                    params["decoder"], cfg.decoder,
+                    {"k": jnp.take(bufk, idx, axis=1),
+                     "v": jnp.take(bufv, idx, axis=1),
+                     "valid": jnp.take(bufvalid, idx, axis=0)},
+                    embeds, kv, max_len),
+            static_argnums=7)
         self._decode_step_jit = jax.jit(
             lambda params, cache, token_ids: dec.decoder_decode_step(
                 params["decoder"], cfg.decoder, cache,
@@ -628,6 +644,17 @@ class JaxVLLM:
         (decoder.decoder_prefill_continue — the serving prefix cache)."""
         return self._prefill_continue_jit(
             self.params if params is None else params, prefix, embeds,
+            kv_valid, max_len)
+
+    def prefill_continue_idx(self, buf, idx, embeds, kv_valid,
+                             max_len: int, params=None):
+        """Suffix prefill over prefix SLOTS gathered in-program from the
+        slot buffer ``buf`` = {"k","v": [layers, cap+1, H, P, hd],
+        "valid": [cap+1, P]} at rows ``idx`` [B] (the serve engine's
+        prefix cache; row cap is all-zero for text-only requests)."""
+        return self._prefill_continue_idx_jit(
+            self.params if params is None else params, buf["k"], buf["v"],
+            buf["valid"], jnp.asarray(np.asarray(idx, np.int32)), embeds,
             kv_valid, max_len)
 
     def decode_step(self, cache, token_ids, params=None):

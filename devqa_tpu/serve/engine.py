@@ -120,7 +120,24 @@ class BatchingEngine:
         # never split; the continue path still serves naturally all-hit
         # waves (steady repeat-image streams, e.g. post-warm MME).
         self._steering = prefix_wave_steering
-        self._prefix_lru: "OrderedDict[str, dict]" = OrderedDict()
+        # Prefix cache as ONE device slot buffer + a path→slot LRU map
+        # (r5 — same design as the wrapper's vision-token cache): k/v
+        # [layers, cap+1, H, P, hd] with the LAST row always zero (the
+        # text-only "no prefix" row), lazily allocated from the first
+        # stored wave's shapes and grown by doubling up to _prefix_cap.
+        # Per-wave assembly is an IN-PROGRAM gather
+        # (wrapper.prefill_continue_idx) instead of 3 eager jnp.stacks
+        # of LRU entries (~300MB of HBM copies + 3 tunnel dispatches per
+        # 4-row wave at llava scale).
+        self._prefix_lru: "OrderedDict[str, int]" = OrderedDict()
+        self._prefix_buf = None
+        self._prefix_free: list = []
+        self._scatter_prefix_kv = jax.jit(
+            lambda buf, idx, rows: buf.at[:, idx].set(rows),
+            donate_argnums=0)
+        self._scatter_prefix_valid = jax.jit(
+            lambda buf, idx, rows: buf.at[idx].set(rows),
+            donate_argnums=0)
         self._pre_slot_ids = None  # remembered ids of text[:img_slot_pos]
         self.prefix_hits = 0
         self.prefix_misses = 0
@@ -366,26 +383,19 @@ class BatchingEngine:
                 use_continue = False
         pos_off = 0
         if use_continue:
-            zero = None
-            rows = []
+            z = self._prefix_buf_cap()  # last row: the all-zero prefix
+            idx = []
             for r in reqs:
                 if r.image is None:
-                    if zero is None:  # all-invalid prefix for text rows
-                        t = next(e for e in self._prefix_lru.values())
-                        zero = {k: jnp.zeros_like(v) for k, v in t.items()}
-                    rows.append(zero)
+                    idx.append(z)
                 else:
                     self.prefix_hits += 1
-                    rows.append(self._prefix_lru[r.image])
+                    idx.append(self._prefix_lru[r.image])
                     self._prefix_lru.move_to_end(r.image)
-            rows += [rows[0]] * pad
-            prefix = {
-                "k": jnp.stack([e["k"] for e in rows], axis=1),
-                "v": jnp.stack([e["v"] for e in rows], axis=1),
-                "valid": jnp.stack([e["valid"] for e in rows], axis=0),
-            }
-            logits, row_cache = vllm.prefill_continue(
-                prefix, qb.embeds[:, P:], qb.kv_valid[:, P:], max_len=L)
+            idx += [idx[0]] * pad
+            logits, row_cache = vllm.prefill_continue_idx(
+                self._prefix_buf, idx, qb.embeds[:, P:], qb.kv_valid[:, P:],
+                max_len=L)
             pos_off = P
         else:
             logits, row_cache = vllm.prefill(qb.embeds, qb.kv_valid,
@@ -420,12 +430,58 @@ class BatchingEngine:
             entries.append((req, j, int(first_toks[j])))
         return entries, row_cache
 
+    def _prefix_buf_cap(self) -> int:
+        return 0 if self._prefix_buf is None \
+            else self._prefix_buf["valid"].shape[0] - 1
+
+    def _grow_prefix_buf(self, n_needed, like_k):
+        """Ensure the slot buffer holds ≥ n_needed rows (+ the zero
+        row, which stays LAST — its index moves with capacity, so
+        callers read it fresh via _prefix_buf_cap). Doubling growth up
+        to _prefix_cap; shapes/dtype derive from a live row_cache slice
+        (``like_k`` [layers, B, H, max_len, hd]) rather than config math
+        so GQA/TP layouts inherit automatically."""
+        cap = self._prefix_buf_cap()
+        if cap >= n_needed:
+            return
+        new_cap = max(1, cap)
+        while new_cap < n_needed:
+            new_cap *= 2
+        new_cap = min(new_cap, self._prefix_cap)
+        P = self._prefix_len
+        layers, _, H, _, hd = like_k.shape
+        kv_shape = (layers, new_cap + 1, H, P, hd)
+        if self._prefix_buf is None:
+            self._prefix_buf = {
+                "k": jnp.zeros(kv_shape, like_k.dtype),
+                "v": jnp.zeros(kv_shape, like_k.dtype),
+                "valid": jnp.zeros((new_cap + 1, P), jnp.int32),
+            }
+        else:
+            pad = new_cap - cap
+            self._prefix_buf = {
+                "k": jnp.concatenate(
+                    [self._prefix_buf["k"][:, :cap],
+                     jnp.zeros((layers, pad + 1, H, P, hd), like_k.dtype)],
+                    axis=1),
+                "v": jnp.concatenate(
+                    [self._prefix_buf["v"][:, :cap],
+                     jnp.zeros((layers, pad + 1, H, P, hd), like_k.dtype)],
+                    axis=1),
+                "valid": jnp.concatenate(
+                    [self._prefix_buf["valid"][:cap],
+                     jnp.zeros((pad + 1, P), jnp.int32)], axis=0),
+            }
+        self._prefix_free.extend(range(cap, new_cap))
+
     def _store_prefixes(self, reqs, row_cache, pre_ids):
-        """LRU-store each new image's [*, :P] cache block (device-array
-        slices — never fetched to host)."""
+        """Scatter each new image's [*, :P] cache block into the slot
+        buffer — ONE batched scatter per tensor per wave (device-array
+        slices, never fetched to host)."""
         P = self._prefix_len
         if not P or row_cache["valid"].shape[1] < P:
             return
+        js, slots = [], []
         for j, req in enumerate(reqs):
             if req.image is None or req.image in self._prefix_lru:
                 continue
@@ -434,13 +490,29 @@ class BatchingEngine:
                     self._pre_slot_ids = pre_ids[j]
                 if pre_ids[j] != self._pre_slot_ids:
                     continue  # uncacheable layout for this prompt
-            self._prefix_lru[req.image] = {
-                "k": row_cache["k"][:, j, :, :P],
-                "v": row_cache["v"][:, j, :, :P],
-                "valid": row_cache["valid"][j, :P],
-            }
-            while len(self._prefix_lru) > self._prefix_cap:
-                self._prefix_lru.popitem(last=False)
+            if not self._prefix_free \
+                    and self._prefix_buf_cap() < self._prefix_cap:
+                self._grow_prefix_buf(len(self._prefix_lru) + 1,
+                                      row_cache["k"])
+            if not self._prefix_free:  # at capacity: evict oldest
+                _, s = self._prefix_lru.popitem(last=False)
+                self._prefix_free.append(s)
+            s = self._prefix_free.pop()
+            self._prefix_lru[req.image] = s
+            js.append(j)
+            slots.append(s)
+        if not js:
+            return
+        idx = jnp.asarray(np.asarray(slots, np.int32))
+        self._prefix_buf = {
+            "k": self._scatter_prefix_kv(
+                self._prefix_buf["k"], idx, row_cache["k"][:, js, :, :P]),
+            "v": self._scatter_prefix_kv(
+                self._prefix_buf["v"], idx, row_cache["v"][:, js, :, :P]),
+            "valid": self._scatter_prefix_valid(
+                self._prefix_buf["valid"], idx,
+                row_cache["valid"][js, :P].astype(jnp.int32)),
+        }
 
     def _admit(self, tokens):
         """Install READY prefilled waves into free slots — one
