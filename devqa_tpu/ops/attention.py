@@ -333,6 +333,17 @@ def _fit_block(length: int, default: int, floor: int) -> int:
     return default
 
 
+def _pad8(x, axis):
+    """Zero-pad ``axis`` up to a multiple of 8 (zeros, not garbage — the
+    kernels' ragged bounds mask the tail, and zero operands can't NaN)."""
+    pad = (-x.shape[axis]) % 8
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
 def _flash_fwd(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -344,15 +355,32 @@ def _flash_fwd(
     interpret: bool = False,
     return_lse: bool = False,
     block_k_minor: int = 0,
+    _true_lens=None,
 ):
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    if lq % 8 or lk % 8:
+        # Non-8-multiple lengths (e.g. the 257-token CLS+patch vision
+        # sequences): zero-pad to Mosaic's sublane granularity and run
+        # with the TRUE lengths threaded through — padded keys are
+        # masked by the ragged bound (kv_len), padded query rows compute
+        # harmless values sliced away here. The pad copy is O(L·d),
+        # vs the O(L²) f32 score traffic the kernel saves over XLA.
+        out = _flash_fwd(
+            _pad8(q, 2), _pad8(k, 2), _pad8(v, 2),
+            None if kv_valid is None else _pad8(kv_valid, 1),
+            causal, block_q, block_k, interpret, return_lse,
+            block_k_minor, _true_lens=(lq, lk))
+        if return_lse:
+            return out[0][:, :, :lq], out[1][:, :, :lq]
+        return out[:, :, :lq]
+    true_lq, true_lk = _true_lens or (lq, lk)
     block_q = _fit_block(lq, block_q, 256)
     block_k = _fit_block(lk, block_k, 512)
     nq = pl.cdiv(lq, block_q)
     nk = pl.cdiv(lk, block_k)
     sm_scale = 1.0 / (d ** 0.5)
-    causal_offset = lk - lq
+    causal_offset = true_lk - true_lq
 
     qr = q.reshape(b * h, lq, d)
     kr = k.reshape(b * h, lk, d)
@@ -372,7 +400,7 @@ def _flash_fwd(
         block_q=block_q,
         block_k=block_k,
         sm_scale=sm_scale,
-        kv_len=lk,
+        kv_len=true_lk,
         causal_offset=causal_offset,
         with_lse=return_lse,
         block_k_minor=(block_k_minor if block_k_minor
@@ -661,12 +689,23 @@ FLASH_BWD_BK = int(os.environ.get("DEVQA_FLASH_BWD_BK", "1024"))
 
 def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
                block_q: int = 0, block_k: int = 0,
-               interpret: bool = False):
+               interpret: bool = False, _true_lens=None):
     """Pallas flash backward → (dq, dk, dv). Shapes as in _flash_fwd."""
     block_q = block_q or FLASH_BWD_BQ
     block_k = block_k or FLASH_BWD_BK
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    if lq % 8 or lk % 8:
+        # Same zero-pad + true-length threading as _flash_fwd: the
+        # q_len/kv_len bounds in the kernels mask the padded tails'
+        # p/ds, so padded rows/keys contribute exactly zero gradient.
+        dq, dk, dv = _flash_bwd(
+            _pad8(q, 2), _pad8(k, 2), _pad8(v, 2),
+            None if kv_valid is None else _pad8(kv_valid, 1),
+            causal, _pad8(out, 2), _pad8(lse, 2), _pad8(do, 2),
+            block_q, block_k, interpret, _true_lens=(lq, lk))
+        return dq[:, :, :lq], dk[:, :, :lk], dv[:, :, :lk]
+    true_lq, true_lk = _true_lens or (lq, lk)
     block_q = _fit_block(lq, block_q, 128)
     block_k = _fit_block(lk, block_k, 256)
     nq = pl.cdiv(lq, block_q)
@@ -688,10 +727,11 @@ def _flash_bwd(q, k, v, kv_valid, causal, out, lse, do,
     deltar = jnp.broadcast_to(delta[:, None, :], (b * h, 8, lq))
 
     num_heads = h
-    causal_offset = lk - lq
+    causal_offset = true_lk - true_lq
     common = dict(causal=causal, block_q=block_q, block_k=block_k,
-                  sm_scale=sm_scale, kv_len=lk, causal_offset=causal_offset,
-                  q_len=lq, has_mask=has_mask)
+                  sm_scale=sm_scale, kv_len=true_lk,
+                  causal_offset=causal_offset,
+                  q_len=true_lq, has_mask=has_mask)
     # Causal DMA steering (see _flash_fwd): compute-skipped steps must
     # not stall on fetches of blocks they never read. dq's inner axis is
     # ik (trailing skips → steer to 0, the next q-row's first block);
@@ -806,20 +846,16 @@ FLASH_MIN_KV_LEN = 512
 def _flash_worthwhile(q, k) -> bool:
     import os
 
-    # TPU block specs need the 2nd-to-last block dim divisible by 8.
-    # Effective blocks are min(block, length) (fwd q512/k1024, bwd
-    # q256/k512), so any length below its LARGEST block must itself be
-    # divisible by 8 or Mosaic rejects the kernel — notably the
-    # single-token KV-cached decode step (lq=1), which gains nothing
-    # from flash anyway. Route all such shapes to XLA attention.
+    # Non-8-multiple lengths are zero-padded inside _flash_fwd/_bwd now
+    # (true lengths threaded through), so eligibility is purely a
+    # crossover question. Tiny query counts (KV-cached decode steps,
+    # short continue-prefills) stay on XLA: the kernel's grid overhead
+    # swamps a single q block's work there.
     lq, lk = q.shape[2], k.shape[2]
-    if not _interpret_mode():
-        if lq % 8 != 0 and lq < max(FLASH_BLOCK_Q, 256):
-            return False
-        if lk % 8 != 0 and lk < max(FLASH_BLOCK_K, 512):
-            return False
     if os.environ.get("DEVQA_FORCE_FLASH") == "1" or _interpret_mode():
         return True
+    if lq < 64:
+        return False
     return lk >= FLASH_MIN_KV_LEN
 
 

@@ -115,6 +115,46 @@ class TestFlashKernel:
         ref = xla_attention(q, k, v, kv_valid=None, causal=True)
         np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("with_mask", [False, True])
+    def test_odd_lengths_pad_and_match(self, qkv, causal, with_mask):
+        """Non-8-multiple lengths (the 257-token CLS+patch vision shape)
+        are zero-padded inside the kernel entry with true lengths
+        threaded through — outputs match XLA exactly on the real rows."""
+        q, k, v = qkv
+        q, k, v = q[:, :, :57, :], k[:, :, :57, :], v[:, :, :57, :]
+        kv = None
+        if with_mask:
+            lengths = jnp.array([50, 57], jnp.int32)
+            kv = jnp.asarray((np.arange(57)[None, :]
+                              < np.asarray(lengths)[:, None]).astype(np.int32))
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = _flash_fwd(q, k, v, kv, causal, block_q=32, block_k=32)
+        ref = xla_attention(q, k, v, kv_valid=kv, causal=causal)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_odd_lengths_grads_match(self, qkv, monkeypatch):
+        monkeypatch.setenv("DEVQA_FLASH_INTERPRET", "1")
+        q, k, v = qkv
+        q, k, v = q[:, :, :57, :], k[:, :, :57, :], v[:, :, :57, :]
+        w = jnp.asarray(np.random.default_rng(11).normal(
+            size=(2, 4, 57, 32)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(w * multihead_attention(q, k, v, None,
+                                                   causal=True))
+
+        def loss_xla(q, k, v):
+            return jnp.sum(w * xla_attention(q, k, v, causal=True))
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gx, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3, err_msg=name)
+
     def test_fully_masked_rows_finite(self, qkv):
         q, k, v = qkv
         lengths = jnp.array([1, 1], jnp.int32)
