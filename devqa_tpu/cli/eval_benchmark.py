@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def get_args():
@@ -26,7 +27,8 @@ def get_args():
     p.add_argument("-bd", "--benchmark_dir", type=str, required=True,
                    help="MME: dir of <task>.txt files; MMBench: "
                         "annotation .jsonl; VQA: test .jsonl; "
-                        "MMMU: items .jsonl")
+                        "MMMU: items .jsonl, a .parquet file, or a "
+                        "directory of the HF parquet release")
     p.add_argument("-mn", "--edit_model_name", type=str, required=True)
     p.add_argument("-wd", "--weights_dir", type=str, default=None)
     p.add_argument("-ir", "--img_root_dir", type=str, default="")
@@ -43,8 +45,24 @@ def main():
     from ..serve.engine import BatchingEngine
     from ..utils.registry import load_vllm_for_edit
 
+    def load_mmmu_any(path):
+        """JSONL stand-in, one parquet file, or a directory tree of the
+        HF parquet release (one file per subject split)."""
+        if os.path.isdir(path):
+            pq = sorted(
+                os.path.join(r, f)
+                for r, _, fs in os.walk(path)
+                for f in fs if f.endswith(".parquet"))
+            return B.load_mmmu_parquet(
+                pq, image_dir=os.path.join(path, "_images"))
+        if path.endswith(".parquet"):
+            return B.load_mmmu_parquet(
+                [path], image_dir=os.path.join(
+                    os.path.dirname(path) or ".", "_images"))
+        return B.load_mmmu_jsonl(path)
+
     loaders = {"mme": B.load_mme, "mmbench": B.load_mmbench,
-               "vqa": B.load_vqa_jsonl, "mmmu": B.load_mmmu_jsonl}
+               "vqa": B.load_vqa_jsonl, "mmmu": load_mmmu_any}
     runners = {"mme": B.run_mme, "mmbench": B.run_mmbench,
                "vqa": B.run_vqa, "mmmu": B.run_mmmu}
     scorers = {"mme": B.mme_scores, "mmbench": B.mmbench_results,

@@ -761,6 +761,62 @@ def load_mmmu_jsonl(path: str) -> List[MMMUItem]:
     return items
 
 
+def load_mmmu_parquet(paths, image_dir: Optional[str] = None
+                      ) -> List[MMMUItem]:
+    """Read the HF MMMU parquet release directly (pandas/pyarrow) — the
+    same rows the reference loads via ``datasets.load_dataset``
+    (evaluate_mmmu.py:330-381), without the datasets dependency.
+
+    Per-row mapping, as the reference consumes it:
+    - ``options`` arrives as a repr'd python list string —
+      literal_eval'd (the reference evals it at :348);
+    - embedded image payloads (``image_1`` structs of {bytes, path})
+      are materialized under ``image_dir`` so the engine's path-keyed
+      vision cache can reuse repeats; items with no image stay
+      text-only (the reference keeps them, vision features zeroed);
+    - subject/split derives from the id ("validation_Accounting_1" →
+      "Accounting"), the grouping key of mmmu_scores.
+    """
+    import ast
+
+    import pandas as pd
+
+    items: List[MMMUItem] = []
+    for path in paths:
+        df = pd.read_parquet(path)
+        for row in df.to_dict("records"):
+            rid = str(row.get("id", ""))
+            parts = rid.split("_")
+            subject = "_".join(parts[1:-1]) if len(parts) >= 3 else ""
+            options = row.get("options")
+            if isinstance(options, str):
+                try:
+                    options = ast.literal_eval(options)
+                except (ValueError, SyntaxError):
+                    options = None
+            elif options is not None:
+                options = list(options)
+            img_path = ""
+            payload = row.get("image_1")
+            if payload is not None and image_dir:
+                data = payload.get("bytes") if isinstance(payload, dict) \
+                    else getattr(payload, "get", lambda *_: None)("bytes")
+                if data:
+                    os.makedirs(image_dir, exist_ok=True)
+                    img_path = os.path.join(image_dir, "%s.png" % rid)
+                    if not os.path.exists(img_path):
+                        with open(img_path, "wb") as f:
+                            f.write(data)
+            items.append(MMMUItem(
+                index=rid, image=img_path,
+                question=str(row.get("question", "")),
+                question_type=str(row.get("question_type", "")),
+                answer=row.get("answer", ""), options=options,
+                subfield=str(row.get("subfield", "")),
+                split=subject))
+    return items
+
+
 def run_mmmu(engine, items: List[MMMUItem], max_new_tokens: int = 20,
              image_root: str = "", timeout: float = 600.0) -> List[MMMUItem]:
     """Drive all MMMU questions through the batching engine at once

@@ -240,3 +240,53 @@ class TestMMMUEngineRun:
         outs = mmmu_outputs(items)
         res = mmmu_scores(outs)
         assert set(res["metrics"]) == {"Overall", "Art", "Math"}
+
+
+class TestMMMUParquet:
+    """load_mmmu_parquet reads the HF release layout directly
+    (pandas/pyarrow): repr'd options lists, embedded image payload
+    structs, subject derived from the row id."""
+
+    def test_parquet_roundtrip(self, tmp_path):
+        import pandas as pd
+
+        from devqa_tpu.eval.benchmarks import load_mmmu_parquet
+
+        rows = [{
+            "id": "validation_Art_Theory_1",
+            "question": "What style? <image 1>",
+            "options": "['baroque', 'cubism']",
+            "answer": "A",
+            "question_type": "multiple-choice",
+            "subfield": "History",
+            "image_1": {"bytes": b"\x89PNG-fake-payload", "path": "x.png"},
+        }, {
+            "id": "validation_Math_2",
+            "question": "Sum of 2 and 2?",
+            "options": "[]",
+            "answer": "4",
+            "question_type": "open",
+            "subfield": "Algebra",
+            "image_1": None,
+        }]
+        pq = str(tmp_path / "validation-00000.parquet")
+        pd.DataFrame(rows).to_parquet(pq)
+        items = load_mmmu_parquet([pq], image_dir=str(tmp_path / "imgs"))
+        assert [it.index for it in items] == [
+            "validation_Art_Theory_1", "validation_Math_2"]
+        assert items[0].options == ["baroque", "cubism"]
+        assert items[0].split == "Art_Theory"      # id-derived subject
+        assert items[0].subfield == "History"
+        # embedded payload materialized for the path-keyed vision cache
+        with open(items[0].image, "rb") as f:
+            assert f.read() == b"\x89PNG-fake-payload"
+        assert items[1].image == "" and items[1].split == "Math"
+        assert items[1].options == []
+
+        # the loaded items score through the SAME oracle-pinned pipeline
+        from devqa_tpu.eval.benchmarks import mmmu_outputs, mmmu_scores
+
+        items[0].prediction = "A"
+        items[1].prediction = "The answer is 4"
+        res = mmmu_scores(mmmu_outputs(items))
+        assert res["metrics"]["Overall"] == 100.0
