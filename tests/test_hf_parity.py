@@ -433,3 +433,52 @@ class TestBertParity:
                                     attention_mask=jnp.asarray(mask))
         np.testing.assert_allclose(np.asarray(ours)[:, :4], ref[:, :4],
                                    rtol=2e-4, atol=2e-4)
+
+    def test_minilm_encoder_from_hf_dir(self, tmp_path):
+        """End-to-end oracle for retrieval.encoders.MiniLMEncoder: a
+        random tiny BERT saved in HF format on disk loads through
+        from_hf_dir (AutoModel + AutoTokenizer + config mapping) and the
+        batched encoder call matches torch's mean-pool + L2-normalize —
+        the exact sentence-transformers semantics the reference's
+        retrieval substrate uses (dataset/vllm.py:89-117). Real MiniLM
+        weights stay externally blocked; this pins every line of the
+        loading/encoding path on random weights."""
+        from transformers import (BertConfig as HFBertConfig, BertModel,
+                                  BertTokenizerFast)
+
+        from devqa_tpu.retrieval.encoders import MiniLMEncoder
+
+        d = str(tmp_path / "minilm")
+        hf_cfg = HFBertConfig(
+            vocab_size=40, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64)
+        torch.manual_seed(7)
+        model = BertModel(hf_cfg).eval()
+        model.save_pretrained(d)
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                 "the", "cat", "sat", "on", "a", "mat", "dog", "ran",
+                 "blue", "sky", "sun", "##s", "paris", "rome", "big"]
+        with open(tmp_path / "vocab.txt", "w") as f:
+            f.write("\n".join(vocab))
+        BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"),
+                          model_max_length=64).save_pretrained(d)
+
+        enc = MiniLMEncoder.from_hf_dir(d, batch_size=4)
+        texts = ["the cat sat on a mat", "a dog ran", "blue sky",
+                 "paris rome", "the sun"]  # 5 texts -> ragged tail chunk
+        ours = enc(texts)
+
+        tok = enc.tokenizer
+        t = tok(texts, padding=True, truncation=True, max_length=64,
+                return_tensors="pt")
+        with torch.no_grad():
+            h = model(**t).last_hidden_state
+        m = t["attention_mask"].unsqueeze(-1).float()
+        s = (h * m).sum(1) / m.sum(1).clamp(min=1e-9)
+        ref = (s / s.norm(dim=-1, keepdim=True).clamp(min=1e-12)).numpy()
+        assert ours.shape == ref.shape == (5, 32)
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+        # normalized embeddings: retrieval cosine = dot
+        np.testing.assert_allclose(np.linalg.norm(ours, axis=-1),
+                                   np.ones(5), rtol=1e-5, atol=1e-5)
