@@ -350,8 +350,8 @@ def _flash_fwd(
     v: jnp.ndarray,
     kv_valid: jnp.ndarray,
     causal: bool,
-    block_q: int = FLASH_BLOCK_Q,
-    block_k: int = FLASH_BLOCK_K,
+    block_q: int = 0,
+    block_k: int = 0,
     interpret: bool = False,
     return_lse: bool = False,
     block_k_minor: int = 0,
@@ -366,6 +366,8 @@ def _flash_fwd(
         # masked by the ragged bound (kv_len), padded query rows compute
         # harmless values sliced away here. The pad copy is O(L·d),
         # vs the O(L²) f32 score traffic the kernel saves over XLA.
+        # Blocks pass through UNRESOLVED so the recursive call keeps the
+        # caller's explicit-vs-default distinction.
         out = _flash_fwd(
             _pad8(q, 2), _pad8(k, 2), _pad8(v, 2),
             None if kv_valid is None else _pad8(kv_valid, 1),
@@ -374,9 +376,21 @@ def _flash_fwd(
         if return_lse:
             return out[0][:, :, :lq], out[1][:, :, :lq]
         return out[:, :, :lq]
+    defaults = not (block_q or block_k)
+    block_q = block_q or FLASH_BLOCK_Q
+    block_k = block_k or FLASH_BLOCK_K
     true_lq, true_lk = _true_lens or (lq, lk)
     block_q = _fit_block(lq, block_q, 256)
     block_k = _fit_block(lk, block_k, 512)
+    # Whole-sequence blocks whenever the f32 s+p transients fit VMEM
+    # (~13MB with operands/scratch headroom): at L=1280 causal masked,
+    # 1280x1280 beat the exact-fit 640x640 by ~4% interleaved (1.78 vs
+    # 1.85ms) — one grid step per (b·h) removes all inner-grid overhead.
+    # L=1024 resolves to the swept 1024x1024 default either way; L=2048+
+    # exceeds the budget and keeps the swept blocks. Only when the
+    # caller did not pass explicit blocks (sweep scripts must win).
+    if defaults and lq * lk * 8 <= 13 * 2**20:
+        block_q, block_k = lq, lk
     nq = pl.cdiv(lq, block_q)
     nk = pl.cdiv(lk, block_k)
     sm_scale = 1.0 / (d ** 0.5)
