@@ -32,7 +32,12 @@ def preprocess_images(
     """
     x = images_u8.astype(jnp.float32) / 255.0
     b = x.shape[0]
-    x = jax.image.resize(x, (b, image_size, image_size, 3), method="cubic")
+    if x.shape[1:3] != (image_size, image_size):
+        # Skip the no-op resize: XLA still materializes the full
+        # separable-cubic gather for same-size inputs (providers usually
+        # decode at the model size already).
+        x = jax.image.resize(x, (b, image_size, image_size, 3),
+                             method="cubic")
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
     return (x - mean) / std

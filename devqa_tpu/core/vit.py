@@ -165,7 +165,13 @@ def vit_forward(
     later layers and the post-LN) — LLaVA's ``hidden_states[-2]`` is
     ``stop_at_layer=n_layers-1, apply_post_ln=False``.
     """
+    # Run the tower in the PARAM dtype: preprocess emits f32 pixels, and
+    # a mixed f32×bf16 dot promotes to f32 — which silently ran every
+    # downstream matmul of the bf16 tower at the MXU's f32 rate (~4x
+    # slower on v5e). One cast here pins the whole stack to bf16 on the
+    # bf16 checkpoints (f32 CPU tests are a no-op cast).
     x = patchify(pixels, cfg.patch_size)
+    x = x.astype(params["patch_embed"]["w"].dtype)
     h = linear(x, params["patch_embed"]["w"], params["patch_embed"]["b"])
     if cfg.use_cls_token:
         cls = jnp.broadcast_to(params["cls_token"],
