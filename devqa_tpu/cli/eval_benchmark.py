@@ -47,14 +47,20 @@ def main():
 
     def load_mmmu_any(path):
         """JSONL stand-in, one parquet file, or a directory tree of the
-        HF parquet release (one file per subject split)."""
+        HF parquet release (one file per subject split). A directory
+        holds dev/validation/test files side by side — mixing them
+        would silently pool splits (and score test's masked answers as
+        wrong), so prefer validation-* files when present, like the
+        reference's default split (evaluate_mmmu.py args)."""
         if os.path.isdir(path):
             pq = sorted(
                 os.path.join(r, f)
                 for r, _, fs in os.walk(path)
                 for f in fs if f.endswith(".parquet"))
+            val = [p for p in pq
+                   if os.path.basename(p).startswith("validation")]
             return B.load_mmmu_parquet(
-                pq, image_dir=os.path.join(path, "_images"))
+                val or pq, image_dir=os.path.join(path, "_images"))
         if path.endswith(".parquet"):
             return B.load_mmmu_parquet(
                 [path], image_dir=os.path.join(

@@ -71,9 +71,11 @@ class PackedQuery:
     so the capacity-keyed recompile happens at warm-up, not mid-run.
 
     ``img_buf`` is the LIVE slot buffer at dispatch time — consumers
-    must pass it to their fused program promptly (a later donated
-    scatter rebinding ``vllm._img_buf`` does not mutate this reference,
-    so deferred use stays CORRECT but may read pre-refresh rows).
+    MUST pass it to their fused program before the wrapper encodes any
+    further images: a later cache-miss scatter DONATES this buffer
+    (wrapper._scatter_rows_jit), deleting its device memory, and a
+    deferred dispatch then raises "Array has been deleted" rather than
+    reading stale rows.
     """
 
     ints: jnp.ndarray         # [4, B, Lt] i32: ids, attn, label_ids, label_masks

@@ -117,7 +117,6 @@ def _flash_kernel(
     causal_offset: int,
     with_lse: bool = False,
     block_k_minor: int = 0,
-    assume_valid: bool = False,
     has_mask: bool = True,
 ):
     # ``has_mask=False`` is the kv_valid=None specialization: NO mask
@@ -263,11 +262,14 @@ def _flash_kernel(
 
             # BRANCH-FREE masked path (same structure as above): apply
             # kv-validity + causal + tail bounds unconditionally as ONE
-            # select on s. The p-select stays because fully-masked rows
-            # (all-zero kv_valid) must produce p=0, not exp(0)=1 — for
-            # partially-masked rows the NEG_INF scores underflow on
-            # their own, and garbage accumulated before a row's first
-            # live key is exactly zeroed by corr = exp(-1e30 - m_real).
+            # select on s. There is NO p-select: partially-masked rows'
+            # NEG_INF scores underflow exp to exact 0 on their own,
+            # garbage accumulated before a row's first live key is
+            # exactly zeroed by corr = exp(-1e30 - m_real), and rows
+            # that stay fully masked to the end (m == NEG_INF, p would
+            # be exp(0) = 1 everywhere) are zeroed by the finalize
+            # ``dead`` check — weakening THAT check reintroduces
+            # garbage outputs for all-masked rows.
             mrow = mask_ref[0, 0, j * bkm:(j + 1) * bkm]
             v = v_ref[0, j * bkm:(j + 1) * bkm, :]
             mask = jnp.broadcast_to(mrow[None, :] > 0, s.shape)
@@ -382,14 +384,15 @@ def _flash_fwd(
     true_lq, true_lk = _true_lens or (lq, lk)
     block_q = _fit_block(lq, block_q, 256)
     block_k = _fit_block(lk, block_k, 512)
-    # Whole-sequence blocks whenever the f32 s+p transients fit VMEM
-    # (~13MB with operands/scratch headroom): at L=1280 causal masked,
-    # 1280x1280 beat the exact-fit 640x640 by ~4% interleaved (1.78 vs
-    # 1.85ms) — one grid step per (b·h) removes all inner-grid overhead.
-    # L=1024 resolves to the swept 1024x1024 default either way; L=2048+
-    # exceeds the budget and keeps the swept blocks. Only when the
-    # caller did not pass explicit blocks (sweep scripts must win).
-    if defaults and lq * lk * 8 <= 13 * 2**20:
+    # Whole-sequence blocks whenever the f32 s+p transients PLUS the
+    # k/v operand blocks (which scale with lk alone — double-buffered
+    # bf16) fit VMEM (~13MB with scratch headroom): at L=1280 causal
+    # masked, 1280x1280 beat the exact-fit 640x640 by ~4% interleaved
+    # (1.78 vs 1.85ms) — one grid step per (b·h) removes all inner-grid
+    # overhead. L=1024 resolves to the swept 1024x1024 default either
+    # way; L=2048+ exceeds the budget and keeps the swept blocks. Only
+    # when the caller did not pass explicit blocks (sweep scripts win).
+    if defaults and lq * lk * 8 + 4 * lk * d * 2 <= 13 * 2**20:
         block_q, block_k = lq, lk
     nq = pl.cdiv(lq, block_q)
     nk = pl.cdiv(lk, block_k)
@@ -419,11 +422,9 @@ def _flash_fwd(
         with_lse=return_lse,
         block_k_minor=(block_k_minor if block_k_minor
                        else FLASH_BLOCK_K_MINOR),
-        # Historical benchmark knob — INERT since the branch-free masked
-        # path landed (there is no per-chunk validity check left to
-        # skip). Kept for env compatibility; prefer kv_valid=None for
-        # genuinely mask-free shapes.
-        assume_valid=os.environ.get("DEVQA_FLASH_ASSUME_VALID") == "1",
+        # (The old DEVQA_FLASH_ASSUME_VALID benchmark knob is GONE: the
+        # branch-free masked path has no per-chunk validity check left
+        # to skip. kv_valid=None is the mask-free specialization.)
         has_mask=has_mask,
     )
     # Causal DMA steering: above-diagonal (iq, ik) steps are compute-

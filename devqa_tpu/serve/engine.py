@@ -498,6 +498,15 @@ class BatchingEngine:
                 _, s = self._prefix_lru.popitem(last=False)
                 self._prefix_free.append(s)
             s = self._prefix_free.pop()
+            if s in slots:
+                # The evicted entry was stored EARLIER IN THIS WAVE
+                # (capacity below the wave's new-image count): drop its
+                # pending write — it just left the LRU, and duplicate
+                # indices in one scatter have an UNSPECIFIED winner,
+                # which could leave this slot holding the evicted
+                # image's k/v under the new image's key.
+                drop = slots.index(s)
+                del js[drop], slots[drop]
             self._prefix_lru[req.image] = s
             js.append(j)
             slots.append(s)

@@ -377,6 +377,41 @@ class TestPrefixCache:
             eng.shutdown()
         assert len(eng._prefix_lru) == 1  # capacity bound held
 
+    def test_same_wave_eviction_keeps_slot_contents_exact(self):
+        """Capacity-1 cache with TWO new cacheable images arriving in
+        ONE admission wave: the second store evicts the first within the
+        same wave, which used to queue DUPLICATE indices into one
+        batched scatter (unspecified winner — the surviving image could
+        end up holding the evicted image's k/v prefix). The survivor's
+        post-warm HIT must generate exactly the uncached stream."""
+        from devqa_tpu.serve.engine import BatchingEngine
+
+        def run(cap):
+            vllm = make_tiny_vllm()
+            eng = BatchingEngine(vllm, n_slots=2, max_len=96,
+                                 prefix_cache_images=cap).start()
+            try:
+                # one wave, two new images (n_slots=2 admits both)
+                reqs = [eng.submit("what is this", img, max_new_tokens=4)
+                        for img in ("imgA.jpg", "imgB.jpg")]
+                for r in reqs:
+                    assert r.done.wait(300) and r.error is None
+                # whichever image survived the ring, query BOTH again —
+                # the survivor rides the continue path
+                reqs = [eng.submit("and what color is it", img,
+                                   max_new_tokens=4)
+                        for img in ("imgA.jpg", "imgB.jpg")]
+                for r in reqs:
+                    assert r.done.wait(300) and r.error is None
+                return [r.text for r in reqs], eng
+            finally:
+                eng.shutdown()
+
+        want, _ = run(cap=0)
+        got, eng = run(cap=1)
+        assert got == want, (got, want)
+        assert len(eng._prefix_lru) == 1
+
     def test_default_auto_gates_on_prefix_size(self):
         """The DEFAULT follows the measured crossover (engine.py): the
         continue path's extra per-wave dispatches (pre-slot id fetch,
