@@ -392,7 +392,11 @@ def _flash_fwd(
     # overhead. L=1024 resolves to the swept 1024x1024 default either
     # way; L=2048+ exceeds the budget and keeps the swept blocks. Only
     # when the caller did not pass explicit blocks (sweep scripts win).
-    if defaults and lq * lk * 8 + 4 * lk * d * 2 <= 13 * 2**20:
+    # Budget 15MB: the measured-winning L=1280 d=128 case sums to
+    # 14.4MB and compiles comfortably; the short-suffix/long-prefix
+    # shapes this bound exists for (e.g. lq=160, lk=8192 → 18.9MB)
+    # stay excluded.
+    if defaults and lq * lk * 8 + 4 * lk * d * 2 <= 15 * 2**20:
         block_q, block_k = lq, lk
     nq = pl.cdiv(lq, block_q)
     nk = pl.cdiv(lk, block_k)
