@@ -165,6 +165,26 @@ class TestFlashKernel:
             out = _flash_fwd(q, k, v, kv, True, block_q=32, block_k=32)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_fully_masked_rows_are_exact_zeros(self, qkv):
+        """The kernel's CONTRACT for rows with no attendable key is an
+        all-zero output (the finalize ``dead`` check) — intentionally
+        diverging from xla_attention's uniform-softmax guard. The
+        pipeline never reads such rows (their K/V stay masked in every
+        layer), but the zeros contract is what the no-p-select update
+        relies on: weaken the dead check and these rows return the
+        exp(0)=1 garbage average instead."""
+        q, k, v = qkv
+        kvn = np.ones((2, 64), np.int32)
+        kvn[0, :] = 0          # row 0: every key masked
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = _flash_fwd(q, k, v, jnp.asarray(kvn), False,
+                             block_q=32, block_k=32)
+        o = np.asarray(out, np.float32)
+        np.testing.assert_array_equal(o[0], np.zeros_like(o[0]))
+        assert np.abs(o[1]).max() > 0  # the live row is untouched
+
 
 class TestShardedFlash:
     """Multi-device flash: shard_map over the (dp, tp) mesh, kernel in
