@@ -315,8 +315,11 @@ FLASH_BLOCK_Q = int(os.environ.get("DEVQA_FLASH_BQ", "1024"))
 FLASH_BLOCK_K = int(os.environ.get("DEVQA_FLASH_BK", "1024"))
 #: Minor-chunk width for the unrolled inner k loop (0 = single chunk).
 #: See _flash_kernel: minor chunks let the MXU of chunk j+1 overlap the
-#: VPU softmax of chunk j within one grid step.
-FLASH_BLOCK_K_MINOR = 0
+#: VPU softmax of chunk j within one grid step. Swept at the r5
+#: branch-free 1024x1024 blocks: 512 beats single-chunk by 5-7%
+#: (L=4096: 4.0 vs 4.3ms) — past jax's official kernel's 4.33. Non-
+#: divisor block sizes round the chunk down to a divisor in-kernel.
+FLASH_BLOCK_K_MINOR = int(os.environ.get("DEVQA_FLASH_BKM", "512"))
 
 
 def _fit_block(length: int, default: int, floor: int) -> int:
