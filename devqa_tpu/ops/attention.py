@@ -427,8 +427,16 @@ def _flash_fwd(
         kv_len=true_lk,
         causal_offset=causal_offset,
         with_lse=return_lse,
+        # The DEFAULT minor chunk applies only when it divides block_k:
+        # the in-kernel round-down (e.g. 512 → 320 at a 1280 whole
+        # block) measurably LOST on the full-model L=1280 path
+        # (flash_speedup 1.36 → 1.25) — an explicit user knob still
+        # rounds down as documented.
         block_k_minor=(block_k_minor if block_k_minor
-                       else FLASH_BLOCK_K_MINOR),
+                       else (FLASH_BLOCK_K_MINOR
+                             if FLASH_BLOCK_K_MINOR
+                             and block_k % FLASH_BLOCK_K_MINOR == 0
+                             else 0)),
         # (The old DEVQA_FLASH_ASSUME_VALID benchmark knob is GONE: the
         # branch-free masked path has no per-chunk validity check left
         # to skip. kv_valid=None is the mask-free specialization.)
