@@ -825,10 +825,26 @@ def bench_sequential_secondary(vllm, tmp, deadline=None):
     cfg = vllm.cfg
     n = int(os.environ.get("BENCH_SEQ2_CASES", "200"))
     steps = int(os.environ.get("BENCH_SEQ2_STEPS", "25"))
-    editor = TPvl(vllm, TPvlConfig(
-        edit_model_name=cfg.name,
-        edit_layer=min(31, cfg.decoder.n_layers - 1),
-        num_steps=steps, max_edits=max(256, n)))
+    editor_name = os.environ.get("BENCH_SEQ2_EDITOR", "tp_vl")
+    if editor_name == "lemoe":
+        # Expert-per-20 ring (editors/lemoe_vl.py): 200 edits train 10
+        # experts; shape-stable because every expert trains on exactly
+        # lora_edit_batch_size rows.
+        from devqa_tpu.editors.lemoe_vl import LEMoEvl, LEMoEvlConfig
+
+        ebs = 2 if bench_tiny() else 20
+        editor = LEMoEvl(vllm, LEMoEvlConfig(
+            edit_model_name=cfg.name,
+            edit_layer=min(30, cfg.decoder.n_layers - 2),
+            llm_hidden_dim1=cfg.decoder.d_model,
+            llm_hidden_dim2=cfg.decoder.d_ffn,
+            lora_edit_batch_size=ebs,
+            max_steps=steps, max_experts=max(16, -(-n // ebs))))
+    else:
+        editor = TPvl(vllm, TPvlConfig(
+            edit_model_name=cfg.name,
+            edit_layer=min(31, cfg.decoder.n_layers - 1),
+            num_steps=steps, max_edits=max(256, n)))
     sub = os.path.join(tmp, "seq2")
     os.makedirs(sub, exist_ok=True)
     path = build_cases(n, sub)
@@ -849,9 +865,13 @@ def bench_sequential_secondary(vllm, tmp, deadline=None):
         a, _ = metrics(editor.query_logits(qb), qb.label_ids, qb.label_masks)
         return fetch_scalar(a)
 
-    # Warm every program OUTSIDE the timed region (edit + probe).
-    editor.edit_one_piece(cases[0].requests[0])
-    editor.edit_one_piece(cases[1].requests[0])
+    # Warm every program OUTSIDE the timed region (edit + probe). LEMoE
+    # only trains an expert once its 20-edit buffer fills — warm through
+    # one full buffer so _train_expert_jit compiles before timing.
+    warm_n = editor.cfg.lora_edit_batch_size \
+        if editor_name == "lemoe" else 2
+    for c in cases[:warm_n]:
+        editor.edit_one_piece(c.requests[0])
     probe()
     editor.restore_to_original_model()
     sizes0 = jit_cache_sizes(vllm, editor)
@@ -874,7 +894,7 @@ def bench_sequential_secondary(vllm, tmp, deadline=None):
     if grew:
         log("seq_secondary fresh-compile sources:", grew)
     out = {
-        "editor": "tp_vl",
+        "editor": editor_name,
         "edits": done,
         "edits_per_s": round(done / dt, 3),
         "inner_steps_per_edit": steps,

@@ -115,6 +115,40 @@ def test_all_phases_emitted(bench_json):
     assert bench_json["flash"]["op"], "attention-op microbench missing"
 
 
+def test_seq2_lemoe_variant(bench_json):
+    """The secondary sequential phase generalizes past TP_VL: run it
+    standalone with BENCH_SEQ2_EDITOR=lemoe on the tiny model and assert
+    the same shape-stability contract (the r4 VERDICT asked for ONE more
+    editor; the env knob covers the zoo)."""
+    import tempfile
+
+    import bench
+    import jax
+    from devqa_tpu.core import vllm as V
+    from devqa_tpu.core.tokenizer import ToyTokenizer
+    from devqa_tpu.core.wrapper import JaxVLLM
+    from devqa_tpu.data.images import SyntheticImageProvider
+    import jax.numpy as jnp
+
+    os.environ["BENCH_TINY"] = "1"  # 2-edit experts on the tiny model
+    os.environ["BENCH_SEQ2_EDITOR"] = "lemoe"
+    os.environ["BENCH_SEQ2_CASES"] = "6"
+    os.environ["BENCH_SEQ2_STEPS"] = "2"
+    try:
+        cfg = V.tiny_vllm_config("opt")
+        params = V.init_vllm_params(cfg, jax.random.PRNGKey(0))
+        vllm = JaxVLLM(cfg, params, ToyTokenizer(cfg.decoder.vocab_size),
+                       SyntheticImageProvider(cfg.vit.image_size),
+                       bucket_multiple=8, min_len=8)
+        with tempfile.TemporaryDirectory() as tmp:
+            res = bench.bench_sequential_secondary(vllm, tmp)
+        assert res["editor"] == "lemoe"
+        assert res["edits"] == 6 and res["edits_per_s"] > 0
+        assert res["new_compiled_shapes"] == 0
+    finally:
+        os.environ["BENCH_SEQ2_EDITOR"] = "tp_vl"
+
+
 def test_llava_phase_complete(bench_json):
     # the exact evidence round 4 lost to the import typo
     llava = bench_json["llava_pipeline"]
